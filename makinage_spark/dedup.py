@@ -1,0 +1,303 @@
+"""Deduplication operators for training-data pipelines (north-star extensions,
+BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine
+near-dup.
+
+Scale design. Every dedup here follows the same shape: (1) a narrow map stage
+computes a compact key/signature per document (pure Column expressions — no
+Python); (2) a single shuffle groups by that key (exact/simhash) or by LSH
+bucket (minhash/embedding) so candidate pairs only form *within buckets*; (3)
+an optional verify stage re-checks candidates exactly. Nothing ever forms the
+O(n²) global cross-product; the bucket width bounds pair blow-up, and AQE
+splits skewed buckets.
+
+Hash determinism: md5-derived hashes (see ``text.md5_hash64``) so DuckDB
+oracles reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from makinage_spark.text import char_ngrams, fingerprint, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy on the md5 fingerprint,
+    keeping the lowest id per group. One shuffle on a 32-char key; map-side
+    partial min; no row data moves except the winner ids."""
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__fp")
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup returning the full surviving rows (lowest id per fingerprint
+    wins — deterministic, unlike ``dropDuplicates`` which keeps an arbitrary
+    row)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(text_col))
+    return df.withColumn("__keep", F.min(id_col).over(w) == F.col(id_col)).filter(
+        "__keep"
+    ).drop("__keep")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text_col: str, num_hashes: int = 16, ngram: int = 5) -> list[Column]:
+    """MinHash signature as ``num_hashes`` salted-md5 minima over character
+    n-gram shingles.
+
+    Classic MinHash uses k universal-hash permutations; salting one md5 with k
+    seeds is the standard equivalent (each salt induces an independent
+    pseudo-permutation of the shingle space). String minima of md5 hex are
+    order-isomorphic to integer minima of the 128-bit hash — and reproducible
+    in any engine with md5.
+    """
+    shingles = char_ngrams(text_col, ngram)
+    return [
+        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        .alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    ``num_hashes`` minima are split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents agreeing on *all* rows of any band become a candidate pair.
+    With r rows/band, collision probability is the classic S-curve
+    ``1-(1-J^r)^b``.
+
+    Physical plan: signature = narrow map; band bucket = md5 of the band's
+    concatenated minima (constant width regardless of r); one shuffle per the
+    exploded (band, bucket) key; pairs form by equi-join *within* buckets only.
+    Returns distinct ``(a, b)`` pairs with ``a < b``.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    sig = df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, ngram))
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    # explode bands → (id, band_idx, bucket); self-join inside buckets
+    pairs = None
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
+                      for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verify / small-corpus dedup)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index.
+
+    ``explode`` shingles → join on shingle (pairs only form for docs *sharing*
+    a shingle — the inverted-index trick; never a global cross product) →
+    intersection counts → ``|A∪B| = |A|+|B|-|A∩B|`` → filter on threshold.
+
+    At 100 TB: the join key is a word-shingle; stop-shingle skew (very common
+    shingles creating huge buckets) is the known hazard — mitigate upstream by
+    document-frequency filtering of shingles; AQE skew-join splits the rest.
+    This exact form is the *verify* stage after :func:`minhash_lsh_pairs`
+    candidates at scale; standalone it is fine to ~10⁸ docs.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, ngram_words)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text_col: str, bits: int = 32) -> Column:
+    """SimHash over word tokens, expression-only and cross-engine reproducible.
+
+    Per token, md5 hex supplies ``bits`` pseudo-random bits (hex digit → 4
+    bits); bit j of the document hash is the sign of Σ_tokens (±1). Near-dup
+    docs differ in few bits. 32 bits keeps the expression tree small; extend to
+    64 by doubling the hex prefix.
+    """
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}]+"), 0)
+    )
+    hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bits // 4))
+    out = F.lit(0).cast("bigint")
+    def _bit_adder(digit: int, bitpos: int):
+        def _add(acc, h):
+            hexval = F.instr(F.lit("0123456789abcdef"), F.substring(h, digit + 1, 1)) - 1
+            return acc + F.shiftright(hexval, bitpos) % 2
+
+        return _add
+
+    for j in range(bits):
+        digit = j // 4          # which hex char
+        bitpos = 3 - (j % 4)    # bit within the hex digit, MSB first
+        # vote_j = Σ tokens: +1 if bit set else -1  ⇒  2*ones - n
+        ones = F.aggregate(hexes, F.lit(0), _bit_adder(digit, bitpos))
+        bit = (ones * 2 > F.size(hexes)).cast("bigint")
+        out = out + F.shiftleft(bit, j)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with pigeonhole blocking: split the hash into
+    ``blocks`` blocks; any pair within Hamming distance < ``blocks`` agrees on
+    ≥1 whole block, so candidates come from equi-joins on block values (no
+    cross product). Verify stage computes the true Hamming distance via
+    ``bit_count(xor)``."""
+    block_bits = bits // blocks
+    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    stacked = sh.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("sh"), b * block_bits).bitwiseAND(
+                        F.lit((1 << block_bits) - 1)
+                    ).alias("val"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "sh", "bb.blk", "bb.val")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.val") == F.col("b.val"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_on: str | Column | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Without ``block_on``: exact all-pairs within the DataFrame — O(n²), only
+    for bounded inputs (a verify stage or a small corpus). With ``block_on``
+    (e.g. an LSH bucket from ``vectors.hyperplane_bucket`` or a cluster id):
+    pairs form only within blocks — the scale path.
+
+    Cosine is computed with ``zip_with``/``aggregate`` — JVM higher-order
+    functions, no Python.
+    """
+    from makinage_spark.vectors import cosine
+
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_on is not None:
+        blk = F.col(block_on) if isinstance(block_on, str) else block_on
+        cols.append(blk.alias("__blk"))
+    v = df.select(*cols)
+    a, b = v.alias("a"), v.alias("b")
+    cond = [F.col(f"a.{id_col}") < F.col(f"b.{id_col}")]
+    if block_on is not None:
+        cond.append(F.col("a.__blk") == F.col("b.__blk"))
+    return (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("a"),
+            F.col(f"b.{id_col}").alias("b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

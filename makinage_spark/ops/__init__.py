@@ -1,0 +1,45 @@
+"""rs.ops-equivalent operator surface (reference: rxsci ``rs.ops``, used at
+makinage/sample/processor.py:6-14, makinage/serve/serve.py:82-148).
+
+Every operator is a factory returning a ``DataFrame -> DataFrame`` callable, so
+pipelines read like the reference's ``obs.pipe(rs.ops.map(f), rs.ops.filter(p))``
+while compiling to a single Catalyst plan.
+"""
+
+from makinage_spark.ops.core import (
+    assert_,
+    distinct,
+    filter,
+    first,
+    flat_map,
+    group_by,
+    last,
+    map,
+    multiplex,
+    sample,
+    scan,
+    skip,
+    starmap,
+    take,
+    tee_map,
+    with_latest_from,
+)
+
+__all__ = [
+    "map",
+    "starmap",
+    "filter",
+    "flat_map",
+    "scan",
+    "distinct",
+    "take",
+    "skip",
+    "first",
+    "last",
+    "group_by",
+    "tee_map",
+    "multiplex",
+    "sample",
+    "with_latest_from",
+    "assert_",
+]

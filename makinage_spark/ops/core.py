@@ -1,0 +1,374 @@
+"""Core record operators (rs.ops equivalents), Spark-first.
+
+Reference semantics and usage sites:
+- ``rs.ops.map`` / ``ops.starmap``  — makinage/sample/processor.py:10-12,
+  makinage/serve/serve.py:130-143 (per-record projection).
+- ``rs.ops.filter``                 — makinage/serve/serve.py:145.
+- ``rs.ops.flat_map``               — makinage/serve/serve.py:144 (1→N).
+- ``rs.ops.scan``                   — makinage/serve/serve.py:88-101 (running fold).
+- ``rs.ops.group_by``               — public rxsci API (SURVEY §2.2).
+- ``rs.ops.with_latest_from``       — makinage/serve/serve.py:140-141.
+- ``ops.take/skip/first``           — makinage/makinage.py:77, makinage/config.py:33,
+  makinage/model_publisher/model_publisher.py:88.
+- ``rs.ops.distinct`` / ``tee_map`` / ``multiplex`` / ``assert_`` — public rxsci
+  API (SURVEY §2.2).
+
+Design rule: the fast path is always a Column expression (JVM, whole-stage
+codegen); an Arrow-batched pandas function is the *escape hatch* for arbitrary
+Python logic, mirroring the reference's "any Python lambda" surface
+(makinage/util.py:5-23) without its per-record interpreter cost.
+
+At 100 TB: every operator here is either narrow (map/filter/flat_map — no
+shuffle) or declares its shuffle key explicitly (scan/group_by/distinct take
+``by=`` so the shuffle is on the user's key, skew-handled by AQE). Nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+import builtins
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnLike = Column | str
+
+
+def _col(c: ColumnLike) -> Column:
+    return F.expr(c) if isinstance(c, str) else c
+
+
+def _window(by: list[str] | None, order_by: list[ColumnLike] | None):
+    w = Window.partitionBy(*(by or []))
+    if order_by:
+        w = w.orderBy(*[_col(c) for c in order_by])
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Projection
+# ---------------------------------------------------------------------------
+
+
+def map(_fn: Callable[..., Any] | None = None, _schema: str | None = None, **cols: ColumnLike):
+    """Per-record transform (``rs.ops.map``, makinage/sample/processor.py:10-12).
+
+    Fast path — ``map(total=F.col("price") * qty, flag=F.lit(1))`` adds/replaces
+    columns via expressions (codegen, no Python).
+
+    Escape hatch — ``map(_fn=batch_fn, _schema="x long, y string")`` where
+    ``batch_fn`` maps an iterator of pandas DataFrames (Arrow batches); this is
+    the reference's arbitrary-Python-lambda surface, vectorized.
+    """
+    if _fn is not None:
+        if _schema is None:
+            raise ValueError("map(_fn=...) requires _schema")
+
+        def _op_fn(df: DataFrame) -> DataFrame:
+            return df.mapInPandas(_fn, schema=_schema)
+
+        return _op_fn
+
+    resolved = {name: _col(c) for name, c in cols.items()}
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.withColumns(resolved)
+
+    return _op
+
+
+# ``ops.starmap`` unpacks tuple records into fn args (makinage/config.py:18).
+# In a columnar model every map is a starmap — columns are already unpacked.
+starmap = map
+
+
+def tee_map(**outputs: ColumnLike):
+    """Fan-out compute: run several computations on the same record and combine
+    the results per item (``rs.ops.tee_map``, public rxsci API).
+
+    In a columnar engine this is simply a multi-expression projection — each
+    kwarg is one "branch", all evaluated in a single pass with zero extra
+    traversals (the reference re-subscribes the stream per branch).
+    """
+    resolved = {name: _col(c) for name, c in outputs.items()}
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.select(*[c.alias(n) for n, c in resolved.items()])
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# Filtering / limiting
+# ---------------------------------------------------------------------------
+
+
+def filter(predicate: ColumnLike):
+    """Keep records matching ``predicate`` (``rs.ops.filter``,
+    makinage/serve/serve.py:145). Column expression or SQL string — pushed down
+    to the scan by Catalyst when possible."""
+    pred = _col(predicate)
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.filter(pred)
+
+    return _op
+
+
+def distinct(*keys: str, within_watermark: bool = False):
+    """Drop duplicate records by key (``rs.ops.distinct``, public rxsci API).
+
+    Batch: ``dropDuplicates`` (hash shuffle on the key — AQE handles skew).
+    Streaming: pass ``within_watermark=True`` after ``withWatermark`` to bound
+    state (``dropDuplicatesWithinWatermark``) — the reference has no state
+    eviction at all, so bounded state is strictly stronger.
+    """
+
+    def _op(df: DataFrame) -> DataFrame:
+        cols = list(keys) or None
+        if within_watermark and df.isStreaming:
+            return df.dropDuplicatesWithinWatermark(cols)
+        return df.dropDuplicates(cols)
+
+    return _op
+
+
+def take(n: int, order_by: list[ColumnLike] | None = None, by: list[str] | None = None):
+    """First/top ``n`` records (``ops.take``, makinage/makinage.py:77).
+
+    - no args: ``limit(n)``.
+    - ``order_by``: global top-k — Spark plans TakeOrderedAndProject (per-partition
+      heap + driver merge of k·partitions rows, never a full sort: safe at 100 TB).
+    - ``by`` + ``order_by``: per-key top-k via ``row_number`` (one shuffle on key).
+    """
+
+    def _op(df: DataFrame) -> DataFrame:
+        if by:
+            if not order_by:
+                raise ValueError("take(by=...) requires order_by")
+            w = _window(by, order_by)
+            return (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
+        if order_by:
+            return df.orderBy(*[_col(c) for c in order_by]).limit(n)
+        return df.limit(n)
+
+    return _op
+
+
+def skip(n: int, order_by: list[ColumnLike], by: list[str] | None = None):
+    """Skip the first ``n`` records in ``order_by`` order (``ops.skip``,
+    makinage/config.py:33). Requires an explicit order — arrival order is not a
+    meaningful concept for a distributed scan."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        w = _window(by, order_by)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > n)
+            .drop("__rn")
+        )
+
+    return _op
+
+
+def first(order_by: list[ColumnLike], by: list[str] | None = None):
+    """First record (per key) in event order (``ops.first``,
+    makinage/model_publisher/model_publisher.py:88)."""
+    return take(1, order_by=order_by, by=by) if by else take(1, order_by=order_by)
+
+
+def last(order_by: list[ColumnLike], by: list[str] | None = None):
+    """Final record (per key) — the Rx ``last``/``reduce=True`` shape
+    (README.rst:66): emit only the terminal state."""
+    rev = [_col(c).desc() for c in order_by]
+    return take(1, order_by=rev, by=by) if by else take(1, order_by=rev)
+
+
+def sample(fraction: float, seed: int | None = None):
+    """Bernoulli sample (``rs.ops.sample`` family, public rxsci API)."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.sample(fraction=fraction, seed=seed)
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# Expansion
+# ---------------------------------------------------------------------------
+
+
+def flat_map(
+    expr: ColumnLike | None = None,
+    alias: str = "value",
+    outer: bool = False,
+    _fn: Callable[..., Iterator] | None = None,
+    _schema: str | None = None,
+):
+    """1→N expansion (``rs.ops.flat_map``, makinage/serve/serve.py:144).
+
+    Fast path — ``flat_map(F.split("text", " "), alias="word")`` explodes an
+    array expression (codegen ``Generate``; narrow, no shuffle).
+
+    Escape hatch — ``flat_map(_fn=gen, _schema=...)``: ``mapInPandas`` where the
+    Python function may emit any number of rows per input batch (the UDTF shape,
+    SURVEY §2.3).
+    """
+    if _fn is not None:
+        if _schema is None:
+            raise ValueError("flat_map(_fn=...) requires _schema")
+
+        def _op_fn(df: DataFrame) -> DataFrame:
+            return df.mapInPandas(_fn, schema=_schema)
+
+        return _op_fn
+
+    if expr is None:
+        raise ValueError("flat_map requires expr or _fn")
+    e = _col(expr)
+
+    def _op(df: DataFrame) -> DataFrame:
+        exploded = F.explode_outer(e) if outer else F.explode(e)
+        return df.withColumn(alias, exploded)
+
+    return _op
+
+
+def multiplex(tag: ColumnLike, alias: str = "stream"):
+    """Tag records into logical substreams within one DataFrame
+    (``rs.ops.multiplex``, public rxsci API). Demux is ``filter(col == tag)``;
+    mux-aware grouped ops are ``group_by([alias, ...])``."""
+    t = _col(tag)
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.withColumn(alias, t)
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# Stateful fold / grouping
+# ---------------------------------------------------------------------------
+
+
+def scan(
+    by: list[str] | None,
+    order_by: list[ColumnLike],
+    **aggs: Column,
+):
+    """Running accumulator emitting every intermediate state (``rs.ops.scan``,
+    makinage/serve/serve.py:88-101).
+
+    ``scan(by=["user_id"], order_by=["ts"], running_sum=F.sum("value"))`` —
+    each aggregate expression is evaluated over
+    ``rowsBetween(unboundedPreceding, currentRow)``.
+
+    Order is per-key (SURVEY §7.3: per-record global order is not meaningful in
+    a distributed engine; the reference itself only has per-Kafka-partition
+    order). One shuffle on ``by``; within-key order comes from a local sort.
+    ``by=None`` means a single global stream — correct but single-partition;
+    only for small control streams, never the 100 TB path.
+    """
+    w = _window(by, order_by).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.withColumns({name: agg.over(w) for name, agg in aggs.items()})
+
+    return _op
+
+
+def group_by(
+    keys: list[str],
+    aggs: dict[str, Column] | None = None,
+    apply_fn: Callable | None = None,
+    apply_schema: str | None = None,
+):
+    """Partition the stream into per-key substreams and aggregate/transform each
+    (``rs.ops.group_by(key_mapper, pipeline)``, public rxsci API).
+
+    - ``aggs`` — terminal aggregates per key (the ``reduce=True`` shape):
+      ``group_by(["k"], aggs={"total": F.sum("v")})`` → ``groupBy().agg()``
+      with map-side partial aggregation.
+    - ``apply_fn``/``apply_schema`` — arbitrary per-group pandas transform via
+      ``applyInPandas`` (the sub-pipeline escape hatch). At scale, a group must
+      fit in one executor's memory — use only for bounded groups.
+    """
+
+    def _op(df: DataFrame) -> DataFrame:
+        if aggs:
+            return df.groupBy(*keys).agg(*[a.alias(n) for n, a in aggs.items()])
+        if apply_fn is not None:
+            if apply_schema is None:
+                raise ValueError("group_by(apply_fn=...) requires apply_schema")
+            return df.groupBy(*keys).applyInPandas(apply_fn, schema=apply_schema)
+        raise ValueError("group_by requires aggs or apply_fn")
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# Stream combination
+# ---------------------------------------------------------------------------
+
+
+def with_latest_from(
+    other: DataFrame,
+    on: list[str] | None = None,
+    left_ts: ColumnLike | None = None,
+    right_ts: ColumnLike | None = None,
+):
+    """Enrich each record with the latest value of a side stream
+    (``rs.ops.with_latest_from``, makinage/serve/serve.py:140-141): emits only
+    on the primary stream; side values never trigger output.
+
+    Batch semantics (event-time defined):
+
+    - with ``left_ts``/``right_ts`` — as-of backward join: each left record gets
+      the most recent right record with ``right_ts <= left_ts`` (per ``on`` key
+      if given). Delegates to :func:`makinage_spark.joins.asof_join` — a single
+      union + window pass, no per-key loop, no row explosion.
+    - without timestamps — each record gets the single terminal value of
+      ``other`` (a tiny control stream: model/config, makinage/serve/serve.py:
+      128-137) via a broadcast cross join.
+
+    Streaming: see ``makinage_spark.streaming.runtime.for_each_batch_with_latest``
+    — control streams refresh per micro-batch, matching the reference's
+    hot-swap granularity relaxation (SURVEY §7.3).
+    """
+
+    def _op(df: DataFrame) -> DataFrame:
+        if left_ts is not None and right_ts is not None:
+            from makinage_spark.joins import asof_join
+
+            return asof_join(df, other, on=on or [], left_ts=left_ts, right_ts=right_ts)
+        return df.crossJoin(F.broadcast(other.limit(1)))
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
+# Assertions (test surface)
+# ---------------------------------------------------------------------------
+
+
+def assert_(predicate: ColumnLike, message: str = "assert_ failed"):
+    """Pipeline invariant check (``rs.ops.assert_``, used by the reference's
+    driver tests, tests/driver/test_app_source.py:79). Eagerly verifies no record
+    violates ``predicate``; returns the input unchanged. Test helper — forces a
+    job, so keep it out of production pipelines."""
+    pred = _col(predicate)
+
+    def _op(df: DataFrame) -> DataFrame:
+        bad = df.filter(~pred)
+        if not bad.isEmpty():
+            examples = [r.asDict() for r in bad.limit(3).collect()]
+            raise AssertionError(f"{message}: {examples}")
+        return df
+
+    return _op

@@ -1,0 +1,173 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): language ID, quality
+scoring, token counting, document fingerprinting — all as pure Column
+expressions (JVM, codegen, no Python in the hot path), so at 100 TB these are
+narrow map-only stages with full scan pushdown.
+
+Shared building block: :func:`md5_hash64` — a deterministic 60-bit integer hash
+(md5 prefix) that DuckDB can reproduce (``CAST('0x'||substr(md5(x),1,15) AS
+BIGINT)``), used wherever an oracle needs hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from makinage_spark.ops.core import ColumnLike, _col
+
+#: Tokenizer used across text ops: non-empty runs of word chars (unicode).
+TOKEN_RE = r"[\p{L}\p{N}]+"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and frozen — they are part of the operator's
+#: contract (oracle SQL embeds the same lists).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "que"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "von"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "por"],
+}
+
+
+def md5_hash64(c: ColumnLike) -> Column:
+    """Deterministic 60-bit hash: first 15 hex digits of md5 as a bigint.
+    Cross-engine reproducible (DuckDB/Trino/Spark) — unlike xxhash64/murmur
+    whose seeds differ per engine."""
+    return F.conv(F.substring(F.md5(_col(c).cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def normalize(c: ColumnLike) -> Column:
+    """Canonical text form for fingerprints: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_col(c)), r"\s+", " "))
+
+
+def tokens(c: ColumnLike) -> Column:
+    """Array of word tokens (unicode letters+digits runs)."""
+    return F.regexp_extract_all(_col(c), F.lit(TOKEN_RE), 0)
+
+
+def token_count(c: ColumnLike) -> Column:
+    """Whitespace/word token count — the cheap length signal every data
+    pipeline filters on."""
+    return F.size(tokens(c))
+
+
+def char_ngrams(c: ColumnLike, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (for MinHash/Jaccard).
+    Expression-only: substring over a generated index sequence."""
+    norm = normalize(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
+
+
+def word_shingles(c: ColumnLike, n: int = 3) -> Column:
+    """Word n-gram shingles (n consecutive tokens joined by space)."""
+    toks = tokens(F.lower(_col(c)))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.lit(0), cnt - F.lit(n)))
+    return F.array_distinct(
+        F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def language_id(c: ColumnLike, min_score: float = 0.0) -> Column:
+    """Heuristic language ID: fraction of tokens that are stopwords of each
+    candidate language; argmax wins, ``'und'`` (undetermined) if every score is
+    ``<= min_score``. Deterministic tie-break: language list order en,fr,de,es.
+
+    This is the stopword variant of n-gram language ID — pure expressions, so
+    it runs at scan speed; swap in a real model via a pandas UDF when quality
+    matters more than throughput.
+    """
+    toks = tokens(F.lower(_col(c)))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))) / n
+        for lang, words in STOPWORDS.items()
+    }
+    # argmax with fixed language order: strictly-greater comparison in order.
+    best_lang = F.lit("und")
+    best_score = F.lit(float(min_score))
+    for lang in ["es", "de", "fr", "en"]:  # reversed priority: en wins ties
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(c: ColumnLike) -> dict[str, Column]:
+    """Quality-scoring signals: length, token count, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio. Combine downstream into
+    a keep/drop policy; each is an exact expression."""
+    col = _col(c)
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    # ASCII punctuation spelled as explicit ranges — identical semantics in
+    # Java regex (Spark) and RE2 (DuckDB oracle), unlike \p{Punct}.
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[!-/:-@\[-`{-~]"), 0))
+    n_upper = F.size(F.regexp_extract_all(col, F.lit(r"[A-Z]"), 0))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(tokens(F.lower(col)), en_stop))
+    safe_tok = F.greatest(n_tok, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tok.cast("bigint"),
+        "mean_token_len": F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+        ) / safe_tok,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": n_stop / safe_tok,
+    }
+
+
+def quality_score(c: ColumnLike) -> Column:
+    """Scalar quality score in [0,1]: penalizes extreme punctuation/caps and
+    rewards stopword presence + reasonable length. Frozen formula (oracle
+    contract)."""
+    f = quality_features(c)
+    length_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * F.least(f["stopword_ratio"] * 3, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["upper_ratio"] * 5, F.lit(1.0))),
+        4,
+    )
+
+
+def fingerprint(c: ColumnLike) -> Column:
+    """Document fingerprint: md5 of the normalized text — the exact-dup key."""
+    return F.md5(normalize(c))
+
+
+def rolling_fingerprint(c: ColumnLike, n: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style robust fingerprint: the ``keep`` lexicographically
+    smallest md5s over character ``n``-gram shingles, joined. Stable under small
+    edits (a single edit changes at most ``n`` shingles). Expression-only."""
+    hashes = F.transform(char_ngrams(c, n), lambda s: F.md5(s))
+    return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, keep))
+
+
+def add_text_features(col: str = "text"):
+    """Operator: append the full text-analysis feature set (language guess,
+    quality features + score, token count, fingerprint) to a documents
+    DataFrame — one narrow projection pass."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        feats = quality_features(col)
+        return df.withColumns(
+            {
+                **feats,
+                "lang_guess": language_id(col),
+                "quality": quality_score(col),
+                "fingerprint": fingerprint(col),
+            }
+        )
+
+    return _op

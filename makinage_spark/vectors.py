@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns (``array<float>``) — north-star
+extension (BASELINE.json).
+
+- :func:`cosine` / :func:`dot` / :func:`l2norm` — JVM higher-order-function
+  expressions (``zip_with`` + ``aggregate``), no Python in the hot path.
+- :func:`brute_force_topk` — exact top-k by cosine: narrow map + TakeOrdered
+  (per-partition heap, driver merges k·partitions candidates — never a full
+  sort). The correctness baseline.
+- :func:`hyperplane_bucket` — random-hyperplane LSH bucketing: the scale path.
+  Buckets shrink candidate sets by ~2^planes; probing a query = broadcast of
+  one bucket id.
+- :func:`ivf_centroids` / :func:`ivf_topk` — IVF: coarse quantization by
+  sampled k-means centroids (driver-side on a bounded sample), search probes
+  only the ``nprobe`` nearest cells. At 100 TB the index DataFrame is written
+  partitioned by cell so a probe is a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k nearest rows to ``query_vec``. The query vector is a literal
+    array (broadcast by value into the plan); scoring is a narrow projection;
+    ``orderBy().limit(k)`` plans TakeOrderedAndProject. Deterministic tie-break
+    on ``id_col``."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    score = cosine(v, q) if metric == "cosine" else -F.sqrt(
+        F.aggregate(F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, d: acc + d)
+    )
+    return (
+        df.select(F.col(id_col), F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((planes, dim)).tolist()
+
+
+def hyperplane_bucket(
+    vec_col: str = "embedding",
+    dim: int = 16,
+    planes: int = 8,
+    seed: int = 42,
+) -> Column:
+    """Random-hyperplane LSH bucket id (SimHash for vectors): bit i = sign of
+    ``v·h_i``. Deterministic given ``seed``; the hyperplanes are plan literals,
+    so executors never fetch anything. Cosine-similar vectors collide with
+    probability ``1 - θ/π`` per plane."""
+    hps = _hyperplanes(dim, planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for i, h in enumerate(hps):
+        hcol = F.array(*[F.lit(float(x)) for x in h])
+        bit = (dot(v, hcol) > 0).cast("bigint")
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket. Recall is tuned by
+    ``planes`` (fewer planes → bigger buckets → higher recall); multi-probe =
+    union over neighboring buckets (flip one bit) — left to the caller."""
+    dim = len(query_vec)
+    bucket_col = hyperplane_bucket(vec_col, dim, planes, seed)
+    hps = _hyperplanes(dim, planes, seed)
+    qb = 0
+    for i, h in enumerate(hps):
+        if float(np.dot(query_vec, h)) > 0:
+            qb |= 1 << i
+    return brute_force_topk(
+        df.filter(bucket_col == F.lit(qb)), query_vec, k, vec_col, id_col
+    )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 10000,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with Lloyd's k-means on a bounded sample.
+
+    The sample (≤ ``sample_rows``) is the only data that reaches the driver;
+    at 100 TB that is a fixed-size random sample via ``df.sample``, not a
+    collect of the table. Returns plain lists (plan literals for
+    :func:`ivf_assign`)."""
+    n = df.count()
+    frac = min(1.0, sample_rows / max(n, 1))
+    sample = np.array(
+        df.sample(fraction=frac, seed=seed).select(vec_col).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents.tolist()
+
+
+def ivf_assign(centroids: list[list[float]], vec_col: str = "embedding") -> Column:
+    """Cell id = argmin_c ||v - centroid_c||² as a pure expression (the
+    ``-2·v·c + ||c||²`` form, since ||v||² is constant per row)."""
+    v = F.col(vec_col).cast("array<double>")
+    best_cell = F.lit(0)
+    best_score = None
+    for i, c in enumerate(centroids):
+        ccol = F.array(*[F.lit(float(x)) for x in c])
+        c2 = float(np.dot(c, c))
+        score = F.lit(c2) - F.lit(2.0) * dot(v, ccol)
+        if best_score is None:
+            best_score = score
+        else:
+            better = score < best_score
+            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
+            best_score = F.when(better, score).otherwise(best_score)
+    return best_cell
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only rows whose cell is among the ``nprobe`` cells
+    nearest the query. When the index table is partitioned by cell id, the
+    filter is partition-pruned — the scan touches nprobe/n_cells of the data."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+    cell = ivf_assign(centroids, vec_col)
+    return brute_force_topk(
+        df.filter(cell.isin(*probe)), query_vec, k, vec_col, id_col
+    )

@@ -1,0 +1,112 @@
+"""Golden tests for the rs.ops-equivalent surface, mirroring the reference's
+list-in/list-out style (SURVEY §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from makinage_spark import ops, pipe
+
+
+def rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_map_multiply_golden(spark):
+    # config.sample.yml + makinage/sample/processor.py:6-14: "5" ×3 → "15"
+    df = spark.createDataFrame([("5",), ("7",)], "value string")
+    out = pipe(df, ops.map(value=(F.col("value").cast("long") * 3).cast("string")))
+    assert rows(out, "value") == [("15",), ("21",)]
+
+
+def test_map_pandas_escape_hatch(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+
+    def double(batches):
+        for pdf in batches:
+            pdf["y"] = pdf["x"] * 2
+            yield pdf[["x", "y"]]
+
+    out = pipe(df, ops.map(_fn=double, _schema="x long, y long"))
+    assert rows(out, "x", "y") == [(1, 2), (2, 4)]
+
+
+def test_filter(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x long")
+    assert rows(pipe(df, ops.filter(F.col("x") > 1)), "x") == [(2,), (3,)]
+    assert rows(pipe(df, ops.filter("x % 2 = 1")), "x") == [(1,), (3,)]
+
+
+def test_flat_map_explode(spark):
+    df = spark.createDataFrame([("a b",), ("c",)], "text string")
+    out = pipe(df, ops.flat_map(F.split("text", " "), alias="word"))
+    assert rows(out, "word") == [("a",), ("b",), ("c",)]
+
+
+def test_scan_running(spark):
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double")
+    out = pipe(df, ops.scan(by=["k"], order_by=["v"], total=F.sum("v"), n=F.count("*")))
+    assert rows(out, "k", "total", "n") == [(1, 10.0, 1), (1, 30.0, 2), (2, 5.0, 1)]
+
+
+def test_distinct(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k long, v string")
+    assert len(pipe(df, ops.distinct("k")).collect()) == 2
+
+
+def test_take_skip_first_last(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 6)], "x long")
+    assert rows(pipe(df, ops.take(2, order_by=["x"])), "x") == [(1,), (2,)]
+    assert rows(pipe(df, ops.skip(3, order_by=["x"])), "x") == [(4,), (5,)]
+    assert rows(pipe(df, ops.first(order_by=["x"])), "x") == [(1,)]
+    assert rows(pipe(df, ops.last(order_by=["x"])), "x") == [(5,)]
+
+
+def test_take_per_key(spark):
+    df = spark.createDataFrame([(1, 3), (1, 1), (2, 9), (2, 4)], "k long, v long")
+    out = pipe(df, ops.take(1, order_by=[F.col("v").desc()], by=["k"]))
+    assert rows(out, "k", "v") == [(1, 3), (2, 9)]
+
+
+def test_group_by_aggs(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], "k long, v double")
+    out = pipe(df, ops.group_by(["k"], aggs={"s": F.sum("v"), "m": F.avg("v")}))
+    assert rows(out, "k", "s", "m") == [(1, 6.0, 3.0), (2, 6.0, 6.0)]
+
+
+def test_group_by_apply(spark):
+    df = spark.createDataFrame([(1, 2.0), (1, 4.0), (2, 6.0)], "k long, v double")
+
+    def center(pdf):
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    out = pipe(df, ops.group_by(["k"], apply_fn=center, apply_schema="k long, v double"))
+    assert rows(out, "k", "v") == [(1, -1.0), (1, 1.0), (2, 0.0)]
+
+
+def test_tee_map(spark):
+    df = spark.createDataFrame([(2.0,)], "x double")
+    out = pipe(df, ops.tee_map(double="x * 2", square="x * x"))
+    assert rows(out, "double", "square") == [(4.0, 4.0)]
+
+
+def test_multiplex(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    out = pipe(df, ops.multiplex(F.when(F.col("x") % 2 == 0, "even").otherwise("odd")))
+    assert rows(out, "x", "stream") == [(1, "odd"), (2, "even")]
+
+
+def test_with_latest_from_control(spark):
+    # makinage/serve/serve.py:128-137 — enrich data with the single latest
+    # control value (no event time → terminal value join).
+    data = spark.createDataFrame([(1,), (2,)], "x long")
+    control = spark.createDataFrame([(3,)], "multiply long")
+    out = pipe(data, ops.with_latest_from(control))
+    assert rows(out, "x", "multiply") == [(1, 3), (2, 3)]
+
+
+def test_assert_passes_and_fails(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x long")
+    assert pipe(df, ops.assert_(F.col("x") > 0)).count() == 2
+    with pytest.raises(AssertionError):
+        pipe(df, ops.assert_(F.col("x") > 1)).count()

@@ -1,0 +1,62 @@
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from makinage_spark import joins, ops, pipe
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_backward(spark):
+    # with_latest_from semantics with event time (makinage/serve/serve.py:140-141)
+    left = spark.createDataFrame(
+        [(1, ts(1)), (1, ts(2)), (1, ts(3)), (2, ts(2))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0, 30), "m0"), (1, ts(2), "m1"), (2, ts(5), "m9")],
+        "k long, rt timestamp, model string",
+    )
+    out = joins.asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    got = sorted((r.k, r.t.hour, r.model) for r in out.collect())
+    # k=2 at 02:00 has no right row at/before it → null
+    assert got == [(1, 1, "m0"), (1, 2, "m1"), (1, 3, "m1"), (2, 2, None)]
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, ts(5))], "k long, t timestamp")
+    right = spark.createDataFrame([(1, ts(1), "old")], "k long, rt timestamp, v string")
+    out = joins.asof_join(left, right, on=["k"], left_ts="t", right_ts="rt",
+                          tolerance="1 hour")
+    assert out.collect()[0]["v"] is None
+
+
+def test_asof_join_collision_rename(spark):
+    left = spark.createDataFrame([(1, ts(2), "L")], "k long, t timestamp, v string")
+    right = spark.createDataFrame([(1, ts(1), "R")], "k long, rt timestamp, v string")
+    out = joins.asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    row = out.collect()[0]
+    assert row["v"] == "L" and row["v_r"] == "R"
+
+
+def test_with_latest_from_asof(spark):
+    left = spark.createDataFrame([(1, ts(2))], "k long, t timestamp")
+    right = spark.createDataFrame([(1, ts(1), 7)], "k long, rt timestamp, cfg long")
+    out = pipe(left, ops.with_latest_from(right, on=["k"], left_ts="t", right_ts="rt"))
+    assert out.collect()[0]["cfg"] == 7
+
+
+def test_enrich_broadcast(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "one")], "k long, name string")
+    out = joins.enrich(fact, dim, on="k")
+    got = sorted((r.k, r.name) for r in out.collect())
+    assert got == [(1, "one"), (2, None)]
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_union(spark):
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(2,)], "x long")
+    assert sorted(r.x for r in joins.merge(a, b).collect()) == [1, 2]

@@ -1,0 +1,142 @@
+"""North-star extension operators: text analysis, dedup, similarity search,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from makinage_spark import dedup, multimodal, pipe, text, vectors
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog and it is fine for all"),
+    (2, "The quick brown fox jumps over the lazy dog and it is fine for all"),  # exact dup
+    (3, "The quick brown fox jumps over the lazy dog and it is fine for most"),  # near dup
+    (4, "Le chat est sur la table et il est content de la vie que les gens"),
+    (5, "completely different content about spark engines and distributed systems"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    out = docs.select("doc_id", text.token_count("text").alias("n"))
+    got = {r.doc_id: r.n for r in out.collect()}
+    assert got[1] == 15 and got[5] == 9
+
+
+def test_language_id(spark, docs):
+    out = docs.select("doc_id", text.language_id("text").alias("lang"))
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got[1] == "en" and got[4] == "fr"
+
+
+def test_quality_score_range(spark, docs):
+    out = docs.select(text.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([(1, "A  b C"), (2, "a b c")], "doc_id long, text string")
+    out = df.select(text.fingerprint("text").alias("fp")).collect()
+    assert out[0]["fp"] == out[1]["fp"]
+
+
+def test_exact_dedup(spark, docs):
+    out = dedup.exact_dedup(docs)
+    got = {r.doc_id: r.dup_count for r in out.collect()}
+    assert got[1] == 2 and 2 not in got  # doc 2 merged into doc 1
+    keep = dedup.exact_dedup_keep(docs)
+    assert sorted(r.doc_id for r in keep.collect()) == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8)
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got  # near dup collides in some band
+    assert (1, 5) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 5) not in got
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=4)
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    assert (1, 2) in got and (1, 3) in got
+    assert (1, 5) not in got
+
+
+def test_simhash_deterministic(spark, docs):
+    h1 = docs.select(dedup.simhash("text").alias("h")).collect()
+    h2 = docs.select(dedup.simhash("text").alias("h")).collect()
+    assert [r.h for r in h1] == [r.h for r in h2]
+
+
+EMB = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.99, 0.01, 0.0, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),
+    (4, [0.0, 0.0, 1.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(EMB, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(spark, emb):
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.95)
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    assert got == [(1, 2)]
+
+
+def test_brute_force_topk(spark, emb):
+    out = vectors.brute_force_topk(emb, [1.0, 0.0, 0.0, 0.0], k=2)
+    ids = [r.vec_id for r in out.collect()]
+    assert ids == [1, 2]
+
+
+def test_lsh_topk_contains_near(spark, emb):
+    out = vectors.lsh_topk(emb, [1.0, 0.0, 0.0, 0.0], k=4, planes=2)
+    ids = [r.vec_id for r in out.collect()]
+    assert 1 in ids
+
+
+def test_ivf(spark, emb):
+    cents = vectors.ivf_centroids(emb, n_cells=2, sample_rows=10, seed=1)
+    out = vectors.ivf_topk(emb, cents, [1.0, 0.0, 0.0, 0.0], k=1, nprobe=2)
+    assert out.collect()[0]["vec_id"] == 1
+
+
+def test_multimodal_decode_plumbing(spark):
+    assets = multimodal.synthetic_assets(spark, n=9)
+    feats = pipe(assets, multimodal.decode_features(fake=True))
+    got = feats.collect()
+    assert len(got) == 9
+    assert all(len(r.feature) == 8 for r in got)
+    # deterministic: same payload → same features
+    again = pipe(assets, multimodal.decode_features(fake=True)).collect()
+    assert got[0].feature == again[0].feature
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = multimodal.synthetic_assets(spark, n=3)
+    frames = pipe(assets, multimodal.sample_frames(every_n=16, max_frames=4))
+    got = frames.collect()
+    assert {r.asset_id for r in got} == {0, 1, 2}
+    assert all(0 <= r.frame_idx < 4 for r in got)
+
+
+def test_multimodal_real_decode_raises(spark):
+    assets = multimodal.synthetic_assets(spark, n=1)
+    with pytest.raises(Exception):
+        pipe(assets, multimodal.decode_features(fake=False)).collect()
