@@ -67,11 +67,15 @@ def minhash_signature(text_col: str, num_hashes: int = 16, ngram: int = 5) -> li
     in any engine with md5.
     """
     shingles = char_ngrams(text_col, ngram)
-    return [
-        F.array_min(F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        .alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+
+    def _salted_min(i: int) -> Column:
+        # closure factory: a default-arg lambda (s, i=i) would be read by
+        # pyspark as a 2-arg (element, index) lambda and bind i to the index
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        )
+
+    return [_salted_min(i).alias(f"mh{i}") for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,980 @@
+"""Query registry: every SURVEY §2 operator demonstrated as a (Spark query,
+DuckDB oracle SQL) pair over the driver testdata (TESTDATA.md tables).
+
+Driver contract (__spark_entry__.py): each entry in :data:`QUERIES` takes
+``(spark, sf_dir)`` and returns a DataFrame; :data:`ORACLES` holds equivalent
+ANSI SQL the driver runs in DuckDB; results are compared by row count + schema
++ order-insensitive value hash.
+
+Determinism rules used throughout (so hashes match bit-for-bit):
+
+- **Money sums**: every numeric testdata column is an exact 2-decimal double
+  (verified), so sums go through exact decimal accumulation —
+  ``SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6)))`` cast back to double — which both
+  engines compute exactly; no float-summation-order hazard, no final rounding.
+- **Averages** = exact decimal sum cast to double, divided by the count: one
+  IEEE division on identical operands.
+- **Timestamps** are formatted to strings (µs precision) — events.ts is
+  parquet timestamp[ns], which the two engines surface as different native
+  types.
+- **Top-k** always carries a unique tie-break key.
+- **Derived integers** are cast to bigint on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from makinage_spark import data, dedup, joins, ops, pipe, smath, text, vectors
+from makinage_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def dsum(c, scale: int = 6):
+    """Exact decimal sum of a ≤6-decimal double, returned as double."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.sum(F.round(col, scale).cast("decimal(28,6)")).cast("double")
+
+
+def DSUM(expr: str) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+
+
+def fmt_ts(c) -> F.Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return F.date_format(col, TS_FMT_SPARK)
+
+
+def FMT_TS(expr: str) -> str:
+    return f"strftime(CAST({expr} AS TIMESTAMP), '{TS_FMT_DUCK}')"
+
+
+TOKEN_RE_SQL = "[\\p{L}\\p{N}]+"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Core ops (SURVEY §2.2: map/filter/flat_map/scan/distinct/take/group_by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "map_project",
+    """
+    SELECT event_id, value * 3 AS tripled,
+           upper(event_type) AS event_type_uc
+    FROM events
+    """,
+)
+def q_map_project(spark, sf_dir):
+    """ops.map — per-record projection (rs.ops.map, makinage/sample/processor.py:10-12)."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        ops.map(tripled=F.col("value") * 3, event_type_uc=F.upper("event_type")),
+        ops.tee_map(event_id="event_id", tripled="tripled", event_type_uc="event_type_uc"),
+    )
+
+
+@register(
+    "filter_predicate",
+    """
+    SELECT event_id, user_id, value FROM events
+    WHERE event_type = 'click' AND value > 250
+    """,
+)
+def q_filter(spark, sf_dir):
+    """ops.filter — predicate pushed to the parquet scan (rs.ops.filter)."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        ops.filter((F.col("event_type") == "click") & (F.col("value") > 250)),
+        ops.tee_map(event_id="event_id", user_id="user_id", value="value"),
+    )
+
+
+@register(
+    "flat_map_tokens",
+    f"""
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS token
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_flat_map(spark, sf_dir):
+    """ops.flat_map — 1→N expansion (rs.ops.flat_map, makinage/serve/serve.py:144)."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return pipe(
+        docs,
+        ops.flat_map(text.tokens(F.lower(F.col("text"))), alias="token"),
+        ops.tee_map(doc_id="doc_id", token="token"),
+    )
+
+
+@register(
+    "scan_running_sum",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total
+    FROM events
+    """,
+)
+def q_scan(spark, sf_dir):
+    """ops.scan — running fold per key (rs.ops.scan, makinage/serve/serve.py:88-101)."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        ops.scan(
+            by=["user_id"],
+            order_by=["ts", "event_id"],
+            running_total=F.sum(F.col("value").cast("decimal(18,2)")),
+        ),
+        ops.map(running_total=F.col("running_total").cast("double")),
+        ops.tee_map(event_id="event_id", running_total="running_total"),
+    )
+
+
+@register("distinct_event_types", "SELECT DISTINCT event_type FROM events")
+def q_distinct(spark, sf_dir):
+    """ops.distinct (rs.ops.distinct)."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(events.select("event_type"), ops.distinct())
+
+
+@register(
+    "take_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_take(spark, sf_dir):
+    """ops.take — global top-k (TakeOrderedAndProject, never a full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return pipe(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        ops.take(10, order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")]),
+    )
+
+
+@register(
+    "group_by_agg",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {DSUM('value')} AS total,
+           {DSUM('value')} / COUNT(*) AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_group_agg(spark, sf_dir):
+    """ops.group_by + rs.math aggregates (README.rst:66) — partial agg map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        ops.group_by(
+            ["event_type"],
+            aggs={
+                "n": F.count(F.lit(1)),
+                "total": dsum("value"),
+                "avg_value": dsum("value") / F.count(F.lit(1)),
+                "min_value": F.min("value"),
+                "max_value": F.max("value"),
+            },
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows: count-based roll, time windows, sessions (SURVEY §2.2 rs.data)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "roll_count_windows",
+    """
+    WITH numbered AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    )
+    SELECT user_id, rn // 10 AS window_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / 10 AS mean_value
+    FROM numbered
+    GROUP BY user_id, rn // 10
+    HAVING COUNT(*) = 10
+    """,
+)
+def q_roll(spark, sf_dir):
+    """rs.data.roll(10, 10) — tumbling count windows per user (README.rst:63-90)."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        data.roll(
+            10,
+            10,
+            aggs={
+                "mean_value": F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.lit(10)
+            },
+            order_by=["ts", "event_id"],
+            by=["user_id"],
+        ),
+    )
+
+
+@register(
+    "time_window_hourly",
+    f"""
+    SELECT event_type,
+           {FMT_TS("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+           COUNT(*) AS n, {DSUM('value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_window(spark, sf_dir):
+    """Tumbling time window (rxsci time windows → F.window)."""
+    events = load_table(spark, sf_dir, "events")
+    out = pipe(
+        events,
+        data.time_window(
+            "ts", "1 hour", aggs={"n": F.count(F.lit(1)), "total": dsum("value")},
+            by=["event_type"],
+        ),
+    )
+    return out.select(
+        "event_type", fmt_ts("window_start").alias("window_start"), "n", "total"
+    )
+
+
+@register(
+    "time_window_sliding",
+    """
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) t FROM events),
+    w AS (
+      SELECT make_timestamp((epoch_ms(t) // 1800000) * 1800000 * 1000) AS ws FROM e
+      UNION ALL
+      SELECT make_timestamp((epoch_ms(t) // 1800000) * 1800000 * 1000)
+             - INTERVAL 30 MINUTE AS ws FROM e
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start, COUNT(*) AS n
+    FROM w GROUP BY ws
+    """,
+)
+def q_sliding_window(spark, sf_dir):
+    """Sliding time window 1h/30m — each event lands in 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    out = pipe(
+        events,
+        data.time_window("ts", "1 hour", slide="30 minutes",
+                         aggs={"n": F.count(F.lit(1))}),
+    )
+    return out.select(fmt_ts("window_start").alias("window_start"), "n")
+
+
+@register(
+    "sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                   OR CAST(ts AS TIMESTAMP) >
+                      lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                      + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, t,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           strftime(MIN(t), '{TS_FMT_DUCK}') AS session_start,
+           strftime(MAX(t), '{TS_FMT_DUCK}') AS session_end,
+           COUNT(*) AS n
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """rs.data.split — sessionization by 30-minute gap (SURVEY §2.2)."""
+    events = load_table(spark, sf_dir, "events")
+    out = pipe(
+        events,
+        data.split("ts", "30 minutes", by=["user_id"], aggs={"n": F.count(F.lit(1))}),
+    )
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        fmt_ts("session_start").alias("session_start"),
+        fmt_ts("session_end").alias("session_end"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream combination: as-of enrich (with_latest_from), merge
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_enrich",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    SELECT ev.event_id, clicks.click_value
+    FROM ev ASOF LEFT JOIN clicks
+      ON ev.user_id = clicks.user_id AND ev.t >= clicks.cts
+    """,
+)
+def q_asof(spark, sf_dir):
+    """with_latest_from as an event-time as-of join (makinage/serve/serve.py:140-141):
+    each event enriched with the user's most recent click value."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumnRenamed("ts", "cts")
+    )
+    out = joins.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_value"],
+    )
+    return out.select("event_id", "click_value")
+
+
+@register(
+    "merge_streams",
+    """
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_merge(spark, sf_dir):
+    """ops.merge_all — unordered stream merge = UNION ALL (makinage/operator.py:145-152)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter("event_type = 'click'").select("event_id", "event_type")
+    purchases = events.filter("event_type = 'purchase'").select("event_id", "event_type")
+    return joins.merge(clicks, purchases)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.3: joins, top-k, rollup/cube, set ops)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM('l_quantity')} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_base_price,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {DSUM('l_quantity')} / COUNT(*) AS avg_qty,
+           {DSUM('l_extendedprice')} / COUNT(*) AS avg_price,
+           {DSUM('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1(spark, sf_dir):
+    """TPC-H Q1 shape — the flagship scan→filter→agg; filter pushed to parquet,
+    partial aggregation map-side, one shuffle on a 2-value key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / n).alias("avg_qty"),
+            (dsum("l_extendedprice") / n).alias("avg_price"),
+            (dsum("l_discount") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS o_orderkey,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_q3(spark, sf_dir):
+    """TPC-H Q3 shape — selective joins + top-k; customer dim broadcast."""
+    c = load_table(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = l.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        l.l_orderkey == o.o_orderkey,
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    f"""
+    SELECT n.n_name,
+           {DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_q5(spark, sf_dir):
+    """TPC-H Q5 shape — star joins with broadcast dims, agg on nation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    joined = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(dsum(revenue).alias("revenue"))
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_semi(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_anti(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "rollup_sales",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {DSUM('o_totalprice')} AS total
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark, sf_dir):
+    """Grouping-set rollup (free relational surface the reference lacks, SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "cube_sales",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {DSUM('o_totalprice')} AS total
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_intersect(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter("event_type = 'click'").select("user_id")
+    b = events.filter("event_type = 'purchase'").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_except(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    a = events.filter("event_type = 'view'").select("user_id")
+    b = events.filter("event_type = 'purchase'").select("user_id")
+    return a.subtract(b)
+
+
+@register(
+    "window_rank_top3",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_rank(spark, sf_dir):
+    """Per-key top-k via ranking window (analytic functions, SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int"))
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_orderkey,
+           lag(o_totalprice)  OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           lead(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+)
+def q_lag_lead(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.3: string/date/math/json via F.*)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_date",
+    """
+    SELECT o_orderkey,
+           upper(o_orderstatus) AS status_uc,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_month,
+           substr(o_orderpriority, 1, 3) AS prio3,
+           CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def q_scalar(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey < 500")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.substring("o_orderpriority", 1, 3).alias("prio3"),
+        F.length("o_orderpriority").cast("bigint").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+    )
+
+
+@register(
+    "scalar_json",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_json(spark, sf_dir):
+    """JSON scalar surface (the reference's dict payloads, makinage/encoding/json.py)."""
+    events = load_table(spark, sf_dir, "events").filter("event_id < 2000")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributions (rs.math.dist — quantiles/histogram, README.rst:186)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_exact",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem
+    """,
+)
+def q_quantiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@register(
+    "histogram_values",
+    """
+    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    return pipe(events, smath.histogram("value", 50.0)).select(
+        F.col("bucket").cast("bigint"), "n"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+    )
+
+
+def _lang_sql() -> str:
+    counts = {
+        lang: (
+            f"len(list_intersect(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), "
+            f"{[w for w in words]}))"
+        )
+        for lang, words in text.STOPWORDS.items()
+    }
+    en, fr, de, es = counts["en"], counts["fr"], counts["de"], counts["es"]
+    return f"""
+    SELECT doc_id,
+      CASE
+        WHEN {en} >= {fr} AND {en} >= {de} AND {en} >= {es} AND {en} > 0 THEN 'en'
+        WHEN {fr} >= {de} AND {fr} >= {es} AND {fr} > 0 THEN 'fr'
+        WHEN {de} >= {es} AND {de} > 0 THEN 'de'
+        WHEN {es} > 0 THEN 'es'
+        ELSE 'und'
+      END AS lang_guess
+    FROM documents
+    """
+
+
+@register("text_language_id", _lang_sql())
+def q_lang(spark, sf_dir):
+    """Stopword language-ID heuristic (integer-exact argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.language_id("text").alias("lang_guess"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return docs.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup (north-star extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(text.fingerprint("text").alias("fp"), "doc_id")
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _minhash_sql(num_hashes: int = 4, ngram: int = 5) -> str:
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    shingles = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(1, length({norm}) - {ngram - 1})), "
+        f"i -> substr({norm}, i, {ngram})))"
+    )
+    mins = ", ".join(
+        f"list_aggregate(list_transform({shingles}, s -> md5(concat('{i}|', s))), 'min') AS mh{i}"
+        for i in range(num_hashes)
+    )
+    return f"SELECT doc_id, {mins} FROM documents WHERE doc_id < 100"
+
+
+@register("dedup_minhash_signature", _minhash_sql())
+def q_minhash_sig(spark, sf_dir):
+    """MinHash signature parity (4 salted md5 minima over char 5-gram shingles)."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return docs.select("doc_id", *dedup.minhash_signature("text", num_hashes=4))
+
+
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS ts
+      FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest(ts) AS sh FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.a, i.b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+    FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.8
+    """,
+)
+def q_jaccard(spark, sf_dir):
+    """Exact 1-gram (token-set) Jaccard pairs via inverted index — integer-exact
+    output columns; the threshold compares identical doubles on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias("sh"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .filter(F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter")) >= 0.8)
+        .select("a", "b", "inter", "sz_a", "sz_b")
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    toks = f"list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))"
+    hexes = f"list_transform({toks}, t -> substr(md5(t), 1, {bits // 4}))"
+    terms = []
+    for j in range(bits):
+        digit = j // 4
+        bitpos = 3 - (j % 4)
+        ones = (
+            f"list_sum(list_transform(hx, "
+            f"h -> ((strpos('0123456789abcdef', substr(h, {digit + 1}, 1)) - 1) >> {bitpos}) % 2))"
+        )
+        terms.append(f"(CASE WHEN {ones} * 2 > len(hx) THEN CAST(1 AS BIGINT) ELSE 0 END << {j})")
+    total = " + ".join(terms)
+    return f"""
+    WITH h AS (SELECT doc_id, {hexes} AS hx FROM documents WHERE doc_id < 100)
+    SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM h
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def q_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north-star extensions)
+# ---------------------------------------------------------------------------
+
+COSINE_SQL = (
+    "list_dot_product(a.embedding, b.embedding) / "
+    "(sqrt(list_dot_product(a.embedding, a.embedding)) * "
+    "sqrt(list_dot_product(b.embedding, b.embedding)))"
+)
+
+
+@register(
+    "embedding_topk",
+    f"""
+    SELECT b.vec_id, round({COSINE_SQL}, 4) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+    ORDER BY {COSINE_SQL} DESC, b.vec_id LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the ANN baseline)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
+    joined = emb.crossJoin(F.broadcast(q))
+    score = vectors.cosine(
+        F.col("embedding").cast("array<double>"), F.col("qv").cast("array<double>")
+    )
+    return (
+        joined.select("vec_id", score.alias("raw"))
+        .orderBy(F.col("raw").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("raw", 4).alias("score"))
+    )
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    SELECT a.vec_id AS a, b.vec_id AS b, round({COSINE_SQL}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {COSINE_SQL} >= 0.9
+    """,
+)
+def q_emb_neardup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.9)
+
+
+# rows-only entries (no SQL-expressible oracle): LSH/IVF ANN paths — the
+# driver records a weaker rows-only check for these (driver contract).
+
+
+@register("embedding_lsh_topk", None)
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path; approximate → no exact SQL oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    return vectors.lsh_topk(emb, qv, k=10, planes=4)
+
+
+@register("dedup_minhash_pairs", None)
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH banding candidate pairs (probabilistic → rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)

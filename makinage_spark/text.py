@@ -73,29 +73,29 @@ def word_shingles(c: ColumnLike, n: int = 3) -> Column:
     )
 
 
-def language_id(c: ColumnLike, min_score: float = 0.0) -> Column:
-    """Heuristic language ID: fraction of tokens that are stopwords of each
-    candidate language; argmax wins, ``'und'`` (undetermined) if every score is
-    ``<= min_score``. Deterministic tie-break: language list order en,fr,de,es.
+def language_id(c: ColumnLike) -> Column:
+    """Heuristic language ID: argmax over the count of *distinct* stopwords of
+    each candidate language present in the token set; ``'und'`` (undetermined)
+    when no language matches at all. Tie-break priority: en > fr > de > es.
 
-    This is the stopword variant of n-gram language ID — pure expressions, so
-    it runs at scan speed; swap in a real model via a pandas UDF when quality
-    matters more than throughput.
+    Deliberately integer-exact (counts share the same denominator, so argmax
+    over counts == argmax over ratios) — deterministic and reproducible
+    bit-for-bit by any SQL engine. Swap in a real model via a pandas UDF when
+    quality matters more than throughput.
     """
     toks = tokens(F.lower(_col(c)))
-    n = F.greatest(F.size(toks), F.lit(1))
-    scores = {
-        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))) / n
+    n = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    # argmax with fixed language order: strictly-greater comparison in order.
-    best_lang = F.lit("und")
-    best_score = F.lit(float(min_score))
-    for lang in ["es", "de", "fr", "en"]:  # reversed priority: en wins ties
-        s = scores[lang]
-        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(s > best_score, s).otherwise(best_score)
-    return best_lang
+    return (
+        F.when((n["en"] >= n["fr"]) & (n["en"] >= n["de"]) & (n["en"] >= n["es"])
+               & (n["en"] > 0), F.lit("en"))
+        .when((n["fr"] >= n["de"]) & (n["fr"] >= n["es"]) & (n["fr"] > 0), F.lit("fr"))
+        .when((n["de"] >= n["es"]) & (n["de"] > 0), F.lit("de"))
+        .when(n["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
 
 
 def quality_features(c: ColumnLike) -> dict[str, Column]:

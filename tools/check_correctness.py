@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet tables, and compare row count + sorted-column
+value multiset.
+
+Usage: PYTHONPATH=/root/repo python tools/check_correctness.py [query ...]
+Env:   CHECK_SF_DIR (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+import makinage_spark as mk  # noqa: E402
+
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def df_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter("|".join(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    only = set(sys.argv[1:])
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    spark = mk.get_spark(
+        app_name="check_correctness",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]",
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"~ {name}: rows-only check, {len(srows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            if len(srows) == 0:
+                print(f"  WARNING: 0 rows from rows-only query")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sm, dm = df_multiset(scols, srows), df_multiset(dcols, drows)
+            if sm != dm:
+                extra_s = list((sm - dm).items())[:3]
+                extra_d = list((dm - sm).items())[:3]
+                problems.append(f"values spark-only={extra_s} duck-only={extra_d}")
+        if problems:
+            failures.append(name)
+            print(f"✗ {name}: " + "; ".join(problems))
+        else:
+            print(f"✓ {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print()
+    if failures:
+        print(f"FAILED: {len(failures)} → {failures}")
+        sys.exit(1)
+    print("ALL MATCH")
+
+
+if __name__ == "__main__":
+    main()
