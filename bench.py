@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Execution is forced with the noop datasource writer — full JVM-side execution
+of every operator, zero row-serialization overhead to Python (so the timing
+measures the engine, not the driver collect path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import makinage_spark as mk
+from makinage_spark.queries import QUERIES
+
+#: Headline queries: the scan/join/agg/window/dedup paths that scale with SF,
+#: plus the fixed-size extension operators (documents/embeddings are 500 rows
+#: at every SF — they measure operator overhead, not data scale).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "group_by_agg",
+    "scan_running_sum",
+    "roll_count_windows",
+    "sessionize",
+    "asof_enrich",
+    "window_rank_top3",
+    "take_topk",
+    "time_window_hourly",
+    "histogram_values",
+    "dedup_exact",
+    "text_language_id",
+    "dedup_minhash_pairs",
+    "embedding_topk",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = mk.get_spark(
+        app_name="makinage_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/JIT + parquet footer caches, not counted
+    QUERIES["take_topk"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

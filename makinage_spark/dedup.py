@@ -56,26 +56,105 @@ def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text_col: str, num_hashes: int = 16, ngram: int = 5) -> list[Column]:
-    """MinHash signature as ``num_hashes`` salted-md5 minima over character
-    n-gram shingles.
+#: Mersenne prime 2^31-1: modulus of the universal hash family.
+MINHASH_PRIME = 2_147_483_647
 
-    Classic MinHash uses k universal-hash permutations; salting one md5 with k
-    seeds is the standard equivalent (each salt induces an independent
-    pseudo-permutation of the shingle space). String minima of md5 hex are
-    order-isomorphic to integer minima of the 128-bit hash — and reproducible
-    in any engine with md5.
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for the affine hash family
+    ``h_i(x) = (a_i·x + b_i) mod p``. a < 2^20 keeps a·x < 2^52 (no int64
+    overflow for 32-bit shingle hashes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, 1 << 20)), int(rng.integers(0, MINHASH_PRIME)))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingle_hashes(text_col: str, ngram: int = 5) -> Column:
+    """32-bit integer hash per distinct character n-gram shingle — ONE md5 per
+    shingle (first 8 hex digits), shared by every minhash function.
+    Cross-engine reproducible: DuckDB ``CAST('0x'||substr(md5(s),1,8) AS BIGINT)``."""
+    return F.transform(
+        char_ngrams(text_col, ngram),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def minhash_array(hashes: Column | str, num_hashes: int = 16) -> Column:
+    """MinHash signature as ONE array-valued expression: a single fold over the
+    shingle-hash set carrying all ``num_hashes`` running minima
+    (``acc[i] = min(acc[i], (a_i·h + b_i) mod p)``).
+
+    Single-expression on purpose: the shingle/md5 source array is referenced
+    exactly once, so however Catalyst collapses projections it is evaluated
+    once per row — the naive "one column per hash function" formulation gets
+    its source re-inlined k times by CollapseProject (k× the md5 work).
     """
-    shingles = char_ngrams(text_col, ngram)
+    h = F.col(hashes) if isinstance(hashes, str) else hashes
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in minhash_params(num_hashes)
+        ]
+    )
+    init = F.array_repeat(F.lit(MINHASH_PRIME).cast("bigint"), num_hashes)
+    return F.aggregate(
+        h,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, params, lambda m, p: F.least(m, (p["a"] * x + p["b"]) % F.lit(MINHASH_PRIME))
+        ),
+    )
 
-    def _salted_min(i: int) -> Column:
-        # closure factory: a default-arg lambda (s, i=i) would be read by
-        # pyspark as a 2-arg (element, index) lambda and bind i to the index
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        )
 
-    return [_salted_min(i).alias(f"mh{i}") for i in range(num_hashes)]
+def minhash_signature(text_col: str, num_hashes: int = 16, ngram: int = 5) -> list[Column]:
+    """MinHash signature as ``mh0..mhk`` columns. Convenience/oracle surface —
+    each column re-evaluates the fold, so for k minima over large corpora use
+    :func:`minhash_array` (one fold) as :func:`minhash_lsh_pairs` does."""
+    arr = minhash_array(shingle_hashes(text_col, ngram), num_hashes)
+    return [arr[i].alias(f"mh{i}") for i in range(num_hashes)]
+
+
+def minhash_from_hashes(hashes: Column | str, num_hashes: int = 16) -> list[Column]:
+    """Per-column minhash minima over a precomputed shingle-hash array."""
+    arr = minhash_array(hashes, num_hashes)
+    return [arr[i].alias(f"mh{i}") for i in range(num_hashes)]
+
+
+def minhash_signature_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    ngram: int = 5,
+) -> DataFrame:
+    """Signature table ``(id, mh0..mhk)`` — the throughput formulation.
+
+    ``explode(shingle hashes) → groupBy(id).agg(k × min(affine))``: everything
+    is whole-stage-codegen'd JVM expressions with map-side partial minima, so
+    per-shingle cost is k fused arithmetic ops, not k interpreted lambda
+    evaluations (the higher-order-function fold in :func:`minhash_array` is
+    ~50× slower per element — kept only for single-expression contexts).
+    The pre-explode repartition uses an explicit partition count: AQE would
+    coalesce a size-based repartition of a small-file corpus back to one task,
+    serializing the md5 pass. Documents with no shingles drop out (they cannot
+    be near-duplicates of anything).
+    """
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    ex = (
+        df.select(F.col(id_col), F.col(text_col))
+        .repartition(parts, F.col(id_col))
+        .select(F.col(id_col), F.explode(shingle_hashes(text_col, ngram)).alias("__h"))
+    )
+    return ex.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    )
 
 
 def minhash_lsh_pairs(
@@ -101,21 +180,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    sig = df.select(F.col(id_col), *minhash_signature(text_col, num_hashes, ngram))
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
-        .alias(f"band{b}")
+    sig = minhash_signature_df(df, text_col, id_col, num_hashes, ngram)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                      for r in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, *band_cols)
-    # explode bands → (id, band_idx, bucket); self-join inside buckets
-    pairs = None
-    stacked = banded.select(
-        id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket"))
-                      for b in range(bands)])
-        ).alias("bb"),
+    stacked = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     left = stacked.alias("l")
     right = stacked.alias("r")

@@ -40,14 +40,19 @@ TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
 
 
 def dsum(c, scale: int = 6):
-    """Exact decimal sum of a ≤6-decimal double, returned as double."""
+    """Exact decimal sum of a ≤6-decimal double, returned as double.
+
+    Per-row cast stays within decimal(18,6) — Spark's Decimal64 fast path
+    (long-backed) — while the sum accumulator widens to decimal(28,6)
+    automatically, so values are exact up to ~10^12·10^6 and the hot loop
+    never touches Int128/BigDecimal."""
     col = F.col(c) if isinstance(c, str) else c
-    return F.sum(F.round(col, scale).cast("decimal(28,6)")).cast("double")
+    return F.sum(F.round(col, scale).cast("decimal(18,6)")).cast("double")
 
 
 def DSUM(expr: str) -> str:
     """DuckDB twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+    return f"CAST(SUM(CAST(ROUND({expr}, 6) AS DECIMAL(18,6))) AS DOUBLE)"
 
 
 def fmt_ts(c) -> F.Column:
@@ -830,18 +835,28 @@ def _minhash_sql(num_hashes: int = 4, ngram: int = 5) -> str:
         f"generate_series(1, greatest(1, length({norm}) - {ngram - 1})), "
         f"i -> substr({norm}, i, {ngram})))"
     )
-    mins = ", ".join(
-        f"list_aggregate(list_transform({shingles}, s -> md5(concat('{i}|', s))), 'min') AS mh{i}"
-        for i in range(num_hashes)
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))"
     )
-    return f"SELECT doc_id, {mins} FROM documents WHERE doc_id < 100"
+    p = dedup.MINHASH_PRIME
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    return (
+        f"WITH t AS (SELECT doc_id, {hashes} AS hs FROM documents WHERE doc_id < 100) "
+        f"SELECT doc_id, {mins} FROM t"
+    )
 
 
 @register("dedup_minhash_signature", _minhash_sql())
 def q_minhash_sig(spark, sf_dir):
-    """MinHash signature parity (4 salted md5 minima over char 5-gram shingles)."""
+    """MinHash signature parity: one 32-bit md5-derived hash per char-5-gram
+    shingle, 4 affine universal-hash minima."""
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
-    return docs.select("doc_id", *dedup.minhash_signature("text", num_hashes=4))
+    sh = docs.select("doc_id", dedup.shingle_hashes("text").alias("__h"))
+    return sh.select("doc_id", *dedup.minhash_from_hashes("__h", 4))
 
 
 @register(
