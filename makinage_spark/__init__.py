@@ -36,7 +36,7 @@ only where Spark's built-in operators cannot express the semantics, and then
 always as Arrow-batched pandas UDFs.
 """
 
-from makinage_spark import data, dedup, encodings, joins, multimodal, smath, sources, text, vectors
+from makinage_spark import data, dedup, encodings, joins, multimodal, plans, serve, smath, sources, streaming, text, vectors
 from makinage_spark import ops
 from makinage_spark.pipe import pipe
 from makinage_spark.session import get_spark
@@ -54,6 +54,9 @@ __all__ = [
     "vectors",
     "multimodal",
     "sources",
+    "plans",
+    "streaming",
+    "serve",
     "pipe",
     "get_spark",
     "__version__",

@@ -1,0 +1,133 @@
+"""Custom stateful streaming operators: count-based windows and running scan.
+
+These are the two reference semantics Spark has no built-in streaming
+equivalent for (SURVEY §7.2 "hardest piece"):
+
+- ``rs.data.roll`` count windows (window/stride in *records*, README.rst:63-68)
+  — time windows don't apply; needs a per-key row buffer.
+- ``rs.ops.scan`` running fold emitting *per record* (makinage/serve/
+  serve.py:88-101) — streaming aggregation emits per group, not per record.
+
+Both are implemented over ``applyInPandasWithState`` (Arrow-batched per-key
+state; RocksDB/HDFS-checkpointed, so state survives restarts — strictly
+stronger than the reference's in-memory stores, README.rst:80-83).
+
+Ordering: state is applied in arrival order per key (micro-batch order, then
+an intra-batch sort on the given order column) — the reference's own ordering
+model (per-Kafka-partition arrival order, SURVEY §1.3).
+
+Scale: state per key is O(window) for roll and O(1) for scan; keys partition
+across executors; skewed keys are bounded by the buffer size, not the stream
+length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+_AGGS = {
+    "mean": lambda xs: sum(xs) / len(xs),
+    "sum": lambda xs: float(sum(xs)),
+    "min": lambda xs: float(min(xs)),
+    "max": lambda xs: float(max(xs)),
+    "count": lambda xs: float(len(xs)),
+}
+
+
+def streaming_roll(
+    df,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    window: int,
+    stride: int,
+    agg: str = "mean",
+):
+    """Streaming ``rs.data.roll``: per-key count windows with stride, emitting
+    ``(key, window_id, agg_value)`` for each *completed* window (partial
+    windows never emit — README.rst:77-90 golden).
+
+    State = (buffer of values still needed by an open window, count of rows
+    consumed so far). A row enters, completed windows flush, and the buffer is
+    trimmed to the next un-emitted window start — so state size is bounded by
+    ``window + stride`` regardless of stream length.
+    """
+    if agg not in _AGGS:
+        raise ValueError(f"agg must be one of {sorted(_AGGS)}")
+    agg_fn = _AGGS[agg]
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buffer, seen, next_start = state.get
+            buffer = list(buffer)
+        else:
+            buffer, seen, next_start = [], 0, 0
+        rows = {"window_id": [], "agg_value": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for v in pdf[value_col]:
+                buffer.append(float(v))
+                seen += 1
+                # windows are [s, s+window) for s = k*stride; flush every
+                # window completed by this row
+                while next_start + window <= seen:
+                    lo = next_start - (seen - len(buffer))
+                    rows["window_id"].append(next_start // stride)
+                    rows["agg_value"].append(agg_fn(buffer[lo : lo + window]))
+                    next_start += stride
+                # trim: nothing before next_start is needed again
+                drop = next_start - (seen - len(buffer))
+                if drop > 0:
+                    buffer = buffer[drop:]
+        state.update((buffer, seen, next_start))
+        if rows["window_id"]:
+            out = pd.DataFrame(rows)
+            out[key_col] = key[0]
+            yield out[[key_col, "window_id", "agg_value"]]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=f"{key_col} long, window_id long, agg_value double",
+        stateStructType="buffer array<double>, seen long, next_start long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_scan(df, key_col: str, value_col: str, order_col: str):
+    """Streaming ``rs.ops.scan``: per-record running sum/count per key.
+    Emits every record with its accumulated state — the Rx scan contract —
+    with O(1) state per key."""
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            vals = pdf[value_col].astype(float)
+            run = vals.cumsum() + total
+            idx = pd.RangeIndex(n + 1, n + len(vals) + 1)
+            total = float(run.iloc[-1]) if len(run) else total
+            n += len(vals)
+            out = pd.DataFrame(
+                {
+                    key_col: key[0],
+                    order_col: pdf[order_col].values,
+                    "running_total": run.values,
+                    "running_count": idx,
+                }
+            )
+            yield out
+        state.update((total, n))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=(
+            f"{key_col} long, {order_col} long, running_total double, running_count long"
+        ),
+        stateStructType="total double, n long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -1,0 +1,316 @@
+"""Graph runner, Kafka option mapping, stateful streaming, and serve layer.
+
+Streaming tests use file sources + Trigger.AvailableNow + memory sinks — the
+deterministic replay harness the reference lacks (SURVEY §5)."""
+
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from makinage_spark import serve as mserve
+from makinage_spark.plans import compile_graph, import_function, run_graph
+from makinage_spark.sources import kafka as mkafka
+from makinage_spark.streaming import streaming_roll, streaming_scan, with_event_time
+
+
+def tmpdir():
+    d = f"/tmp/mk_test_{uuid.uuid4().hex[:8]}"
+    return d
+
+
+# ---------------------------------------------------------------------------
+# module:function loader (A30, makinage/util.py:5-23)
+# ---------------------------------------------------------------------------
+
+
+def test_import_function_with_kwargs():
+    fn = import_function("operator:mul")
+    assert fn(3, 4) == 12
+    add10 = import_function("operator:add")
+    assert add10(1, 2) == 3
+
+
+def test_import_function_errors():
+    with pytest.raises(ValueError):
+        import_function("no_colon")
+    with pytest.raises(ImportError):
+        import_function("definitely_missing_module:fn")
+    with pytest.raises(AttributeError):
+        import_function("operator:missing_fn")
+
+
+# ---------------------------------------------------------------------------
+# YAML graph (multiply sample golden, config.sample.yml + FIXTURES §1.1)
+# ---------------------------------------------------------------------------
+
+
+def test_graph_multiply_sample_batch(spark):
+    indir, outdir = tmpdir(), tmpdir()
+    spark.createDataFrame([("5",), ("7",)], "value string").write.parquet(indir)
+    config = {
+        "application": {"name": "sample", "source_type": "batch"},
+        "topics": [
+            {"name": "values", "format": "parquet", "path": indir, "schema": "value string"},
+            {"name": "multiplied_values", "format": "parquet", "path": outdir},
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    run_graph(spark, config)
+    got = sorted(r.value for r in spark.read.parquet(outdir).collect())
+    assert got == ["15", "21"]  # "5"×3 golden (config.sample.yml semantics)
+    shutil.rmtree(indir), shutil.rmtree(outdir)
+
+
+def test_graph_multiply_sample_streaming(spark):
+    indir, outdir = tmpdir(), tmpdir()
+    spark.createDataFrame([("5",)], "value string").write.parquet(indir)
+    config = {
+        "application": {"name": "sample", "source_type": "stream"},
+        "topics": [
+            {"name": "values", "format": "parquet", "path": indir, "schema": "value string"},
+            {"name": "multiplied_values", "format": "parquet", "path": outdir,
+             "checkpoint": outdir + "_ck"},
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    run_graph(spark, config)  # same YAML, streaming execution — A3 unification
+    got = [r.value for r in spark.read.parquet(outdir).collect()]
+    assert got == ["15"]
+    shutil.rmtree(indir), shutil.rmtree(outdir), shutil.rmtree(outdir + "_ck")
+
+
+def test_graph_validation_errors(spark):
+    with pytest.raises(ValueError, match="undeclared topic"):
+        compile_graph(spark, {
+            "application": {"source_type": "batch"},
+            "topics": [],
+            "operators": {"op": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "sources": ["ghost"], "sinks": ["out"]}},
+        })
+
+
+# ---------------------------------------------------------------------------
+# Kafka option mapping (A1/A2, makinage/operator.py:216-269) — broker-free
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_source_options():
+    opts = mkafka.source_options(
+        "broker:9092", ["t1", "t2"], start_from="beginning",
+        max_partition_fetch_bytes=1048576, max_offsets_per_trigger=10000,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "t1,t2",
+        "startingOffsets": "earliest",
+        "kafka.max.partition.fetch.bytes": "1048576",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    assert mkafka.source_options("b", ["t"])["startingOffsets"] == "latest"
+    with pytest.raises(ValueError):
+        mkafka.source_options("b", ["t"], start_from="nope")
+
+
+def test_kafka_sink_options_and_encode(spark):
+    opts = mkafka.sink_options("broker:9092", "out", max_request_size=32 * 1024 * 1024)
+    assert opts["kafka.max.request.size"] == str(32 * 1024 * 1024)
+    df = spark.createDataFrame([("k1", "hello")], "k string, value string")
+    encoded = mkafka.encode_value(df, "string", key="k")
+    row = encoded.collect()[0]
+    assert bytes(row.key) == b"k1" and bytes(row.value) == b"hello"
+
+
+def test_kafka_json_decode_roundtrip(spark):
+    raw = spark.createDataFrame(
+        [("key0", bytearray(b'{"x": 1.5}'), "t", 0, 0, None)],
+        "key string, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    out = mkafka.decode_value(raw, "json", "x double")
+    assert out.collect()[0]["x"] == 1.5
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming: count windows + running scan across micro-batches
+# ---------------------------------------------------------------------------
+
+
+def _stream_files(spark, rows_batches, schema, d):
+    """Write each batch as one file; maxFilesPerTrigger=1 → one micro-batch per
+    file, exercising cross-batch state."""
+    for i, rows in enumerate(rows_batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{d}/b{i}", mode="overwrite"
+        )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+
+
+def test_streaming_roll_readme_golden_across_batches(spark):
+    d = tmpdir()
+    schema = "user long, seq long, value double"
+    # [1..7] split across 3 micro-batches; roll(3,3)+mean → [2.0, 5.0]
+    stream = _stream_files(
+        spark,
+        [
+            [(1, 1, 1.0), (1, 2, 2.0)],
+            [(1, 3, 3.0), (1, 4, 4.0), (1, 5, 5.0)],
+            [(1, 6, 6.0), (1, 7, 7.0)],
+        ],
+        schema,
+        d,
+    )
+    out = streaming_roll(stream, "user", "value", "seq", window=3, stride=3, agg="mean")
+    name = f"roll_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", d + "_ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.window_id, r.agg_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == [(0, 2.0), (1, 5.0)]  # README.rst:77-90, partial [7] dropped
+    shutil.rmtree(d), shutil.rmtree(d + "_ck")
+
+
+def test_streaming_roll_sliding_stride(spark):
+    d = tmpdir()
+    schema = "user long, seq long, value double"
+    stream = _stream_files(
+        spark, [[(1, i, float(i)) for i in range(1, 6)]], schema, d
+    )
+    out = streaming_roll(stream, "user", "value", "seq", window=3, stride=1)
+    name = f"roll_{uuid.uuid4().hex[:6]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", d + "_ck").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.agg_value for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [2.0, 3.0, 4.0]
+    shutil.rmtree(d), shutil.rmtree(d + "_ck")
+
+
+def test_streaming_scan_state_survives_batches(spark):
+    d = tmpdir()
+    schema = "user long, seq long, value double"
+    stream = _stream_files(
+        spark,
+        [[(1, 1, 10.0), (2, 1, 1.0)], [(1, 2, 5.0)]],
+        schema,
+        d,
+    )
+    out = streaming_scan(stream, "user", "value", "seq")
+    name = f"scan_{uuid.uuid4().hex[:6]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", d + "_ck").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user, r.seq, r.running_total, r.running_count)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+    assert got == [(1, 1, 10.0, 1), (1, 2, 15.0, 2), (2, 1, 1.0, 1)]
+    shutil.rmtree(d), shutil.rmtree(d + "_ck")
+
+
+def test_with_event_time_batch_passthrough(spark):
+    df = spark.createDataFrame([(1, "2024-01-01 00:00:00")], "id long, t string")
+    out = with_event_time(df, F.col("t"))
+    assert "__event_time" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# Serve layer (makinage/serve/serve.py goldens, FIXTURES §1.3)
+# ---------------------------------------------------------------------------
+
+
+def test_serve_custom_predict_ratio(spark):
+    data = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    config = {
+        "input_field": "x",
+        "output_field": "pred",
+        "predict": "makinage_spark.sample.serve:ratio_predict",
+    }
+    out = mserve.serve(config, data, model={"ratio": 2}, output_schema="x double, pred double")
+    got = sorted((r.x, r.pred) for r in out.collect())
+    # zero-model × ratio golden (tests/test_serve.py:49-95): every input → ratio
+    assert got == [(1.0, 2.0), (2.0, 2.0)]
+    # "hot swap" to ratio 3 (config/model change between batches)
+    out3 = mserve.serve(config, data, model={"ratio": 3}, output_schema="x double, pred double")
+    assert sorted(r.pred for r in out3.collect()) == [3.0, 3.0]
+
+
+def test_serve_error_isolation(spark):
+    data = spark.createDataFrame([(1.0,)], "x double")
+
+    def boom(features):
+        raise RuntimeError("bad model")
+
+    config = {"input_field": "x"}
+    out = mserve.serve(config, data, model=type("M", (), {"predict": staticmethod(boom)})(),
+                       output_schema="x double, pred double")
+    assert out.collect() == []  # batch dropped, pipeline alive (serve.py:46-57)
+
+
+def test_serve_stream_hot_swap(spark):
+    d = tmpdir()
+    schema = "x double"
+    spark.createDataFrame([(1.0,)], schema).coalesce(1).write.parquet(f"{d}/b0")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/b*")
+
+    control = {"ratio": 2}
+    results = []
+
+    def sink(df, batch_id):
+        results.extend((r.x, r.pred) for r in df.collect())
+
+    config = {"input_field": "x", "predict": "makinage_spark.sample.serve:ratio_predict"}
+    q = mserve.serve_stream(
+        stream,
+        model_loader=lambda: dict(control),
+        config_loader=lambda: config,
+        sink=sink,
+        checkpoint=d + "_ck",
+        output_schema="x double, pred double",
+    )
+    # run serve_stream as availableNow-like: wait for the first batch
+    deadline = time.time() + 60
+    while not results and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert (1.0, 2.0) in results
+
+    # hot swap: new model value + new data file, restart from checkpoint
+    control["ratio"] = 3
+    spark.createDataFrame([(5.0,)], schema).coalesce(1).write.parquet(f"{d}/b1")
+    q2 = mserve.serve_stream(
+        stream, lambda: dict(control), lambda: config, sink, d + "_ck",
+        output_schema="x double, pred double",
+    )
+    deadline = time.time() + 60
+    while (5.0, 3.0) not in results and time.time() < deadline:
+        time.sleep(0.5)
+    q2.stop()
+    assert (5.0, 3.0) in results  # swap observed at micro-batch granularity
+    shutil.rmtree(d), shutil.rmtree(d + "_ck")
