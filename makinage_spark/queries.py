@@ -993,3 +993,458 @@ def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH banding candidate pairs (probabilistic → rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: deeper relational + scalar + text coverage
+# ---------------------------------------------------------------------------
+
+
+def _quality_sql() -> str:
+    stops = [w for w in text.STOPWORDS["en"]]
+    toks = f"regexp_extract_all(text, '{TOKEN_RE_SQL}')"
+    toks_lc = f"regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')"
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({toks}) AS n_tok,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[!-/:-@\\[-`{{-~]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper,
+             len(list_intersect({toks_lc}, {stops})) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           0.4 * least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+         + 0.3 * least(n_stop / CAST(greatest(n_tok, 1) AS DOUBLE) * 3, 1.0)
+         + 0.2 * (1.0 - least(n_punct / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0))
+         + 0.1 * (1.0 - least(n_upper / CAST(greatest(n_chars, 1) AS DOUBLE) * 5, 1.0))
+           AS quality
+    FROM f
+    """
+
+
+@register("text_quality", _quality_sql())
+def q_text_quality(spark, sf_dir):
+    """Quality scoring (north-star): frozen formula over exact count features;
+    bit-identical across engines because the expression tree is identical and
+    unrounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.quality_score("text").alias("quality"))
+
+
+@register(
+    "grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {DSUM('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets (SURVEY §2.3 — free relational surface)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "pivot_status",
+    f"""
+    SELECT o_orderpriority,
+           {DSUM("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS F,
+           {DSUM("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS O,
+           {DSUM("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot (wide aggregation) — Spark's pivot vs manual CASE oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice"))
+    )
+
+
+@register(
+    "max_by_order",
+    """
+    SELECT o_custkey, o_orderkey AS top_order, o_totalprice AS top_price FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders) t WHERE rn = 1
+    """,
+)
+def q_max_by(spark, sf_dir):
+    """max_by with deterministic struct tie-break (rs.ops argmax shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias("top_order"),
+        F.max("o_totalprice").alias("top_price"),
+    )
+
+
+@register(
+    "first_last_event",
+    f"""
+    SELECT user_id,
+           arg_min(event_id, ts) AS first_event,
+           arg_max(event_id, ts) AS last_event,
+           {FMT_TS('min(ts)')} AS first_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def q_first_last(spark, sf_dir):
+    """ops.first/last per key via min_by/max_by ((user_id, ts) is unique —
+    verified — so the argmin is deterministic)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_id", "ts").alias("last_event"),
+        fmt_ts(F.min("ts")).alias("first_ts"),
+    )
+
+
+@register(
+    "conditional_agg",
+    f"""
+    SELECT user_id,
+           count_if(event_type = 'click') AS clicks,
+           count_if(event_type = 'purchase') AS purchases,
+           {DSUM("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase_total,
+           COUNT(DISTINCT event_type) AS distinct_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_conditional(spark, sf_dir):
+    """Conditional aggregation + distinct count (rs tee_map over one pass)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count_if(F.col("event_type") == "click").alias("clicks"),
+        F.count_if(F.col("event_type") == "purchase").alias("purchases"),
+        dsum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias(
+            "purchase_total"
+        ),
+        F.countDistinct("event_type").alias("distinct_types"),
+    )
+
+
+@register(
+    "variance_stddev",
+    """
+    SELECT event_type,
+           round(var_samp(value), 2) AS variance,
+           round(stddev_samp(value), 2) AS stddev
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variance(spark, sf_dir):
+    """rs.math.variance/stddev (README.rst:66 family). Rounded(2): the two
+    engines use different streaming-moment merge orders; agreement is ~1e-8
+    relative, far inside the rounding grid."""
+    events = load_table(spark, sf_dir, "events")
+    return pipe(
+        events,
+        ops.group_by(
+            ["event_type"],
+            aggs={
+                "variance": F.round(F.var_samp("value"), 2),
+                "stddev": F.round(F.stddev_samp("value"), 2),
+            },
+        ),
+    )
+
+
+@register(
+    "corr_covar",
+    """
+    SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+    FROM lineitem
+    """,
+)
+def q_corr(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qp"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+    SELECT o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+           strftime(CAST(o_orderdate AS DATE) + 7, '%Y-%m-%d') AS next_week,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_date_arith(spark, sf_dir):
+    """Date/interval scalar surface. Note argument-order traps: Spark
+    datediff(end, start) == DuckDB date_diff('day', start, end)."""
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey < 1000")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint").alias("days_since"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 7), "yyyy-MM-dd")
+        .alias("next_week"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month_start"),
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+    )
+
+
+@register(
+    "math_scalars",
+    """
+    SELECT event_id,
+           round(sqrt(value), 6) AS sqrt_v,
+           round(ln(value + 1), 6) AS ln_v,
+           round(exp(value / 100), 6) AS exp_v,
+           abs(value - 250) AS abs_v,
+           round(power(value, 2), 4) AS sq_v
+    FROM events WHERE event_id < 2000
+    """,
+)
+def q_math(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").filter("event_id < 2000")
+    return events.select(
+        "event_id",
+        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.log(F.col("value") + 1), 6).alias("ln_v"),
+        F.round(F.exp(F.col("value") / 100), 6).alias("exp_v"),
+        F.abs(F.col("value") - 250).alias("abs_v"),
+        F.round(F.pow("value", 2), 4).alias("sq_v"),
+    )
+
+
+@register(
+    "string_scalars",
+    """
+    SELECT o_orderkey,
+           lpad(o_orderpriority, 20, '*') AS padded,
+           replace(o_orderpriority, '-', '_') AS replaced,
+           split_part(o_orderpriority, '-', 2) AS prio_word,
+           reverse(o_orderstatus) AS rev_status,
+           repeat(o_orderstatus, 3) AS rep_status,
+           CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_pos
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def q_string(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter("o_orderkey < 1000")
+    return o.select(
+        "o_orderkey",
+        F.lpad("o_orderpriority", 20, "*").alias("padded"),
+        F.replace("o_orderpriority", F.lit("-"), F.lit("_")).alias("replaced"),
+        F.split_part("o_orderpriority", F.lit("-"), F.lit(2)).alias("prio_word"),
+        F.reverse("o_orderstatus").alias("rev_status"),
+        F.repeat("o_orderstatus", 3).alias("rep_status"),
+        F.instr("o_orderpriority", "-").cast("bigint").alias("dash_pos"),
+    )
+
+
+@register(
+    "array_scalars",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+           round(list_sum(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE))), 6)
+             AS sum4
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q_array(spark, sf_dir):
+    """Array scalar surface over the embedding column."""
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("bigint").alias("dim"),
+        F.element_at(v, 1).cast("double").alias("first_val"),
+        F.array_max(v).cast("double").alias("max_val"),
+        F.round(
+            F.aggregate(
+                F.slice(v, 1, 4), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("sum4"),
+    )
+
+
+@register(
+    "ntile_ranks",
+    """
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           dense_rank()   OVER w AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_ntile(spark, sf_dir):
+    """Ranking/analytic window functions (SURVEY §2.3: reference has none —
+    exposed as first-class surface)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drank"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "sliding_row_frame",
+    """
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum3
+    FROM events
+    """,
+)
+def q_sliding_frame(spark, sf_dir):
+    """Bounded row frame (roll(3,1) as a window expression)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("sum3"),
+    )
+
+
+@register(
+    "range_interval_frame",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sum_30d
+    FROM orders
+    """,
+)
+def q_range_frame(spark, sf_dir):
+    """Event-time range frame: per-customer 30-day trailing revenue — the
+    time-window analogue of roll, expressed as a RANGE frame."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_rf")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS sum_30d
+        FROM orders_rf
+        """
+    )
+
+
+@register(
+    "levenshtein_pairs",
+    """
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(substr(lower(a.text), 1, 40),
+                            substr(lower(b.text), 1, 40)) AS BIGINT) AS dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 30 AND b.doc_id < 30
+    """,
+)
+def q_levenshtein(spark, sf_dir):
+    """Edit-distance text similarity (bounded prefix, bounded pair set)."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 30")
+    a = docs.select(F.col("doc_id").alias("a"), F.substring(F.lower("text"), 1, 40).alias("ta"))
+    b = docs.select(F.col("doc_id").alias("b"), F.substring(F.lower("text"), 1, 40).alias("tb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", F.levenshtein("ta", "tb").cast("bigint").alias("dist"))
+    )
+
+
+def _simhash_pairs_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    base = _simhash_sql(bits).replace("WHERE doc_id < 100", "")
+    return f"""
+    WITH sh AS ({base})
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_pairs", _simhash_pairs_sql())
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs. The pigeonhole blocking (4 blocks, hamming ≤ 3)
+    is lossless — any pair within distance 3 shares an intact block — so the
+    blocked Spark plan equals the oracle's exhaustive pair scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash_pairs(docs, max_hamming=3, blocks=4)
+    return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "asof_tolerance",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    SELECT ev.event_id,
+           CASE WHEN clicks.cts >= ev.t - INTERVAL 1 HOUR
+                THEN clicks.click_value END AS click_value
+    FROM ev ASOF LEFT JOIN clicks
+      ON ev.user_id = clicks.user_id AND ev.t >= clicks.cts
+    """,
+)
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with bounded lookback — the reference's merge_lookup_depth
+    restated in event time (makinage/operator.py:61-63)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumnRenamed("ts", "cts")
+    )
+    out = joins.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_value"],
+        tolerance="1 hour",
+    )
+    return out.select("event_id", "click_value")

@@ -132,12 +132,13 @@ def quality_score(c: ColumnLike) -> Column:
     contract)."""
     f = quality_features(c)
     length_ok = F.least(f["n_tokens"].cast("double") / F.lit(20.0), F.lit(1.0))
-    return F.round(
+    # no rounding: the raw double is bit-reproducible by any engine evaluating
+    # the same expression tree (round() tie-breaking is NOT engine-portable)
+    return (
         F.lit(0.4) * length_ok
         + F.lit(0.3) * F.least(f["stopword_ratio"] * 3, F.lit(1.0))
         + F.lit(0.2) * (F.lit(1.0) - F.least(f["punct_ratio"] * 5, F.lit(1.0)))
-        + F.lit(0.1) * (F.lit(1.0) - F.least(f["upper_ratio"] * 5, F.lit(1.0))),
-        4,
+        + F.lit(0.1) * (F.lit(1.0) - F.least(f["upper_ratio"] * 5, F.lit(1.0)))
     )
 
 
