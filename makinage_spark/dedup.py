@@ -197,6 +197,12 @@ def minhash_lsh_pairs(
     stacked = sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    # Persist before the self-join: both join branches would otherwise
+    # recompute the whole shingle→minhash pipeline (a broadcast join has no
+    # shuffle exchange for Catalyst to reuse). Same move as materializing the
+    # signature table to storage before bucket-joining in a lake pipeline —
+    # the band table is tiny (id, band, 32-char bucket) relative to the text.
+    stacked = stacked.persist()
     left = stacked.alias("l")
     right = stacked.alias("r")
     pairs = (

@@ -85,6 +85,17 @@ def register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a CPU-heavy text/vector table spread across all cores. The
+    documents/embeddings fixtures are tiny single-row-group files (one scan
+    task), but per-row work here is md5 shingling / hash folds / dot products —
+    minutes of CPU hiding behind kilobytes of IO — so an up-front round-robin
+    exchange of a few MB buys full-width execution of every downstream stage."""
+    df = load_table(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 @register(
     "map_project",
     """
@@ -756,7 +767,7 @@ def q_histogram(spark, sf_dir):
     """,
 )
 def q_text_stats(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.token_count("text").cast("bigint").alias("n_tokens"),
@@ -789,7 +800,7 @@ def _lang_sql() -> str:
 @register("text_language_id", _lang_sql())
 def q_lang(spark, sf_dir):
     """Stopword language-ID heuristic (integer-exact argmax)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", text.language_id("text").alias("lang_guess"))
 
 
@@ -820,7 +831,7 @@ def q_fingerprint(spark, sf_dir):
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     fp = docs.select(text.fingerprint("text").alias("fp"), "doc_id")
     return (
         fp.groupBy("fp")
@@ -882,7 +893,7 @@ def q_minhash_sig(spark, sf_dir):
 def q_jaccard(spark, sf_dir):
     """Exact 1-gram (token-set) Jaccard pairs via inverted index — integer-exact
     output columns; the threshold compares identical doubles on both sides."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias("sh"),
@@ -949,7 +960,7 @@ COSINE_SQL = (
 )
 def q_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
     joined = emb.crossJoin(F.broadcast(q))
     score = vectors.cosine(
@@ -972,7 +983,7 @@ def q_topk(spark, sf_dir):
     """,
 )
 def q_emb_neardup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=0.9)
 
 
@@ -983,7 +994,7 @@ def q_emb_neardup(spark, sf_dir):
 @register("embedding_lsh_topk", None)
 def q_lsh_topk(spark, sf_dir):
     """LSH-bucketed ANN (scale path; approximate → no exact SQL oracle)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_wide(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     return vectors.lsh_topk(emb, qv, k=10, planes=4)
 
@@ -991,7 +1002,7 @@ def q_lsh_topk(spark, sf_dir):
 @register("dedup_minhash_pairs", None)
 def q_minhash_pairs(spark, sf_dir):
     """MinHash+LSH banding candidate pairs (probabilistic → rows-only check)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
@@ -1029,7 +1040,7 @@ def q_text_quality(spark, sf_dir):
     """Quality scoring (north-star): frozen formula over exact count features;
     bit-identical across engines because the expression tree is identical and
     unrounded."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     return docs.select("doc_id", text.quality_score("text").alias("quality"))
 
 
@@ -1407,7 +1418,7 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs. The pigeonhole blocking (4 blocks, hamming ≤ 3)
     is lossless — any pair within distance 3 shares an intact block — so the
     blocked Spark plan equals the oracle's exhaustive pair scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents")
     out = dedup.simhash_pairs(docs, max_hamming=3, blocks=4)
     return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 

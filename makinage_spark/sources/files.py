@@ -29,24 +29,50 @@ TABLES = (
 )
 
 
-def _nano_ts_columns(path: str) -> list[str]:
-    """Columns stored as parquet timestamp[ns] (read by Spark as long)."""
-    try:
-        schema = pq.read_schema(path)
-    except Exception:
-        return []
-    return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+#: Tables above this row count get scan-parallelism repair (see load_table).
+_PARALLELIZE_MIN_ROWS = 200_000
+
+_meta_cache: dict[str, tuple[list[str], int, int]] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table, normalizing nano-timestamps to TimestampType."""
+def _parquet_meta(path: str) -> tuple[list[str], int, int]:
+    """(nano-ts columns, num_rows, num_row_groups) — footer only, cached."""
+    if path not in _meta_cache:
+        try:
+            f = pq.ParquetFile(path)
+            nano = [x.name for x in f.schema_arrow if str(x.type) == "timestamp[ns]"]
+            _meta_cache[path] = (nano, f.metadata.num_rows, f.num_row_groups)
+        except Exception:
+            _meta_cache[path] = ([], 0, 1)
+    return _meta_cache[path]
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+) -> DataFrame:
+    """Load one testdata table, normalizing nano-timestamps to TimestampType.
+
+    Scan-parallelism repair: a parquet scan can't be split below row-group
+    granularity, and the test fixtures are single-file/single-row-group — so a
+    600k-row aggregation would run map-side in ONE task regardless of cores. On
+    a real lake (many files, 128 MB row groups) Spark gets scan parallelism for
+    free and this repartition never fires; here we round-robin the big tables
+    across the default parallelism once, right after the (inherently serial)
+    decode, so every downstream stage runs wide. Narrow ops that want scan
+    pushdown benefits untouched by an extra exchange can pass
+    ``parallelize=False``.
+    """
     path = f"{sf_dir}/{name}.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nano_ts_columns(path):
+    nano_cols, num_rows, row_groups = _parquet_meta(path)
+    for c in nano_cols:
         # integer division: nanos (~1.7e18) exceed double precision, so a
         # float divide-then-cast can be off by 1 µs
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    cores = spark.sparkContext.defaultParallelism
+    if parallelize and num_rows >= _PARALLELIZE_MIN_ROWS and row_groups < cores // 2:
+        df = df.repartition(cores)
     return df
 
 
