@@ -1459,3 +1459,369 @@ def q_asof_tolerance(spark, sf_dir):
         tolerance="1 hour",
     )
     return out.select("event_id", "click_value")
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: subqueries & outer joins, multimodal plumbing, streaming-as-query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_q6(spark, sf_dir):
+    """TPC-H Q6 shape — pure filter+agg; all three predicates reach the
+    parquet scan (PushedFilters), zero shuffle beyond the 1-row final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "exists_subquery",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_exists(spark, sf_dir):
+    """TPC-H Q4 shape — correlated EXISTS; Catalyst decorrelates to a
+    left-semi hash join (no per-row subquery execution)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders_ex
+        WHERE EXISTS (SELECT 1 FROM lineitem_ex
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "not_exists_subquery",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_not_exists(spark, sf_dir):
+    """NOT EXISTS with correlated predicate → left-anti join (customers with no recent order)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "in_subquery_having",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) > 300)
+    """,
+)
+def q_in_subquery(spark, sf_dir):
+    """TPC-H Q18 shape — IN over a grouped HAVING subquery (exact decimal sum
+    so the >300 boundary is engine-portable)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity", 6).cast("decimal(18,6)")).alias("sq"))
+        .filter(F.col("sq") > 300)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    f"""
+    SELECT p_type, COUNT(*) AS n, {DSUM('l_extendedprice')} AS small_rev
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    GROUP BY p_type
+    """,
+)
+def q_correlated_scalar(spark, sf_dir):
+    """TPC-H Q17 shape — correlated scalar subquery, decorrelated by Catalyst
+    into an aggregate + join (quantities are integral so AVG is exact and the
+    boundary is engine-portable)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_cs")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_cs")
+    return spark.sql(
+        f"""
+        SELECT p_type, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 AS small_rev
+        FROM lineitem_cs JOIN part_cs ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem_cs l2
+                            WHERE l2.l_partkey = lineitem_cs.l_partkey)
+        GROUP BY p_type
+        """
+    )
+
+
+@register(
+    "left_join_count_dist",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def q_left_join_dist(spark, sf_dir):
+    """TPC-H Q13 shape — left outer join preserving empty groups, then a
+    distribution over the counts (two-level aggregation)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "full_outer_join",
+    """
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         buyers   AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           c.user_id IS NOT NULL AS clicked,
+           b.user_id IS NOT NULL AS bought
+    FROM clickers c FULL OUTER JOIN buyers b ON c.user_id = b.user_id
+    """,
+)
+def q_full_outer(spark, sf_dir):
+    """Full outer join over two derived key sets."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter("event_type = 'click'").select(F.col("user_id").alias("cu")).distinct()
+    buyers = ev.filter("event_type = 'purchase'").select(F.col("user_id").alias("bu")).distinct()
+    return clickers.join(buyers, clickers.cu == buyers.bu, "full_outer").select(
+        F.coalesce("cu", "bu").alias("user_id"),
+        F.col("cu").isNotNull().alias("clicked"),
+        F.col("bu").isNotNull().alias("bought"),
+    )
+
+
+@register(
+    "binary_payload_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           substr(md5(text), 1, 8) AS magic
+    FROM documents
+    """,
+)
+def q_binary_meta(spark, sf_dir):
+    """Multimodal metadata surface: treat the payload as opaque binary —
+    byte length, content checksum, magic prefix (FIXTURES schema: binary
+    column + typed metadata, SURVEY north-star)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.substring(F.md5(payload), 1, 8).alias("magic"),
+    )
+
+
+@register("multimodal_decode_features")
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal decode plumbing (rows-only: the fake codec's md5-seeded
+    floats aren't SQL-expressible): binary payloads → Arrow-batched
+    mapInPandas → typed feature vectors. Deterministic by construction."""
+    from makinage_spark import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=256).repartition(8)
+    feats = pipe(assets, multimodal.decode_features(fake=True))
+    return feats.select(
+        "asset_id",
+        "media_type",
+        "width",
+        "height",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+@register("multimodal_frame_sample")
+def q_multimodal_frames(spark, sf_dir):
+    """Video frame sampling plumbing (rows-only): 1→N expansion per asset via
+    mapInPandas — the UDTF shape over binary columns."""
+    from makinage_spark import multimodal
+
+    assets = multimodal.synthetic_assets(spark, n=256).repartition(8)
+    frames = pipe(assets, multimodal.sample_frames(every_n=16, max_frames=4))
+    return frames.select(
+        "asset_id", "frame_idx", F.md5(F.col("frame_payload")).alias("frame_md5")
+    )
+
+
+# -- streaming queries: real Structured Streaming runs (availableNow → memory
+#    sink), checked against the same SQL oracles as their batch twins --------
+
+
+def _stream_events(spark, sf_dir):
+    """Streaming view of the events fixture: file-stream with explicit schema
+    (streams can't infer), nano-ts normalized exactly like load_table. The
+    file source requires a *directory*, so the (read-only) fixture file is
+    symlinked into a temp dir."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="mk_stream_src_")
+    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    schema = spark.read.parquet(path).schema
+    df = spark.readStream.schema(schema).parquet(stream_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(df, mode: str = "append"):
+    """Run a streaming DataFrame to completion (Trigger.AvailableNow) into a
+    memory sink; return the drained result as a batch DataFrame."""
+    import tempfile
+    import uuid
+
+    name = "mq_" + uuid.uuid4().hex[:12]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mk_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_hourly_counts",
+    f"""
+    SELECT {FMT_TS("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour,
+           COUNT(*) AS n, {DSUM('value')} AS total
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_hourly(spark, sf_dir):
+    """Streaming tumbling-window aggregation (readStream → window → memory
+    sink, complete mode) — hash-matches the batch SQL oracle, demonstrating
+    the batch/stream unification contract (README.rst:38)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(fmt_ts(F.col("w.start")).alias("hour"), "n", "total")
+    )
+    return _drain(agg, "complete")
+
+
+@register("stream_dedup_keys", "SELECT DISTINCT user_id, event_type FROM events")
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (rs.ops.distinct): dropDuplicates carries key
+    state across micro-batches; result equals batch DISTINCT."""
+    ev = _stream_events(spark, sf_dir).select("user_id", "event_type")
+    return _drain(ev.dropDuplicates(["user_id", "event_type"]))
+
+
+@register(
+    "stream_scan_running",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT)
+             AS running_count
+    FROM events
+    """,
+)
+def q_stream_scan(spark, sf_dir):
+    """Streaming rs.ops.scan via applyInPandasWithState: per-record running
+    fold per key. Values flow as integer cents so the fold is exact and the
+    result hash-matches the decimal batch oracle regardless of batch splits."""
+    from makinage_spark.streaming import streaming_scan
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.round(F.round("value", 2) * 100).alias("cents")
+    )
+    out = _drain(streaming_scan(ev, "user_id", "cents", "event_id"))
+    return out.select(
+        "user_id",
+        "event_id",
+        (F.col("running_total") / 100).alias("running_total"),
+        "running_count",
+    )
+
+
+@register(
+    "stream_roll_windows",
+    """
+    WITH numbered AS (
+      SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 3
+               AS window_id
+      FROM events)
+    SELECT user_id, window_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS window_sum
+    FROM numbered GROUP BY user_id, window_id HAVING COUNT(*) = 3
+    """,
+)
+def q_stream_roll(spark, sf_dir):
+    """Streaming rs.data.roll(3,3) via applyInPandasWithState: per-key count
+    windows, partial windows never emit (README.rst:77-90). Integer-cents sum
+    → exact match with the batch row_number oracle."""
+    from makinage_spark.streaming import streaming_roll
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "event_id", F.round(F.round("value", 2) * 100).alias("cents")
+    )
+    out = _drain(
+        streaming_roll(ev, "user_id", "cents", "event_id", window=3, stride=3, agg="sum")
+    )
+    return out.select(
+        "user_id", "window_id", (F.col("agg_value") / 100).alias("window_sum")
+    )
