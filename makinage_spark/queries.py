@@ -1825,3 +1825,145 @@ def q_stream_roll(spark, sf_dir):
     return out.select(
         "user_id", "window_id", (F.col("agg_value") / 100).alias("window_sum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: sketches, multiplex/split, portable sampling, IVF search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_sketch",
+    """
+    SELECT event_type,
+           quantile_disc(value, [0.25, 0.5, 0.9]) AS q
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantiles_sketch(spark, sf_dir):
+    """rs.math.dist quantiles (README.rst:186) via Spark's mergeable GK
+    sketch. At max accuracy the sketch degrades to exact discrete quantiles —
+    verified equal to DuckDB's t-digest-free quantile_disc — while any lower
+    accuracy gives the bounded-memory streaming estimator the reference gets
+    from t-digest."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.9], 2147483647).alias("q")
+    )
+
+
+@register(
+    "multiplex_demux",
+    f"""
+    WITH tagged AS (
+      SELECT CASE WHEN value >= 100 THEN 'high'
+                  WHEN event_type = 'purchase' THEN 'revenue'
+                  ELSE 'base' END AS stream,
+             value FROM events)
+    SELECT stream, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM tagged GROUP BY stream
+    """,
+)
+def q_multiplex(spark, sf_dir):
+    """rs.ops.multiplex: tag records into logical substreams, then mux-aware
+    grouped aggregation in ONE pass (no N scans for N streams)."""
+    ev = load_table(spark, sf_dir, "events")
+    tag = (
+        F.when(F.col("value") >= 100, F.lit("high"))
+        .when(F.col("event_type") == "purchase", F.lit("revenue"))
+        .otherwise(F.lit("base"))
+    )
+    return pipe(
+        ev,
+        ops.multiplex(tag, alias="stream"),
+        ops.group_by(["stream"], aggs={"n": F.count(F.lit(1)), "total": dsum("value")}),
+    )
+
+
+@register(
+    "split_on_change",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+             CASE WHEN date_trunc('day', CAST(ts AS TIMESTAMP)) IS DISTINCT FROM
+                       date_trunc('day', lag(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id))
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events),
+    seg AS (
+      SELECT user_id, t, value,
+             SUM(boundary) OVER (PARTITION BY user_id ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS segment_id
+      FROM flagged)
+    SELECT user_id, segment_id, COUNT(*) AS n, {DSUM('value')} AS total
+    FROM seg GROUP BY user_id, segment_id
+    """,
+)
+def q_split_on_change(spark, sf_dir):
+    """rs.data.split with a predicate boundary (segment per key at each
+    day-change — the 'split by day' example of the public rxsci API):
+    gaps-and-islands via lag → boundary flag → running sum, one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    day = F.date_trunc("day", F.col("ts"))
+    boundary = (
+        ~day.eqNullSafe(F.lag(F.date_trunc("day", F.col("ts"))).over(w))
+    ).cast("int")
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("__b", boundary)
+        .withColumn("segment_id", F.sum("__b").over(wsum))
+        .groupBy("user_id", "segment_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+    )
+
+
+@register(
+    "hash_sample",
+    f"""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """rs.ops.sample as *deterministic* hash sampling — engine-portable and
+    stable under re-execution/retries (a Bernoulli RNG sample is neither):
+    keep rows whose key-hash falls in the bucket. This is the sampling you
+    actually want at 100 TB — reproducible lineage, no seed coordination
+    across executors."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 10
+    return ev.filter(bucket == 0).select("event_id", "user_id", "value")
+
+
+@register("sketch_cardinality")
+def q_sketch_cardinality(spark, sf_dir):
+    """HLL++ approximate distinct (bounded-memory streaming cardinality —
+    rs.math.dist family). Rows-only: sketch estimates are engine-specific by
+    design; determinism within the engine is what's checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register("ivf_topk_search")
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbor (north-star scale path): k-means
+    coarse cells trained on a bounded driver-side sample, cell assignment as a
+    pure expression, probe pruned to nprobe cells. Rows-only (approximate by
+    construction; row count = k is the contract)."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
+    query = [0.1] * 64
+    out = vectors.ivf_topk(emb, centroids, query, k=10, nprobe=3)
+    return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
