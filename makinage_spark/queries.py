@@ -1967,3 +1967,337 @@ def q_ivf_topk(spark, sf_dir):
     query = [0.1] * 64
     out = vectors.ivf_topk(emb, centroids, query, k=10, nprobe=3)
     return out.select("vec_id", F.round(F.col("score"), 6).alias("score"))
+
+
+@register(
+    "graph_multiply_sample",
+    "SELECT CAST(event_id * 3 AS VARCHAR) AS value FROM events",
+)
+def q_graph_multiply(spark, sf_dir):
+    """End-to-end YAML dataflow graph (the reference's whole framework
+    lifecycle, SURVEY §3.1): topics → module:function factory → batch run →
+    sink topic, on the multiply sample (config.sample.yml, golden "5"→"15").
+    The correctness gate sees the framework path, not just the operator
+    library."""
+    import tempfile
+
+    from makinage_spark.plans import run_graph
+
+    base = tempfile.mkdtemp(prefix="mk_graph_")
+    indir, outdir = f"{base}/values", f"{base}/multiplied"
+    load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("value")
+    ).write.parquet(indir)
+    config = {
+        "application": {"name": "sample", "source_type": "batch"},
+        "topics": [
+            {"name": "values", "format": "parquet", "path": indir, "schema": "value string"},
+            {"name": "multiplied_values", "format": "parquet", "path": outdir},
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    run_graph(spark, config)
+    return spark.read.parquet(outdir)
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: TPC-H depth (q7/q8/q10/q14/q19/q22 shapes), window value fns,
+# ordered string/array agg, interpolated percentiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name <> cn.n_name
+    GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+    """,
+)
+def q_q7(spark, sf_dir):
+    """TPC-H Q7 shape — 5-way join with two roles of the same dim (nation),
+    all dims broadcast; lineitem stays un-shuffled until the final group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH volume AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)) AS vol,
+             sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN part ON p_partkey = l_partkey
+        JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_type LIKE 'PROMO%'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN vol END) AS DOUBLE)
+             / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM volume GROUP BY o_year
+    """,
+)
+def q_q8(spark, sf_dir):
+    """TPC-H Q8 shape — market share = conditional share of exact decimal
+    volume (the ratio of two exactly-summed decimals is engine-portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("PROMO%"))
+    o = load_table(spark, sf_dir, "orders")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(18,6)"
+    )
+    df = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("vol"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    return df.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("vol"))).cast("double")
+            / F.sum("vol").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    f"""
+    SELECT c_custkey, c_name, n_name,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """,
+)
+def q_q10(spark, sf_dir):
+    """TPC-H Q10 shape — returned-item revenue per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter("l_returnflag = 'R'")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def q_q14(spark, sf_dir):
+    """TPC-H Q14 shape — promo revenue share per month (decimal-exact ratio)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(18,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), vol).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    f"""
+    SELECT {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_q19(spark, sf_dir):
+    """TPC-H Q19 shape — disjunctive bracket predicates; Catalyst extracts the
+    common join key so the OR never blocks the hash join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "q22_idle_balances",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS a
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_q22(spark, sf_dir):
+    """TPC-H Q22 shape — uncorrelated scalar subquery (exact-decimal average
+    so the > boundary is portable) + anti join."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q22")
+    return spark.sql(
+        """
+        WITH avg_bal AS (
+          SELECT CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+                   AS a
+          FROM customer_q22 WHERE c_acctbal > 0.0)
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(c_acctbal, 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+        FROM customer_q22
+        WHERE c_acctbal > (SELECT a FROM avg_bal)
+          AND NOT EXISTS (SELECT 1 FROM orders_q22 WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "window_value_functions",
+    f"""
+    SELECT event_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value)  OVER w AS last_v,
+           nth_value(value, 2) OVER w AS second_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_value_fns(spark, sf_dir):
+    """first/last/nth value window functions over a full-partition frame
+    (rs.ops.first/last per key, as analytic columns)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+        F.nth_value("value", 2).over(w).alias("second_v"),
+    )
+
+
+@register(
+    "ordered_string_agg",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           CAST(array_agg(DISTINCT event_type ORDER BY event_type)[1] AS VARCHAR)
+             AS first_type
+    FROM events GROUP BY user_id
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string/array aggregation — deterministic because the collected
+    set is sorted before joining (collect_list alone has no order contract)."""
+    ev = load_table(spark, sf_dir, "events")
+    types_sorted = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        F.array_join(types_sorted, ",").alias("types"),
+        F.element_at(types_sorted, 1).alias("first_type"),
+    )
+
+
+@register(
+    "percentile_interpolated",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS median,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile_cont(spark, sf_dir):
+    """Exact interpolated percentiles (PERCENTILE_CONT semantics) — verified
+    numerically identical to DuckDB's quantile_cont at 6dp."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
