@@ -24,22 +24,34 @@ from makinage_spark.queries import QUERIES
 #: plus the fixed-size extension operators (documents/embeddings are 500 rows
 #: at every SF — they measure operator overhead, not data scale).
 HEADLINE = [
+    # relational: scan/filter/agg/join/subquery
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "correlated_scalar_subquery",
     "group_by_agg",
+    "take_topk",
+    # windows / sessions / event-time
     "scan_running_sum",
     "roll_count_windows",
     "sessionize",
+    "split_on_change",
     "asof_enrich",
     "window_rank_top3",
-    "take_topk",
     "time_window_hourly",
     "histogram_values",
+    # data-pipeline extensions
     "dedup_exact",
     "text_language_id",
+    "text_quality",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "embedding_topk",
+    # streaming runtime (readStream → stateful op → sink)
+    "stream_scan_running",
 ]
 
 

@@ -304,6 +304,47 @@ def simhash(text_col: str, bits: int = 32) -> Column:
     return out
 
 
+def simhash_df(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """``(id, sh)`` SimHash table — the throughput formulation (same shape as
+    :func:`minhash_signature_df`): explode distinct tokens → one md5 +
+    integer conversion per token → ``bits`` fused sum aggregates with map-side
+    partials. Produces bit-identical hashes to the per-bit fold in
+    :func:`simhash` (bit j of the hash is the majority of token-hash bit
+    ``bits-1-j``), which costs ``bits`` re-folds of the token array per row and
+    is kept only for single-expression contexts."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[\p{L}\p{N}]+"), 0)
+    )
+    ex = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .repartition(parts, F.col(id_col))
+        .select(F.col(id_col), F.explode_outer("__t").alias("__tok"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("__tok"), 1, bits // 4), 16, 10)
+            .cast("bigint")
+            .alias("__h"),
+        )
+    )
+    g = ex.groupBy(id_col).agg(
+        F.count("__h").alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), bits - 1 - j).bitwiseAND(F.lit(1))).alias(
+                f"__o{j}"
+            )
+            for j in range(bits)
+        ],
+    )
+    sh = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bit = (F.coalesce(F.col(f"__o{j}"), F.lit(0)) * 2 > F.col("__n")).cast("bigint")
+        sh = sh + F.shiftleft(bit, j)
+    return g.select(F.col(id_col), sh.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -318,7 +359,7 @@ def simhash_pairs(
     cross product). Verify stage computes the true Hamming distance via
     ``bit_count(xor)``."""
     block_bits = bits // blocks
-    sh = df.select(F.col(id_col), simhash(text_col, bits).alias("sh"))
+    sh = simhash_df(df, text_col, id_col, bits)
     stacked = sh.select(
         id_col,
         "sh",
@@ -334,6 +375,10 @@ def simhash_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "sh", "bb.blk", "bb.val")
+    # persist before the self-join — same rationale as minhash_lsh_pairs: a
+    # broadcast join would otherwise recompute the token→simhash pipeline on
+    # both branches; the (id, sh, blk, val) table is tiny relative to the text
+    stacked = stacked.persist()
     a, b = stacked.alias("a"), stacked.alias("b")
     cand = (
         a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.val") == F.col("b.val"),
