@@ -2301,3 +2301,143 @@ def q_percentile_cont(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: native session windows, stream-stream join, lateral/bag/cross ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_native",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+             CASE WHEN CAST(ts AS TIMESTAMP) >=
+                      lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                      + INTERVAL 30 MINUTE
+                  OR lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, t, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged)
+    SELECT user_id,
+           {FMT_TS('MIN(t)')} AS session_start,
+           {FMT_TS("MAX(t) + INTERVAL 30 MINUTE")} AS session_end,
+           COUNT(*) AS n, {DSUM('value')} AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_session_window_native(spark, sf_dir):
+    """Spark's native session_window (merge-on-overlap): sessions close at a
+    ≥gap silence; window end = last event + gap. The oracle restates the merge
+    rule as gaps-and-islands — boundary semantics (≥ vs >) aligned
+    deliberately."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            fmt_ts(F.col("w.end")).alias("session_end"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <  CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time range condition and watermarks
+    on both sides (the reference's zip/combine_latest territory, SURVEY §2.2
+    'Combine streams') — state is bounded by the 1h range + watermark, and the
+    drained result equals the batch join oracle."""
+    clicks = _stream_events(spark, sf_dir).filter("event_type = 'click'")
+    purchases = _stream_events(spark, sf_dir).filter("event_type = 'purchase'")
+    c = clicks.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return _drain(joined).select("click_id", "purchase_id", "purchase_value")
+
+
+@register(
+    "posexplode_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\\p{{L}}\\p{{N}}]+') AS ts
+      FROM documents WHERE doc_id < 50)
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS pos, ts[u.i] AS tok
+    FROM toks, LATERAL unnest(generate_series(1, len(ts))) AS u(i)
+    """,
+)
+def q_posexplode(spark, sf_dir):
+    """Ordinal 1→N expansion (posexplode / UNNEST WITH ORDINALITY) — the
+    UDTF-with-position shape; position is part of the contract, unlike plain
+    explode."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 50")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE_SQL), 0)
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+
+
+@register(
+    "cross_join_grid",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    """Explicit cross join (dimension grid) — BroadcastNestedLoopJoin on the
+    small side; the one join shape where 'no key' is the point."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'view'
+       EXCEPT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """Bag (multiset) difference — EXCEPT ALL keeps multiplicities, the
+    set-op the reference's merge/distinct family cannot express."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").select("user_id")
+    buys = ev.filter("event_type = 'purchase'").select("user_id")
+    return views.exceptAll(buys)
