@@ -144,10 +144,20 @@ def minhash_signature_df(
     be near-duplicates of anything).
     """
     parts = df.sparkSession.sparkContext.defaultParallelism
+    from makinage_spark.text import char_ngrams_of, normalize
+
+    # normalize ONCE per row in its own projection (an inlined normalize()
+    # subtree would re-run its regexp per shingle inside the transform
+    # lambda), and md5 AFTER the explode — one hash per shingle row, no
+    # intermediate hash array materialized
     ex = (
-        df.select(F.col(id_col), F.col(text_col))
+        df.select(F.col(id_col), normalize(F.col(text_col)).alias("__norm"))
         .repartition(parts, F.col(id_col))
-        .select(F.col(id_col), F.explode(shingle_hashes(text_col, ngram)).alias("__h"))
+        .select(F.col(id_col), F.explode(char_ngrams_of(F.col("__norm"), ngram)).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("__s"), 1, 8), 16, 10).cast("bigint").alias("__h"),
+        )
     )
     return ex.groupBy(id_col).agg(
         *[
@@ -244,9 +254,14 @@ def ngram_jaccard_pairs(
     This exact form is the *verify* stage after :func:`minhash_lsh_pairs`
     candidates at scale; standalone it is fine to ~10⁸ docs.
     """
+    from makinage_spark.text import tokens, word_shingles_of
+
     sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, ngram_words)).alias("sh")
-    )
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    ).select(F.col(id_col), F.explode(word_shingles_of(F.col("__t"), ngram_words)).alias("sh"))
+    # the inverted index feeds three plan branches (sizes, join left, join
+    # right) — persist so tokenization+shingling runs once
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

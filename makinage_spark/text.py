@@ -54,23 +54,41 @@ def token_count(c: ColumnLike) -> Column:
     return F.size(tokens(c))
 
 
-def char_ngrams(c: ColumnLike, n: int = 5) -> Column:
-    """Character n-gram shingles of the normalized text (for MinHash/Jaccard).
-    Expression-only: substring over a generated index sequence."""
-    norm = normalize(c)
+def char_ngrams_of(norm: Column, n: int = 5) -> Column:
+    """Character n-gram shingles of an ALREADY-normalized string column.
+
+    Callers on the hot path must materialize the normalized string into a real
+    column first (one projection) and pass a plain column reference here: the
+    lambda below evaluates its argument once per array element, so an inlined
+    ``normalize(...)`` subtree (lower + regexp) would be re-executed L times
+    per row — measured ~4× the cost of the whole shingling stage."""
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(n - 1)))
     return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, n)))
 
 
-def word_shingles(c: ColumnLike, n: int = 3) -> Column:
-    """Word n-gram shingles (n consecutive tokens joined by space)."""
-    toks = tokens(F.lower(_col(c)))
+def char_ngrams(c: ColumnLike, n: int = 5) -> Column:
+    """Character n-gram shingles of the normalized text (for MinHash/Jaccard).
+    Single-expression convenience — for per-row hot paths use
+    :func:`char_ngrams_of` over a pre-materialized normalized column."""
+    return char_ngrams_of(normalize(c), n)
+
+
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over an ALREADY-materialized token-array column
+    (same hot-path contract as :func:`char_ngrams_of`: the transform lambda
+    evaluates its argument per element, so pass a column reference, not the
+    tokenizing regexp subtree)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(F.lit(0), cnt - F.lit(n)))
     return F.array_distinct(
         F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
         .otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def word_shingles(c: ColumnLike, n: int = 3) -> Column:
+    """Word n-gram shingles (n consecutive tokens joined by space)."""
+    return word_shingles_of(tokens(F.lower(_col(c))), n)
 
 
 def language_id(c: ColumnLike) -> Column:
