@@ -2441,3 +2441,108 @@ def q_except_all(spark, sf_dir):
     views = ev.filter("event_type = 'view'").select("user_id")
     buys = ev.filter("event_type = 'purchase'").select("user_id")
     return views.exceptAll(buys)
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: q15/q16 shapes, forward-fill, bag intersection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey, {DSUM('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q_q15(spark, sf_dir):
+    """TPC-H Q15 shape — derived revenue view + uncorrelated MAX scalar
+    subquery (exact decimal totals make the = comparison portable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    revenue.createOrReplaceTempView("revenue_q15")
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%1%')
+    GROUP BY p_brand, p_size
+    """,
+)
+def q_q16(spark, sf_dir):
+    """TPC-H Q16 shape — NOT IN subquery (null-aware anti join) + distinct
+    aggregation over a join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part_q16 JOIN lineitem_q16 ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier_q16 WHERE s_name LIKE '%1%')
+        GROUP BY p_brand, p_size
+        """
+    )
+
+
+@register(
+    "forward_fill",
+    """
+    SELECT event_id,
+           last_value(CASE WHEN event_type <> 'view' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def q_forward_fill(spark, sf_dir):
+    """Forward-fill (gap-fill) — last non-null observation carried forward per
+    key: last_value IGNORE NULLS over a running frame. The canonical
+    sensor/feature-pipeline repair op."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") != "view", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.last(masked, ignorenulls=True).over(w).alias("filled")
+    )
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT user_id FROM
+      (SELECT user_id FROM events WHERE event_type = 'click'
+       INTERSECT ALL
+       SELECT user_id FROM events WHERE event_type = 'purchase')
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """Bag (multiset) intersection — min of the two multiplicities per key."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select("user_id")
+    buys = ev.filter("event_type = 'purchase'").select("user_id")
+    return clicks.intersectAll(buys)
