@@ -1710,6 +1710,7 @@ def _stream_events(spark, sf_dir):
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     stream_dir = tempfile.mkdtemp(prefix="mk_stream_src_")
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))

@@ -64,6 +64,10 @@ def load_table(
     """
     path = f"{sf_dir}/{name}.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # defensive: queries may run on a caller-provided session (the driver's);
+    # event-time rendering (date_format/date_trunc over TimestampType) must be
+    # UTC to match the timezone-naive DuckDB oracle regardless of host TZ
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     nano_cols, num_rows, row_groups = _parquet_meta(path)
     for c in nano_cols:
