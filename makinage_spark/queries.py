@@ -2547,3 +2547,30 @@ def q_intersect_all(spark, sf_dir):
     clicks = ev.filter("event_type = 'click'").select("user_id")
     buys = ev.filter("event_type = 'purchase'").select("user_id")
     return clicks.intersectAll(buys)
+
+
+@register(
+    "serve_batch_inference",
+    """
+    SELECT event_id, CAST(value AS DOUBLE) AS x, value * 2.0 AS pred
+    FROM events
+    """,
+)
+def q_serve_inference(spark, sf_dir):
+    """Serve pipeline through the correctness gate: Arrow-batched
+    pre → predict → post via a module:function predict hook (the reference's
+    custom-predict path, makinage/serve/serve.py:31-43) — no model artifact
+    required, exact double arithmetic so the oracle matches."""
+    from makinage_spark import serve as mserve
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("value").cast("double").alias("x")
+    )
+    config = {
+        "predict": "makinage_spark.sample.serve:double_predict",
+        "input_field": "x",
+        "output_field": "pred",
+    }
+    return mserve.serve(
+        config, ev, output_schema="event_id long, x double, pred double"
+    )

@@ -26,3 +26,9 @@ def post_with_input(pdf: pd.DataFrame, predictions) -> pd.DataFrame:
     out = pdf.copy()
     out["pred"] = [float(p) for p in predictions]
     return out
+
+
+def double_predict(model, features: pd.DataFrame):
+    """Deterministic predict hook for the correctness gate: 2× the first
+    feature column (exact double arithmetic — oracle-portable)."""
+    return (features.iloc[:, 0].astype(float) * 2.0).tolist()
