@@ -1,0 +1,48 @@
+"""Bucketing: the pre-partitioned co-located join (SURVEY §7 scale hardening).
+
+At 100 TB the fact-fact join (lineitem ⋈ orders) cannot broadcast either side;
+the standard fix is to bucket both tables by the join key at write time so the
+join needs NO exchange at read time. This test proves the plan property: the
+bucketed join contains zero shuffle exchanges, while the plain-parquet join of
+the same data shuffles both sides (or broadcasts one).
+"""
+
+import uuid
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    li = spark.range(0, 10_000).selectExpr(
+        "id % 1000 AS l_orderkey", "CAST(id % 50 AS DOUBLE) AS l_quantity"
+    )
+    o = spark.range(0, 1000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 3 AS STRING) AS o_status"
+    )
+    n1, n2 = f"li_b_{uuid.uuid4().hex[:6]}", f"o_b_{uuid.uuid4().hex[:6]}"
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(n1)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(n2)
+    try:
+        # disable auto-broadcast so the test exercises the shuffle-vs-bucket
+        # choice a fact-fact join faces at scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(n1).join(
+            spark.table(n2), spark.table(n1).l_orderkey == spark.table(n2).o_orderkey
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
+def test_unbucketed_join_shuffles(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.range(0, 10_000).selectExpr("id % 1000 AS l_orderkey")
+        o = spark.range(0, 1000).selectExpr("id AS o_orderkey")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
