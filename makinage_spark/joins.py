@@ -119,3 +119,32 @@ def merge(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: spread each hot key of ``big`` over ``salts``
+    reducers by joining on ``(key, salt)`` against a ``salts``-way replicated
+    ``small`` side.
+
+    When one key holds a large share of ``big`` (power-law user ids, null-ish
+    defaults), a plain shuffle join lands that key on ONE reducer and the stage
+    runs at the speed of its slowest task. Salting trades ``salts×`` the small
+    side (which must stay modest — else broadcast it instead) for even reducer
+    load. The salt value is taken from the big side's physical partition id —
+    any assignment works, correctness never depends on it. AQE's skew-join
+    split handles moderate skew automatically; this is the explicit form for
+    the pathological keys AQE's size thresholds miss.
+    """
+    salt = F.pmod(F.spark_partition_id(), F.lit(salts)).alias("__salt")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = b.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -60,3 +60,19 @@ def test_merge_union(spark):
     a = spark.createDataFrame([(1,)], "x long")
     b = spark.createDataFrame([(2,)], "x long")
     assert sorted(r.x for r in joins.merge(a, b).collect()) == [1, 2]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from makinage_spark.joins import salted_join
+
+    # skewed big side: 90% of rows share key 7
+    big = spark.range(0, 5000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 100 END AS k", "id AS v"
+    )
+    small = spark.range(0, 100).selectExpr("id AS k", "id * 10 AS dim")
+    plain = big.join(small, "k").selectExpr("k", "v", "dim")
+    salted = salted_join(big, small, "k", salts=4).selectExpr("k", "v", "dim")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the join key includes the salt → hot key spreads over `salts` reducers
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
