@@ -2574,3 +2574,22 @@ def q_serve_inference(spark, sf_dir):
     return mserve.serve(
         config, ev, output_schema="event_id long, x double, pred double"
     )
+
+
+@register(
+    "salted_join_skew",
+    f"""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_events FROM events GROUP BY user_id)
+    SELECT e.event_id, d.user_events
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-busting salted join (scale hardening): same result as the plain
+    equi-join — correctness is salt-independent — while hot keys spread over
+    `salts` reducers."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
+    out = joins.salted_join(ev.select("event_id", "user_id"), dim, on="user_id", salts=4)
+    return out.select("event_id", "user_events")
