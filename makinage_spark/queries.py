@@ -2593,3 +2593,29 @@ def q_salted_join(spark, sf_dir):
     dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_events"))
     out = joins.salted_join(ev.select("event_id", "user_id"), dim, on="user_id", salts=4)
     return out.select("event_id", "user_events")
+
+
+@register(
+    "app_source_batch",
+    """
+    SELECT i AS id, CAST(i * 7 AS VARCHAR) AS value
+    FROM generate_series(0, 4999) t(i)
+    """,
+)
+def q_app_source(spark, sf_dir):
+    """A5 app-source connector as a Spark 4 Python Data Source: a
+    module:function generator read as a partitioned batch (the reference pumps
+    the same generator on one thread, makinage/driver/app_source.py:23-58)."""
+    from makinage_spark.sources.app_source import AppSource
+
+    try:
+        spark.dataSource.register(AppSource)
+    except Exception:
+        pass
+    return (
+        spark.read.format("makinage_app_source")
+        .option("generator", "makinage_spark.sample.processor:gen_range")
+        .option("n", "5000")
+        .option("partitions", "8")
+        .load()
+    )

@@ -15,3 +15,10 @@ def multiply(config: dict, values: DataFrame) -> tuple[DataFrame]:
         "value", (F.col("value").cast("long") * factor).cast("string")
     )
     return (out,)
+
+
+def gen_range(start: int, end: int):
+    """Sample app-source generator (offset-addressable: deterministic rows for
+    any requested [start, end) index range — the replayability contract of
+    sources.app_source)."""
+    return ((i, str(i * 7)) for i in range(start, end))
