@@ -2619,3 +2619,16 @@ def q_app_source(spark, sf_dir):
         .option("partitions", "8")
         .load()
     )
+
+
+@register("tdigest_quantiles")
+def q_tdigest(spark, sf_dir):
+    """t-digest distributed quantile sketch (rs.math.dist parity, SURVEY
+    §7.2): per-batch partial digests → digest-only shuffle → merged per-key
+    estimates. Rows-only: sketch estimates are partition-layout dependent by
+    nature; row count (one per event_type) is the contract, and accuracy is
+    asserted in tests/test_tdigest.py."""
+    from makinage_spark import tdigest
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return tdigest.digest_quantiles_df(ev, "value", ["event_type"], qs=[0.5, 0.9, 0.99])
