@@ -314,3 +314,47 @@ def test_serve_stream_hot_swap(spark):
     q2.stop()
     assert (5.0, 3.0) in results  # swap observed at micro-batch granularity
     shutil.rmtree(d), shutil.rmtree(d + "_ck")
+
+
+# ---------------------------------------------------------------------------
+# Model publisher (A9, makinage/model_publisher/model_publisher.py:30-111)
+# ---------------------------------------------------------------------------
+
+
+def test_model_publisher_roundtrip(spark):
+    from makinage_spark import model_publisher
+
+    src, sink = tmpdir(), tmpdir()
+    import os
+
+    os.makedirs(src)
+    blob = b"\x50\x4b_fake_model_zip_" + bytes(range(64))
+    with open(f"{src}/model.zip", "wb") as f:
+        f.write(blob)
+    published = model_publisher.publish_models(
+        spark,
+        {"models": [{"file": f"{src}/model.zip",
+                     "topic": {"format": "parquet", "path": sink, "name": "models"}}]},
+    )
+    assert published == [("models", 1)]
+    back = spark.read.parquet(sink).collect()
+    assert len(back) == 1 and bytes(back[0].value) == blob
+    shutil.rmtree(src), shutil.rmtree(sink)
+
+
+def test_model_publisher_size_cap(spark):
+    from makinage_spark import model_publisher
+
+    src = tmpdir()
+    import os
+
+    os.makedirs(src)
+    with open(f"{src}/big.zip", "wb") as f:
+        f.write(b"x" * (model_publisher.MAX_REQUEST_SIZE + 1))
+    with pytest.raises(ValueError, match="publish cap"):
+        model_publisher.publish_models(
+            spark,
+            {"models": [{"file": f"{src}/big.zip",
+                         "topic": {"format": "parquet", "path": tmpdir()}}]},
+        )
+    shutil.rmtree(src)
