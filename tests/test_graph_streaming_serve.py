@@ -358,3 +358,37 @@ def test_model_publisher_size_cap(spark):
                          "topic": {"format": "parquet", "path": tmpdir()}}]},
         )
     shutil.rmtree(src)
+
+
+def test_streaming_distinct_within_watermark(spark):
+    """rs.ops.distinct in streaming with bounded state: duplicates within the
+    watermark window are dropped across micro-batches."""
+    from makinage_spark import ops, pipe
+
+    d = tmpdir()
+    schema = "k long, t timestamp"
+    rows_b0 = [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:01:00")]
+    rows_b1 = [(1, "2024-01-01 00:02:00"), (3, "2024-01-01 00:03:00")]  # 1 is a dup
+    for i, rows in enumerate([rows_b0, rows_b1]):
+        spark.createDataFrame(
+            [(k, t) for k, t in rows], "k long, t string"
+        ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t").coalesce(1).write.parquet(
+            f"{d}/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+        .withWatermark("t", "1 hour")
+    )
+    out = pipe(stream, ops.distinct("k", within_watermark=True)).select("k")
+    name = f"dwm_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", d + "_ck")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.k for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [1, 2, 3]
+    shutil.rmtree(d), shutil.rmtree(d + "_ck")
