@@ -2632,3 +2632,32 @@ def q_tdigest(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return tdigest.digest_quantiles_df(ev, "value", ["event_type"], qs=[0.5, 0.9, 0.99])
+
+
+@register(
+    "group_apply_pipeline",
+    """
+    SELECT event_id,
+           round(value - quantile_cont(value, 0.5) OVER (PARTITION BY user_id), 6)
+             AS centered
+    FROM events
+    """,
+)
+def q_group_apply(spark, sf_dir):
+    """rs.ops.group_by(key, sub-pipeline) in full generality: an arbitrary
+    per-key pandas transform via applyInPandas (median-centering — needs the
+    whole group, not an aggregate). Oracle = window quantile_cont; pandas'
+    interpolated median is numerically identical at 6dp."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def center(pdf):
+        out = pdf[["event_id"]].copy()
+        out["centered"] = (pdf["value"] - pdf["value"].median()).round(6)
+        return out
+
+    return pipe(
+        ev,
+        ops.group_by(
+            ["user_id"], apply_fn=center, apply_schema="event_id long, centered double"
+        ),
+    )
