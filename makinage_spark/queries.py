@@ -2661,3 +2661,30 @@ def q_group_apply(spark, sf_dir):
             ["user_id"], apply_fn=center, apply_schema="event_id long, centered double"
         ),
     )
+
+
+@register(
+    "map_type_functions",
+    """
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(len(json_keys(props)) AS INT) AS n_keys,
+           CAST(props->>'k' AS INT) AS k_val,
+           CAST(props->>'k' AS INT) * 2 AS k_doubled
+    FROM events WHERE event_id < 3000
+    """,
+)
+def q_map_functions(spark, sf_dir):
+    """MapType surface: dict payloads (makinage/encoding/json.py) parsed to a
+    real map column — keys, cardinality, element access, value transform
+    (map_* functions over from_json)."""
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 3000")
+    m = F.from_json("props", "map<string,int>")
+    doubled = F.transform_values(m, lambda k, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(doubled, "k").alias("k_doubled"),
+    )
