@@ -2688,3 +2688,35 @@ def q_map_functions(spark, sf_dir):
         F.element_at(m, "k").alias("k_val"),
         F.element_at(doubled, "k").alias("k_doubled"),
     )
+
+
+@register(
+    "array_higher_order",
+    """
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+           CAST(len(embedding) > 0
+                AND len(list_filter(embedding, x -> x > 0.9)) > 0 AS BOOLEAN) AS has_big,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS self_dot
+    FROM embeddings WHERE vec_id < 500
+    """,
+)
+def q_array_hof(spark, sf_dir):
+    """Array higher-order functions (filter / exists / zip_with) — the
+    columnar form of per-element lambdas the reference would run in Python."""
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 500")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: x > 0.9).alias("has_big"),
+        F.round(
+            F.aggregate(
+                F.zip_with(v, v, lambda a, b: a.cast("double") * b.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("self_dot"),
+    )
