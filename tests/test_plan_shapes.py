@@ -1,0 +1,58 @@
+"""Physical-plan regression tests: lock in the plan properties the engine is
+designed around (SURVEY §4.2). These fail if a future change silently degrades
+a plan — e.g. a lost broadcast, a filter that stops reaching the scan, or a
+Python UDF sneaking into a hot path.
+"""
+
+import pytest
+
+from makinage_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name):
+    return QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_single_shuffle_with_partial_agg(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # exactly one hash exchange: the 2-value group-by key
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # customer, supplier, nation, region, orders: all joined by broadcast —
+    # the fact table reaches the final agg without a join shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q6_filters_reach_the_scan(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    scan = plan[plan.index("FileScan parquet") :]
+    head = scan[:600]
+    assert "l_shipdate" in head and "l_discount" in head  # pushed DataFilters
+    # column pruning: only the 4 needed columns are read
+    assert "l_returnflag" not in head.split("DataFilters")[0]
+
+
+def test_no_python_udf_in_relational_paths(spark):
+    for name in ["q3_shipping_priority", "window_rank_top3", "sessionize",
+                 "dedup_exact", "text_quality"]:
+        assert "BatchEvalPython" not in plan_of(spark, name), name
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    plan = plan_of(spark, "exists_subquery")
+    assert "LeftSemi" in plan  # no per-row subquery execution
+
+
+def test_minhash_pairs_reuses_band_table(spark):
+    df = QUERIES["dedup_minhash_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # persisted band table → InMemoryTableScan on both join branches
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
