@@ -2720,3 +2720,21 @@ def q_array_hof(spark, sf_dir):
             4,
         ).alias("self_dot"),
     )
+
+
+@register("embedding_neardup_lsh")
+def q_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup at scale: hyperplane-LSH bucket blocking so
+    candidate pairs form only within buckets — the O(n²/b) scale path of
+    embedding_neardup. The fixture vectors are near-orthogonal randoms (no
+    natural near-dups), so the corpus is unioned with an id-shifted copy of
+    itself: every planted duplicate lands in its twin's bucket (identical
+    vector → identical bucket) and must surface at cosine 1.0. Rows-only:
+    exactly one pair per planted duplicate is the deterministic contract."""
+    emb = load_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(planted)
+    blocked = corpus.withColumn(
+        "__bucket", vectors.hyperplane_bucket("embedding", dim=64, planes=8)
+    )
+    return dedup.embedding_neardup_pairs(blocked, threshold=0.999, block_on="__bucket")
