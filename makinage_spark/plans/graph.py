@@ -56,6 +56,19 @@ def _load_topic(spark: SparkSession, topic: dict[str, Any], streaming: bool) -> 
         df = getattr(reader.format(fmt).options(**topic.get("options", {})), "load")(
             topic["path"]
         )
+    elif fmt == "app":
+        # user-generator topic (A5): the Python Data Source app connector
+        from makinage_spark.sources.app_source import AppSource
+
+        try:
+            spark.dataSource.register(AppSource)
+        except Exception:
+            pass  # already registered
+        reader = spark.readStream if streaming else spark.read
+        opts = {k: str(v) for k, v in topic.get("options", {}).items()}
+        if "schema" in topic:
+            opts["schema"] = topic["schema"]
+        df = reader.format("makinage_app_source").options(**opts).load()
     elif fmt == "kafka":
         from makinage_spark.sources.kafka import kafka_source
 

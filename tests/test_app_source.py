@@ -57,3 +57,43 @@ def test_app_source_streaming_drains_to_limit(spark):
         assert got == list(range(100))  # finite source drains exactly once
     finally:
         q.stop()
+
+
+def test_yaml_graph_with_app_topic(spark):
+    """End-to-end: YAML graph whose source topic is a user generator (A5) —
+    generator → multiply factory → parquet sink."""
+    import shutil
+
+    from makinage_spark.plans import run_graph
+
+    outdir = f"/tmp/mk_appgraph_{uuid.uuid4().hex[:8]}"
+    config = {
+        "application": {"name": "appgraph", "source_type": "batch"},
+        "topics": [
+            {
+                "name": "values",
+                "format": "app",
+                "schema": "id bigint, value string",
+                "options": {
+                    "generator": "makinage_spark.sample.processor:gen_range",
+                    "n": 100,
+                    "partitions": 4,
+                },
+            },
+            {"name": "multiplied_values", "format": "parquet", "path": outdir},
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    run_graph(spark, config)
+    out = spark.read.parquet(outdir)
+    got = {r.id: r.value for r in out.collect()}
+    assert len(got) == 100
+    assert got[5] == str(5 * 7 * 3)  # gen emits i*7, operator multiplies by 3
+    shutil.rmtree(outdir)
