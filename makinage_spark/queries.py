@@ -2738,3 +2738,47 @@ def q_neardup_lsh(spark, sf_dir):
         "__bucket", vectors.hyperplane_bucket("embedding", dim=64, planes=8)
     )
     return dedup.embedding_neardup_pairs(blocked, threshold=0.999, block_on="__bucket")
+
+
+@register(
+    "throttle_first_per_minute",
+    f"""
+    SELECT user_id,
+           {FMT_TS("date_trunc('minute', CAST(ts AS TIMESTAMP))")} AS minute,
+           arg_min(event_id, CAST(ts AS TIMESTAMP)) AS first_event
+    FROM events
+    GROUP BY user_id, date_trunc('minute', CAST(ts AS TIMESTAMP))
+    """,
+)
+def q_throttle_first(spark, sf_dir):
+    """rx throttle/debounce family in event time: keep the FIRST event per
+    key per time bucket ((user_id, ts) unique → min_by deterministic). The
+    declarative form of rate limiting — no timers, just a keyed min."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("minute", "ts").alias("__m")
+    ).agg(
+        F.min_by("event_id", "ts").alias("first_event")
+    ).select("user_id", fmt_ts(F.col("__m")).alias("minute"), "first_event")
+
+
+@register(
+    "buffer_time_window",
+    f"""
+    SELECT user_id,
+           {FMT_TS("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour,
+           list_sort(array_agg(event_id)) AS event_ids
+    FROM events
+    GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def q_buffer_window(spark, sf_dir):
+    """rx buffer_with_time: collect each key's events per tumbling window
+    into an ordered array (sorted for a deterministic contract —
+    collect_list alone has no order guarantee across partitions)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("__h")
+    ).agg(
+        F.sort_array(F.collect_list("event_id")).alias("event_ids")
+    ).select("user_id", fmt_ts(F.col("__h")).alias("hour"), "event_ids")
