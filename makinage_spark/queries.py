@@ -2782,3 +2782,20 @@ def q_buffer_window(spark, sf_dir):
     ).agg(
         F.sort_array(F.collect_list("event_id")).alias("event_ids")
     ).select("user_id", fmt_ts(F.col("__h")).alias("hour"), "event_ids")
+
+
+@register(
+    "pandas_udf_scalar",
+    """
+    SELECT event_id, round(1.0 / (1.0 + exp(-value / 100.0)), 6) AS sigmoid
+    FROM events WHERE event_id < 4000
+    """,
+)
+def q_pandas_udf(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF — the sanctioned escape hatch for
+    per-record Python (the reference's arbitrary lambdas, SURVEY §2.3 UDF
+    surface): numpy math over Arrow batches, ~10-100× a row-at-a-time UDF."""
+    from makinage_spark.functions.udfs import sigmoid100
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 4000")
+    return ev.select("event_id", sigmoid100("value").alias("sigmoid"))

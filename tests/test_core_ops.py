@@ -110,3 +110,22 @@ def test_assert_passes_and_fails(spark):
     assert pipe(df, ops.assert_(F.col("x") > 0)).count() == 2
     with pytest.raises(AssertionError):
         pipe(df, ops.assert_(F.col("x") > 1)).count()
+
+
+def test_python_udtf_surface(spark):
+    """Official Python UDTF surface (SURVEY §2.3: flat_map-with-user-fn = the
+    UDTF shape): lateral 1→N expansion per input row."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class Splitter:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    spark.udtf.register("split_words", Splitter)
+    out = spark.sql(
+        "SELECT t.word, t.pos FROM (SELECT 'a bb ccc' AS s), "
+        "LATERAL split_words(s) t"
+    ).collect()
+    assert [(r.word, r.pos) for r in out] == [("a", 0), ("bb", 1), ("ccc", 2)]
