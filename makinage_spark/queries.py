@@ -2799,3 +2799,56 @@ def q_pandas_udf(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events").filter("event_id < 4000")
     return ev.select("event_id", sigmoid100("value").alias("sigmoid"))
+
+
+@register(
+    "q12_late_shipping",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_late,
+           count_if(o_orderstatus = 'F') AS n_late_finished
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE CAST(l_shipdate AS TIMESTAMP) > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q12(spark, sf_dir):
+    """TPC-H Q12 shape (adapted to available columns) — join + cross-table
+    date-arithmetic predicate + conditional counts."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_late_finished"),
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t FROM events),
+    w AS (
+      SELECT make_timestamp((epoch_ms(t) // 1800000) * 1800000 * 1000) AS ws FROM e
+      UNION ALL
+      SELECT make_timestamp((epoch_ms(t) // 1800000) * 1800000 * 1000)
+             - INTERVAL 30 MINUTE AS ws FROM e
+    )
+    SELECT {FMT_TS('ws')} AS window_start, COUNT(*) AS n
+    FROM w GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding window (1h window / 30m slide — each event counts in
+    two windows), complete mode; hash-matches the batch sliding oracle."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(fmt_ts(F.col("w.start")).alias("window_start"), "n")
+    )
+    return _drain(agg, "complete")

@@ -40,5 +40,5 @@ def test_every_oracle_has_a_query():
 
 def test_registry_size_floor():
     # coverage must never silently shrink across rounds
-    assert len(QUERIES) >= 107
-    assert len(ORACLES) >= 99
+    assert len(QUERIES) >= 109
+    assert len(ORACLES) >= 101
