@@ -34,6 +34,7 @@ SKIP = {
     "stream_scan_running",
     "stream_roll_windows",
     "stream_stream_join",
+    "stream_sliding_window",
     # runs a graph write as a side effect
     "graph_multiply_sample",
 }
