@@ -438,8 +438,11 @@ def q_merge(spark, sf_dir):
 )
 def q_q1(spark, sf_dir):
     """TPC-H Q1 shape — the flagship scan→filter→agg; filter pushed to parquet,
-    partial aggregation map-side, one shuffle on a 2-value key."""
-    li = load_table(spark, sf_dir, "lineitem")
+    partial aggregation map-side, one shuffle on a 2-value key. parallelize=True:
+    7 decimal aggregates per row is exactly the heavy map-side work the
+    scan-parallelism repair exists for (A/B measured 2.3× on the single-row-
+    group fixture)."""
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))

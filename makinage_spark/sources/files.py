@@ -48,19 +48,21 @@ def _parquet_meta(path: str) -> tuple[list[str], int, int]:
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = True
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
 ) -> DataFrame:
     """Load one testdata table, normalizing nano-timestamps to TimestampType.
 
-    Scan-parallelism repair: a parquet scan can't be split below row-group
-    granularity, and the test fixtures are single-file/single-row-group — so a
-    600k-row aggregation would run map-side in ONE task regardless of cores. On
-    a real lake (many files, 128 MB row groups) Spark gets scan parallelism for
-    free and this repartition never fires; here we round-robin the big tables
-    across the default parallelism once, right after the (inherently serial)
-    decode, so every downstream stage runs wide. Narrow ops that want scan
-    pushdown benefits untouched by an extra exchange can pass
-    ``parallelize=False``.
+    Scan-parallelism repair (``parallelize=True``): a parquet scan can't be
+    split below row-group granularity, and the test fixtures are single-file/
+    single-row-group — so heavy map-side work (many decimal aggregates per
+    row) runs in ONE task regardless of cores. Opt-in round-robins the big
+    tables across the default parallelism right after the (inherently serial)
+    decode. OFF by default: the exchange costs ~1 full row-serialization pass,
+    a net loss for scan→broadcast-join→agg shapes whose per-row work is light
+    (measured 2× slower on TPC-H q5) and for anything that immediately
+    shuffles on a key anyway. On a real lake (many files, 128 MB row groups)
+    scan parallelism comes from splits and neither mode fires an extra
+    exchange.
     """
     path = f"{sf_dir}/{name}.parquet"
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
