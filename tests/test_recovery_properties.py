@@ -165,3 +165,47 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol):
         for _, row in expected.iterrows()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark):
+    """Late events beyond the watermark are excluded from closed windows —
+    the lateness bound the reference approximates with merge_lookup_depth
+    (SURVEY §1.3). Two separate runs from one checkpoint: the watermark
+    persists across restarts, so run 2's late arrival is dropped."""
+    import pyspark.sql.functions as F
+
+    d, ckpt, outdir = tmpdir(), tmpdir(), tmpdir()
+    schema = "k long, t timestamp"
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).parquet(f"{d}/b*")
+            .withWatermark("t", "10 minutes")
+        )
+        agg = (
+            stream.groupBy(F.window("t", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+        q = (agg.writeStream.format("parquet").outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start(outdir))
+        q.awaitTermination(120)
+
+    def write(i, rows):
+        spark.createDataFrame(rows, "k long, t string").selectExpr(
+            "k", "CAST(t AS TIMESTAMP) AS t"
+        ).coalesce(1).write.parquet(f"{d}/b{i}")
+
+    # run 1: watermark advances to 10:00 - 10min = 09:50
+    write(0, [(1, "2024-01-01 09:00:00"), (1, "2024-01-01 09:10:00"),
+              (1, "2024-01-01 10:00:00")])
+    run()
+    # run 2 (restart from checkpoint): 09:05 is behind the persisted
+    # watermark → dropped; 10:40 advances the stream
+    write(1, [(1, "2024-01-01 09:05:00"), (1, "2024-01-01 10:40:00")])
+    run()
+    got = {r.ws: r.n for r in spark.read.parquet(outdir).collect()}
+    # the 09:00 window closed with ONLY the two on-time events
+    assert got.get("2024-01-01 09:00:00") == 2, got
+    shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
