@@ -2855,3 +2855,45 @@ def q_stream_sliding(spark, sf_dir):
         .select(fmt_ts(F.col("w.start")).alias("window_start"), "n")
     )
     return _drain(agg, "complete")
+
+
+@register(
+    "graph_multiply_streaming",
+    "SELECT CAST(event_id * 3 AS VARCHAR) AS value FROM events",
+)
+def q_graph_multiply_streaming(spark, sf_dir):
+    """The multiply graph in STREAMING mode — same YAML, same factory, same
+    oracle as graph_multiply_sample, executed as a checkpointed
+    writeStream (availableNow): the reference's batch/stream unification
+    contract (README.rst:38) holding across the whole framework path."""
+    import tempfile
+
+    from makinage_spark.plans import run_graph
+
+    base = tempfile.mkdtemp(prefix="mk_graph_s_")
+    indir, outdir = f"{base}/values", f"{base}/multiplied"
+    load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("string").alias("value")
+    ).write.parquet(indir)
+    config = {
+        "application": {"name": "sample_stream", "source_type": "stream"},
+        "topics": [
+            {"name": "values", "format": "parquet", "path": indir, "schema": "value string"},
+            {
+                "name": "multiplied_values",
+                "format": "parquet",
+                "path": outdir,
+                "checkpoint": f"{base}/_ckpt",
+            },
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    run_graph(spark, config)
+    return spark.read.parquet(outdir)

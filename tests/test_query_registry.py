@@ -19,6 +19,7 @@ SF_DIR = os.environ.get("SMOKE_SF_DIR", "/root/testdata/sf0.001")
 #: run a representative pair rather than all of them on every pytest pass.
 SLOW_STREAMING = {"stream_hourly_counts", "stream_roll_windows"}
 SKIP_IN_SMOKE = {"stream_dedup_keys", "stream_scan_running"}
+SLOW_STREAMING = SLOW_STREAMING | {"stream_stream_join", "stream_sliding_window", "graph_multiply_streaming"}
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - SKIP_IN_SMOKE))
@@ -40,5 +41,5 @@ def test_every_oracle_has_a_query():
 
 def test_registry_size_floor():
     # coverage must never silently shrink across rounds
-    assert len(QUERIES) >= 109
-    assert len(ORACLES) >= 101
+    assert len(QUERIES) >= 110
+    assert len(ORACLES) >= 102
