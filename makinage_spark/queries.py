@@ -2897,3 +2897,57 @@ def q_graph_multiply_streaming(spark, sf_dir):
     }
     run_graph(spark, config)
     return spark.read.parquet(outdir)
+
+
+@register(
+    "zip_by_index",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.rn, c.click_id, p.purchase_id
+    FROM c JOIN p ON c.user_id = p.user_id AND c.rn = p.rn
+    """,
+)
+def q_zip_by_index(spark, sf_dir):
+    """rx.zip: pair the i-th element of two streams (per key, event order) —
+    row_number alignment + equi-join; the inner join truncates at the shorter
+    stream exactly like Rx zip."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def numbered(kind, alias):
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .withColumn("rn", F.row_number().over(w))
+            .select("user_id", "rn", F.col("event_id").alias(alias))
+        )
+
+    c, p = numbered("click", "click_id"), numbered("purchase", "purchase_id")
+    return c.join(p, ["user_id", "rn"]).select("user_id", "rn", "click_id", "purchase_id")
+
+
+@register(
+    "start_with_seed",
+    """
+    SELECT CAST(-1 AS BIGINT) AS event_id, 'seed' AS event_type, 0.0 AS value
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE event_id < 100
+    """,
+)
+def q_start_with(spark, sf_dir):
+    """rx start_with: prepend a seed record to the stream (the bootstrap
+    record pattern of config streams, makinage/config.py) — a literal-row
+    union."""
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 100")
+    seed = spark.createDataFrame(
+        [(-1, "seed", 0.0)], "event_id bigint, event_type string, value double"
+    )
+    return seed.unionByName(ev.select("event_id", "event_type", "value"))
