@@ -2951,3 +2951,46 @@ def q_start_with(spark, sf_dir):
         [(-1, "seed", 0.0)], "event_id bigint, event_type string, value double"
     )
     return seed.unionByName(ev.select("event_id", "event_type", "value"))
+
+
+@register(
+    "bool_aggregates",
+    """
+    SELECT user_id,
+           bool_and(value < 490) AS all_small,
+           bool_or(event_type = 'error') AS any_error,
+           count_if(value > 400) AS n_big
+    FROM events GROUP BY user_id
+    """,
+)
+def q_bool_aggs(spark, sf_dir):
+    """Boolean aggregates (every/any) — the predicate-summary shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.every(F.col("value") < 490).alias("all_small"),
+        F.some(F.col("event_type") == "error").alias("any_error"),
+        F.count_if(F.col("value") > 400).alias("n_big"),
+    )
+
+
+@register(
+    "linear_regression_agg",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_regression(spark, sf_dir):
+    """Linear-regression aggregates (regr_*) — one-pass moment-based fits,
+    the analytic-aggregate family beyond plain variance/corr."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
