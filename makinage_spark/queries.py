@@ -2994,3 +2994,35 @@ def q_regression(spark, sf_dir):
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+#: GPT-2-style pretokenizer, RE2/Java-compatible subset (no lookaheads):
+#: contractions, space-prefixed letter runs, digit runs, punctuation runs.
+BPE_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+#: same pattern with SQL-escaped quotes for the oracle literal
+BPE_RE_SQL = BPE_RE.replace("'", "''")
+
+
+@register(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\s+')) + 1 AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE_SQL}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting two ways (north-star: 'whitespace + a BPE-ish regex'):
+    whitespace-split count and a GPT-2-style pretokenizer count — the
+    length-budget signals every training-data pipeline filters on."""
+    docs = load_wide(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        (F.size(F.regexp_extract_all("text", F.lit("\\s+"), 0)) + 1)
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
