@@ -3026,3 +3026,40 @@ def q_token_count_bpe(spark, sf_dir):
         .cast("bigint")
         .alias("bpe_tokens"),
     )
+
+
+@register(
+    "term_document_frequency",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+        AS tok
+      FROM documents),
+    df AS (
+      SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT tok, doc_freq,
+           round(ln(CAST(total AS DOUBLE) / doc_freq), 6) AS idf
+    FROM df, n WHERE doc_freq >= 50
+    """,
+)
+def q_term_df(spark, sf_dir):
+    """Document frequency + IDF over the token inverted index — the corpus
+    statistics behind stop-shingle filtering (dedup.ngram_jaccard_pairs scale
+    note) and tf-idf features. One explode + two aggregations; the tiny
+    total-docs count joins as a broadcast scalar."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias("tok")
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = docs.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        df_counts.filter(F.col("doc_freq") >= 50)
+        .join(F.broadcast(total))
+        .select(
+            "tok",
+            "doc_freq",
+            F.round(F.log(F.col("total").cast("double") / F.col("doc_freq")), 6).alias("idf"),
+        )
+    )
