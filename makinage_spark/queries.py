@@ -3063,3 +3063,26 @@ def q_term_df(spark, sf_dir):
             F.round(F.log(F.col("total").cast("double") / F.col("doc_freq")), 6).alias("idf"),
         )
     )
+
+
+@register(
+    "serde_json_roundtrip",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_id < 3000
+    """,
+)
+def q_serde_roundtrip(spark, sf_dir):
+    """Topic serde through the gate (A11, makinage/encoding/json.py): encode
+    each record to a Kafka-shaped binary value column, then decode back
+    through the json codec — the identity law every topic encoder must obey
+    (tests/encoding/test_json.py byte-level goldens, generalized)."""
+    from makinage_spark.encodings import json_decode, json_encode
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 3000").select(
+        "event_id", "event_type", "value"
+    )
+    wire = pipe(ev, json_encode(["event_id", "event_type", "value"])).select("value")
+    back = pipe(
+        wire, json_decode("event_id bigint, event_type string, value double")
+    )
+    return back.select("record.event_id", "record.event_type", "record.value")

@@ -209,3 +209,37 @@ def test_watermark_drops_late_data(spark):
     # the 09:00 window closed with ONLY the two on-time events
     assert got.get("2024-01-01 09:00:00") == 2, got
     shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
+
+
+def test_streaming_scan_on_rocksdb_state_store(spark):
+    """The scale-grade state backend: the same stateful operator runs
+    unchanged on the RocksDB state store provider (bounded executor memory at
+    100 TB state; SURVEY §4.2 state row)."""
+    d, ckpt = tmpdir(), tmpdir()
+    schema = "user long, seq long, value double"
+    spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 3.0), (2, 1, 7.0)], schema
+    ).coalesce(1).write.parquet(f"{d}/b0")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(f"{d}/b*")
+        out = streaming_scan(stream, "user", "value", "seq")
+        name = f"rocks_{uuid.uuid4().hex[:6]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            (r.user, r.seq, r.running_total) for r in spark.table(name).collect()
+        )
+        assert got == [(1, 1, 2.0), (1, 2, 5.0), (2, 1, 7.0)]
+    finally:
+        if prev:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    shutil.rmtree(d), shutil.rmtree(ckpt)
