@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from makinage_spark import data, dedup, joins, ops, pipe, smath, text, vectors
@@ -3086,3 +3086,213 @@ def q_serde_roundtrip(spark, sf_dir):
         wire, json_decode("event_id bigint, event_type string, value double")
     )
     return back.select("record.event_id", "record.event_type", "record.value")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes: q2 / q9 / q11 / q20 / q21 adaptations (no partsupp table in
+# the testdata, so cost/availability predicates are re-anchored on lineitem
+# and p_retailprice; the *plan shapes* — correlated MIN, multi-dim profit
+# rollup, global-fraction HAVING, nested semi joins, last-shipper window —
+# are the point)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    SELECT p.p_partkey, s.s_name, l.l_extendedprice AS min_price
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 3
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    """,
+)
+def q_q2_min_cost(spark, sf_dir):
+    """TPC-H Q2 shape — correlated MIN subquery ("the cheapest supplier for
+    each part"), decorrelated into a min-per-key aggregate re-joined to the
+    fact on (key, value=min). Both sides of the self-join hash on l_partkey so
+    AQE can reuse one exchange; part and supplier dims broadcast.
+
+    Equality on l_extendedprice is safe: values are exact 2-decimal doubles
+    and MIN involves no arithmetic (SURVEY §2.3 joins checklist)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 3)
+    s = load_table(spark, sf_dir, "supplier")
+    min_price = li.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("mp"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            min_price,
+            (li.l_partkey == min_price.l_partkey) & (li.l_extendedprice == F.col("mp")),
+        )
+        .select("p_partkey", "s_name", F.col("l_extendedprice").alias("min_price"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {DSUM('l_extendedprice * (1 - l_discount) - 0.01 * p_retailprice * l_quantity')}
+             AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_q9_profit(spark, sf_dir):
+    """TPC-H Q9 shape — product-line profit by nation and year. The partsupp
+    supplycost is proxied by 1% of p_retailprice (no partsupp table in the
+    testdata); the plan shape is the same: selective dim filter (p_name LIKE)
+    broadcast into the fact scan first, two more broadcast dims, one shuffle
+    join against orders, single group-by. Profit per row is one IEEE
+    expression evaluated identically by both engines, then exact-decimal
+    summed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH rev AS (
+      SELECT p_type,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(18,6))) AS v
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_type)
+    SELECT p_type, CAST(v AS DOUBLE) AS value
+    FROM rev
+    WHERE v * 25 > (SELECT SUM(v) FROM rev)
+    """,
+)
+def q_q11_important(spark, sf_dir):
+    """TPC-H Q11 shape — groups whose share of the global total exceeds a
+    fraction (uncorrelated scalar subquery over the same aggregate). The
+    threshold compare stays in exact decimal arithmetic (v*25 > total ⇔
+    v > 4% of total) so the boundary is engine-portable; the one-row global
+    total broadcasts back onto the per-group rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vdec = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(18,6)"
+    )
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(F.sum(vdec).alias("v"))
+    )
+    total = rev.agg(F.sum("v").alias("total"))
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("v") * 25 > F.col("total"))
+        .select("p_type", F.col("v").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) > 400)
+    """,
+)
+def q_q20_excess(spark, sf_dir):
+    """TPC-H Q20 shape — nested IN subqueries: parts matching a name prefix →
+    suppliers who moved > 400 units of them. Inner IN becomes a broadcast
+    left-semi join pushed into the lineitem scan; the qualifying-supplier set
+    (tiny) broadcasts into the outer semi join, so the supplier table is never
+    shuffled. Quantity threshold in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity"), 6).cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey, l_suppkey),
+    marked AS (
+      SELECT l_orderkey, l_suppkey, last_ship,
+             MAX(last_ship) OVER (PARTITION BY l_orderkey) AS order_max,
+             COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+      FROM per)
+    SELECT s_name, COUNT(*) AS numwait
+    FROM marked
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F' AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND n_supp >= 2 AND last_ship = order_max
+    GROUP BY s_name
+    """,
+)
+def q_q21_waiting(spark, sf_dir):
+    """TPC-H Q21 shape — "suppliers who kept multi-supplier orders waiting":
+    the supplier whose last shipment is the order's last shipment, in orders
+    with ≥2 suppliers. The reference formulation is EXISTS + NOT EXISTS
+    self-joins on lineitem; here both collapse into ONE pass — groupBy
+    (order, supplier), then analytic max/count over the order — so lineitem
+    is shuffled once on l_orderkey instead of three times. Timestamps are
+    compared, never emitted, so no format skew."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    per = li.groupBy("l_orderkey", "l_suppkey").agg(F.max("l_shipdate").alias("last_ship"))
+    w = Window.partitionBy("l_orderkey")
+    marked = per.select(
+        "*",
+        F.max("last_ship").over(w).alias("order_max"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+    ).filter((F.col("n_supp") >= 2) & (F.col("last_ship") == F.col("order_max")))
+    return (
+        marked.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "inner")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
