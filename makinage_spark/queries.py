@@ -3296,3 +3296,176 @@ def q_q21_waiting(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "text_repetition_signals",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS pos
+      FROM documents),
+    bigrams AS (
+      SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM toks),
+    tok_counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tok_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_tok
+      FROM tok_counts GROUP BY doc_id),
+    bg_counts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams WHERE bg IS NOT NULL
+                  GROUP BY doc_id, bg),
+    bg_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bg
+      FROM bg_counts GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS ttr,
+           CAST(t.top_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+           COALESCE(CAST(b.top_bg AS DOUBLE) / b.n_bigrams, 0.0) AS top_bigram_frac,
+           (t.n_tokens BETWEEN 50 AND 100000
+            AND CAST(t.n_distinct AS DOUBLE) / t.n_tokens > 0.05
+            AND COALESCE(CAST(b.top_bg AS DOUBLE) / b.n_bigrams, 0.0) < 0.2) AS keep
+    FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (north-star text analysis): per-doc
+    type-token ratio, most-frequent-token fraction, most-frequent-bigram
+    fraction, and a frozen keep/drop filter — the repetition-based quality
+    gates a training-data pipeline applies before dedup.
+
+    Spark shape: tokenize once, explode → two (doc, term) count aggregates
+    (tokens and adjacent-pair bigrams), re-join on doc_id. All ratios are one
+    IEEE division of exact integer counts, so the comparison thresholds are
+    engine-portable. At 100 TB the explode-shuffle partitions by (doc_id,
+    term) with map-side partial counts; no driver collection anywhere."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    t = toks.select("doc_id", F.explode("toks").alias("tok"))
+    tok_stats = (
+        t.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', toks[i + 1]))"
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("bigint").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_tok_frac = F.col("top_tok").cast("double") / F.col("n_tokens")
+    top_bg_frac = F.coalesce(
+        F.col("top_bg").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            ttr.alias("ttr"),
+            top_tok_frac.alias("top_token_frac"),
+            top_bg_frac.alias("top_bigram_frac"),
+            (
+                F.col("n_tokens").between(50, 100000)
+                & (ttr > 0.05)
+                & (top_bg_frac < 0.2)
+            ).alias("keep"),
+        )
+    )
+
+
+@register(
+    "stream_topk_state",
+    """
+    SELECT user_id, rank, value, event_id FROM (
+      SELECT user_id, value, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY value DESC, event_id) AS BIGINT) AS rank
+      FROM events) t
+    WHERE rank <= 3
+    """,
+)
+def q_stream_topk_state(spark, sf_dir):
+    """Per-key streaming top-k with BOUNDED state (k pairs per key; SURVEY
+    §7.2 'custom state logic'). The last emission per key (max batch-seq)
+    equals the batch top-k, which the window oracle checks. Runs on
+    applyInPandasWithState here; the same processor ships as
+    streaming_topk_tws on Spark 4's transformWithStateInPandas, gated on
+    google.protobuf which this container lacks."""
+    from makinage_spark.streaming import (
+        has_transform_with_state,
+        streaming_topk,
+        streaming_topk_tws,
+    )
+
+    ev = _stream_events(spark, sf_dir).select("user_id", "value", "event_id")
+    if has_transform_with_state():
+        out = _drain(streaming_topk_tws(ev, "user_id", "value", "event_id", k=3), "update")
+    else:
+        out = _drain(streaming_topk(ev, "user_id", "value", "event_id", k=3))
+    w = Window.partitionBy("user_id")
+    return (
+        out.withColumn("mx", F.max("emit_seq").over(w))
+        .filter(F.col("emit_seq") == F.col("mx"))
+        .select("user_id", "rank", "value", "event_id")
+    )
+
+
+@register(
+    "stream_session_window",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value,
+             CASE WHEN CAST(ts AS TIMESTAMP) >=
+                      lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+                      + INTERVAL 30 MINUTE
+                  OR lag(CAST(ts AS TIMESTAMP))
+                        OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sess AS (
+      SELECT user_id, t, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged)
+    SELECT user_id, {FMT_TS('MIN(t)')} AS session_start, COUNT(*) AS n,
+           {DSUM('value')} AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session_window(spark, sf_dir):
+    """STREAMING session windows: readStream → session_window(gap=30m) →
+    complete-mode sink. Sessions merge on overlap across micro-batches in the
+    state store; the result hash-matches the batch gaps-and-islands oracle —
+    the batch/stream unification contract on the hardest window type."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("w.start")).alias("session_start"),
+            "n",
+            "total",
+        )
+    )
+    return _drain(agg, "complete")

@@ -16,6 +16,11 @@ from makinage_spark.streaming.runtime import (
     with_event_time,
 )
 from makinage_spark.streaming.stateful import streaming_roll, streaming_scan
+from makinage_spark.streaming._topk import (
+    has_transform_with_state,
+    streaming_topk,
+    streaming_topk_tws,
+)
 
 __all__ = [
     "with_event_time",
@@ -23,4 +28,7 @@ __all__ = [
     "run_available_now",
     "streaming_roll",
     "streaming_scan",
+    "streaming_topk",
+    "streaming_topk_tws",
+    "has_transform_with_state",
 ]

@@ -1,0 +1,128 @@
+"""Per-key running top-k: the bounded-state custom streaming operator
+(SURVEY §7.2 "custom state logic"; rs.state pipelines over a state store,
+README.rst:80-83).
+
+State is BOUNDED: exactly k (value, id) pairs per key regardless of stream
+length, so at 100 TB the state store holds k·|keys| tuples, not the stream.
+Each micro-batch emits the key's refreshed top-k tagged with a per-key batch
+sequence number (``emit_seq``); the final (max-emit_seq) emission is the all-data answer, so a
+terminal filter on seq = max(seq) recovers the batch-equivalent result. Ties
+break on the id column (deterministic).
+
+Two implementations of the same processor:
+
+- ``streaming_topk`` — ``applyInPandasWithState`` (works everywhere).
+- ``streaming_topk_tws`` — Spark 4's ``transformWithStateInPandas``
+  StatefulProcessor. Its driver/state-server protocol needs the
+  ``google.protobuf`` wheel, which this container lacks, so it is gated on
+  that import; on a normal cluster install it is the preferred surface
+  (schema evolution, timers, RocksDB-only state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+
+def _merge_topk(vals: list, ids: list, k: int) -> tuple[list, list]:
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], ids[i]))[:k]
+    return [vals[i] for i in order], [ids[i] for i in order]
+
+
+def has_transform_with_state() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server RPC."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def streaming_topk(df, key_col: str, value_col: str, order_col: str, k: int = 3):
+    """Bounded-state per-key top-k over ``applyInPandasWithState``."""
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            svals, sids, seq = state.get
+            vals, ids = list(svals), list(sids)
+        else:
+            vals, ids, seq = [], [], 0
+        for pdf in pdfs:
+            vals.extend(float(v) for v in pdf[value_col])
+            ids.extend(int(i) for i in pdf[order_col])
+        vals, ids = _merge_topk(vals, ids, k)
+        seq += 1
+        state.update((vals, ids, seq))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]] * len(vals),
+                "emit_seq": [seq] * len(vals),
+                "rank": list(range(1, len(vals) + 1)),
+                "value": vals,
+                order_col: ids,
+            }
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=(
+            f"{key_col} long, emit_seq long, rank long, value double, {order_col} long"
+        ),
+        stateStructType="vals array<double>, ids array<long>, seq long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def streaming_topk_tws(df, key_col: str, value_col: str, order_col: str, k: int = 3):
+    """Same operator on the Spark 4 StatefulProcessor API
+    (``transformWithStateInPandas``). Requires google.protobuf — see
+    :func:`has_transform_with_state`."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TopK(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "topk", "vals array<double>, ids array<bigint>, seq bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            vals: list = []
+            ids: list = []
+            seq = 0
+            if self._state.exists():
+                svals, sids, seq = self._state.get()
+                vals, ids = list(svals), list(sids)
+            for pdf in rows:
+                vals.extend(float(v) for v in pdf[value_col])
+                ids.extend(int(i) for i in pdf[order_col])
+            vals, ids = _merge_topk(vals, ids, k)
+            seq += 1
+            self._state.update((vals, ids, seq))
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(vals),
+                    "emit_seq": [seq] * len(vals),
+                    "rank": list(range(1, len(vals) + 1)),
+                    "value": vals,
+                    order_col: ids,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=TopK(),
+        outputStructType=(
+            f"{key_col} bigint, emit_seq bigint, rank bigint, value double, {order_col} bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

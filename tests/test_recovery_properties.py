@@ -243,3 +243,48 @@ def test_streaming_scan_on_rocksdb_state_store(spark):
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     shutil.rmtree(d), shutil.rmtree(ckpt)
+
+
+@given(
+    values=st.lists(
+        st.integers(min_value=-1000, max_value=1000).map(float), min_size=1, max_size=25
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    split=st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=6, deadline=None)
+def test_streaming_topk_matches_reference(spark, values, k, split):
+    """streaming_topk's final (max-seq) emission equals the all-data top-k
+    regardless of how the stream is split into micro-batches; ties break on
+    the id column."""
+    from makinage_spark.streaming import streaming_topk
+
+    d = tmpdir()
+    schema = "user long, seq long, value double"
+    rows = [(1, i, v) for i, v in enumerate(values)]
+    batches = [rows[:split], rows[split:]]
+    for i, b in enumerate(batches):
+        if b:
+            spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{d}/b{i}")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(f"{d}/b*")
+    )
+    out = streaming_topk(stream, "user", "value", "seq", k=k)
+    name = f"topk_{uuid.uuid4().hex[:6]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", d + "_ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.table(name).collect()
+    last_seq = max(r.emit_seq for r in emitted)
+    got = [
+        (r.rank, r.value, r.seq)
+        for r in sorted((r for r in emitted if r.emit_seq == last_seq), key=lambda r: r.rank)
+    ]
+    expect = sorted(enumerate(values), key=lambda iv: (-iv[1], iv[0]))[:k]
+    assert [(v, i) for _, v, i in got] == [(v, i) for i, v in expect]
+    shutil.rmtree(d), shutil.rmtree(d + "_ck", ignore_errors=True)
