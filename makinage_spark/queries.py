@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3469,3 +3470,234 @@ def q_stream_session_window(spark, sf_dir):
         )
     )
     return _drain(agg, "complete")
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH elems AS (
+      SELECT label,
+             unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    cell AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS c,
+             COUNT(*) AS n
+      FROM elems GROUP BY label, pos)
+    SELECT label, array_agg(c ORDER BY pos) AS centroid, MIN(n) AS n_vectors
+    FROM cell GROUP BY label
+    """,
+)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-class embedding centroids — the training step of IVF/k-means
+    vector indexes (vectors.ivf_centroids) expressed relationally: posexplode
+    to (label, dim, value) cells, exact-decimal mean per cell, re-assemble
+    ordered arrays. All JVM-side: explode → partial-agg shuffle on
+    (label, dim) → sort_array(collect_list(struct)); at 100 TB the cell grid
+    is |labels|·dims rows regardless of vector count, and the explode
+    pipeline never materializes per-vector Python objects."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cell = cells.groupBy("label", "pos").agg(
+        (dsum(F.col("v").cast("double")) / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return cell.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid"),
+        F.min("n").alias("n_vectors"),
+    )
+
+
+@register(
+    "source_format_roundtrip",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_id < 2000
+    """,
+)
+def q_source_format_roundtrip(spark, sf_dir):
+    """Source/sink format breadth beyond the reference's Kafka+CSV (SURVEY
+    §2.3 'we get them free from Spark'): the same rows written to ORC, JSON
+    lines, and CSV, read back through each reader, and three-way joined on
+    the key — each column drawn from a different format's read path, so a
+    corruption in any one of the six codec paths breaks the hash. Doubles
+    survive the text formats exactly (2-decimal values; Spark writes
+    round-trippable shortest forms)."""
+    import tempfile
+
+    sub = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "event_type", "value")
+    )
+    d = tempfile.mkdtemp(prefix="mk_fmt_")
+    sub.write.mode("overwrite").orc(f"{d}/orc")
+    sub.write.mode("overwrite").json(f"{d}/json")
+    sub.write.mode("overwrite").option("header", True).csv(f"{d}/csv")
+    schema = "event_id bigint, event_type string, value double"
+    orc = spark.read.orc(f"{d}/orc")
+    js = spark.read.schema(schema).json(f"{d}/json")
+    csv = spark.read.schema(schema).option("header", True).csv(f"{d}/csv")
+    return (
+        orc.select("event_id", "event_type")
+        .join(js.select("event_id", "value"), "event_id")
+        .join(csv.select("event_id"), "event_id")
+    )
+
+
+@register(
+    "cross_source_contamination",
+    f"""
+    WITH fp AS (
+      SELECT md5(array_to_string(
+               list_slice(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1, 16),
+               ' ')) AS fp,
+             source, doc_id
+      FROM documents)
+    SELECT fp, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM fp GROUP BY fp HAVING COUNT(DISTINCT source) > 1
+    """,
+)
+def q_cross_source_contamination(spark, sf_dir):
+    """Train/test contamination check: documents sharing a 16-token-prefix
+    fingerprint across MORE THAN ONE source (the canonical 'is the eval set
+    in the training crawl' audit; prefix fingerprints catch the
+    near-duplicates that byte-exact hashing misses — this corpus has zero
+    exact dupes but 21 cross-source near-dup groups). One grouped pass with
+    a distinct count; at 100 TB this is a map-side-combined hash agg on the
+    16-byte fingerprint, never on the text."""
+    docs = load_wide(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.slice(text.tokens(F.lower(F.col("text"))), 1, 16), " "))
+    return (
+        docs.select(fp.alias("fp"), "source", "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events)
+    SELECT event_type, event_id, value FROM ranked WHERE rk <= 100
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: fixed-size per-stratum sample keyed
+    by a content hash (reproducible across runs/engines, unlike RNG
+    sampling). One shuffle on the stratum key; rank-by-hash means no
+    pre-sort of the full table, and skewed strata still emit exactly k
+    rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .drop("rk")
+    )
+
+
+@register(
+    "length_percentile_filter",
+    """
+    WITH bounds AS (
+      SELECT quantile_disc(n_chars, 0.05) AS lo, quantile_disc(n_chars, 0.95) AS hi
+      FROM documents)
+    SELECT source, COUNT(*) AS n_kept, MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+    FROM documents, bounds
+    WHERE n_chars BETWEEN lo AND hi
+    GROUP BY source
+    """,
+)
+def q_length_percentile_filter(spark, sf_dir):
+    """Distribution-driven length filter: drop documents outside the corpus's
+    [p5, p95] length band — thresholds COMPUTED from the data (discrete
+    quantiles, so both engines pick actual data values), broadcast back as a
+    one-row bound. The two-pass shape (tiny stats pass + filtered pass) is
+    the scalable form; a window-based single pass would shuffle the corpus."""
+    docs = load_wide(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.percentile_approx("n_chars", 0.05, 2147483647).alias("lo"),
+        F.percentile_approx("n_chars", 0.95, 2147483647).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_len"),
+            F.max("n_chars").alias("max_len"),
+        )
+    )
+
+
+@register(
+    "variant_json_agg",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events GROUP BY 1
+    """,
+)
+def q_variant_json_agg(spark, sf_dir):
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction feeds a grouped aggregate. Variant's shredded
+    binary form replaces per-access string re-parsing — the Spark-4-native
+    answer to the reference's schema-less JSON dict records
+    (makinage/encoding/json.py), and the scale path for deep/wide JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+@register(
+    "pandas_udaf_grouped",
+    """
+    SELECT event_type,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents_total
+    FROM events GROUP BY event_type
+    """,
+)
+def q_pandas_udaf_grouped(spark, sf_dir):
+    """User-defined AGGREGATE surface (SURVEY §2.3: 'Rx scan with user fn =
+    UDAF'): a grouped-agg pandas UDF computing an exact integer-cents sum —
+    Arrow-vectorized partial aggregation per group, int64 arithmetic so the
+    result is order-free and engine-exact. This is the sanctioned shape for
+    custom aggregation logic the built-ins can't express."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def cents_sum(v: pd.Series) -> int:
+        import numpy as np
+
+        return int(np.rint(v.to_numpy() * 100).astype("int64").sum())
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(cents_sum("value").alias("cents_total"))
