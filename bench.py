@@ -31,6 +31,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_nation_volume",
     "q10_returned_revenue",
+    "q21_waiting_suppliers",
     "correlated_scalar_subquery",
     "group_by_agg",
     "take_topk",
@@ -45,6 +46,7 @@ HEADLINE = [
     "histogram_values",
     # data-pipeline extensions
     "dedup_exact",
+    "text_repetition_signals",
     "text_language_id",
     "text_quality",
     "dedup_minhash_pairs",

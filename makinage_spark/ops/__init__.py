@@ -9,6 +9,7 @@ while compiling to a single Catalyst plan.
 from makinage_spark.ops.core import (
     assert_,
     distinct,
+    distinct_until_changed,
     filter,
     first,
     flat_map,
@@ -16,6 +17,7 @@ from makinage_spark.ops.core import (
     last,
     map,
     multiplex,
+    pairwise,
     sample,
     scan,
     skip,
@@ -32,6 +34,7 @@ __all__ = [
     "flat_map",
     "scan",
     "distinct",
+    "distinct_until_changed",
     "take",
     "skip",
     "first",
@@ -39,6 +42,7 @@ __all__ = [
     "group_by",
     "tee_map",
     "multiplex",
+    "pairwise",
     "sample",
     "with_latest_from",
     "assert_",

@@ -372,3 +372,46 @@ def assert_(predicate: ColumnLike, message: str = "assert_ failed"):
         return df
 
     return _op
+
+
+def distinct_until_changed(key: str | list[str], order_by: str, *value_cols: str):
+    """Drop CONSECUTIVE duplicates per key (``rs.ops.distinct_until_changed``,
+    public rxsci API): keep a record only when any of ``value_cols`` differs
+    from the previous record in ``order_by`` order within the key.
+
+    One window pass (single shuffle on the key); null-safe comparison so a
+    null→value or value→null transition counts as a change. The first record
+    per key always passes (lag is null row)."""
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _op(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(order_by)
+        changed = F.lit(False)
+        for c in value_cols:
+            changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        first = F.lag(order_by).over(w).isNull()
+        return (
+            df.withColumn("__changed", changed | first)
+            .filter(F.col("__changed"))
+            .drop("__changed")
+        )
+
+    return _op
+
+
+def pairwise(key: str | list[str], order_by: str, value_col: str):
+    """Emit each record with its predecessor's value (``rs.ops.pairwise`` /
+    ``ops.pairwise``): adds ``prev_<value_col>`` via lag over the key.
+    Records with no predecessor get null (Rx pairwise drops the first pair;
+    filter ``prev is not null`` for that exact contract)."""
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _op(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(order_by)
+        return df.withColumn(f"prev_{value_col}", F.lag(value_col).over(w))
+
+    return _op

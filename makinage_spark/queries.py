@@ -3701,3 +3701,76 @@ def q_pandas_udaf_grouped(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(cents_sum("value").alias("cents_total"))
+
+
+@register(
+    "distinct_until_changed",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_t,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id
+      FROM events)
+    SELECT user_id, event_id, event_type
+    FROM flagged
+    WHERE prev_id IS NULL OR event_type IS DISTINCT FROM prev_t
+    """,
+)
+def q_distinct_until_changed(spark, sf_dir):
+    """rs.ops.distinct_until_changed: keep only records whose event_type
+    differs from the previous record per user — transition detection (state
+    machines, status streams). One window shuffle; contrast with `distinct`
+    which dedups globally."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return pipe(ev, ops.distinct_until_changed("user_id", "event_id", "event_type"))
+
+
+@register(
+    "pairwise_deltas",
+    """
+    SELECT user_id, event_id, value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+    FROM events
+    """,
+)
+def q_pairwise_deltas(spark, sf_dir):
+    """rs.ops.pairwise: each record paired with its predecessor — here as the
+    per-user value delta (one IEEE subtraction of exact 2-decimal doubles).
+    First record per user keeps a null delta (the not-yet-a-pair state)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    return pipe(ev, ops.pairwise("user_id", "event_id", "value")).select(
+        "user_id", "event_id", "value", (F.col("value") - F.col("prev_value")).alias("delta")
+    )
+
+
+@register(
+    "range_bracket_join",
+    f"""
+    WITH brackets(lo, hi, bracket) AS (
+      VALUES (0, 10, 'xs'), (10, 20, 's'), (20, 35, 'm'), (35, 50, 'l'),
+             (50, 1000000, 'xl'))
+    SELECT bracket, COUNT(*) AS n, {DSUM('l_extendedprice')} AS revenue
+    FROM lineitem JOIN brackets ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY bracket
+    """,
+)
+def q_range_bracket_join(spark, sf_dir):
+    """Theta/interval join (SURVEY §2.3 joins checklist): fact rows matched to
+    half-open value brackets by a BETWEEN predicate. Spark plans
+    BroadcastNestedLoopJoin over the 5-row bracket dim — the right physical
+    strategy: each fact partition streams once against an in-memory bracket
+    list, no shuffle, no cartesian materialization. (With a big-big range
+    join the scale path is bucketize-then-equi-join; here the dim is tiny.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    brackets = spark.createDataFrame(
+        [(0, 10, "xs"), (10, 20, "s"), (20, 35, "m"), (35, 50, "l"), (50, 1000000, "xl")],
+        "lo int, hi int, bracket string",
+    )
+    return (
+        li.join(
+            F.broadcast(brackets),
+            (li.l_quantity >= F.col("lo")) & (li.l_quantity < F.col("hi")),
+        )
+        .groupBy("bracket")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
+    )

@@ -129,3 +129,27 @@ def test_python_udtf_surface(spark):
         "LATERAL split_words(s) t"
     ).collect()
     assert [(r.word, r.pos) for r in out] == [("a", 0), ("bb", 1), ("ccc", 2)]
+
+
+def test_distinct_until_changed_transitions(spark):
+    """Consecutive dupes drop; first record and null transitions survive."""
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, None), (1, 5, None), (1, 6, "b"), (2, 1, "a")],
+        "k long, seq long, v string",
+    )
+    out = pipe(df, ops.distinct_until_changed("k", "seq", "v"))
+    assert rows(out, "k", "seq", "v") == [
+        (1, 1, "a"),
+        (1, 3, "b"),
+        (1, 4, None),
+        (1, 6, "b"),
+        (2, 1, "a"),
+    ]
+
+
+def test_pairwise_prev_value(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (2, 1, 5.0)], "k long, seq long, v double"
+    )
+    out = pipe(df, ops.pairwise("k", "seq", "v"))
+    assert rows(out, "k", "seq", "prev_v") == [(1, 1, None), (1, 2, 10.0), (2, 1, None)]
