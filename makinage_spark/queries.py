@@ -3774,3 +3774,35 @@ def q_range_bracket_join(spark, sf_dir):
         .groupBy("bracket")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice").alias("revenue"))
     )
+
+
+@register(
+    "unpivot_measures",
+    f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {DSUM('l_quantity')} AS sum_qty,
+             {DSUM('l_extendedprice')} AS sum_price,
+             {DSUM('l_discount')} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, amount
+    FROM agg
+    UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def q_unpivot_measures(spark, sf_dir):
+    """UNPIVOT (wide→long reshape; the inverse of `pivot_status`): one
+    aggregate pass, then `unpivot` — Catalyst expands it to an Expand node
+    (no join, no extra shuffle, row count = groups × measures)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_price"),
+        dsum("l_discount").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="amount",
+    )

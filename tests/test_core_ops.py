@@ -153,3 +153,16 @@ def test_pairwise_prev_value(spark):
     )
     out = pipe(df, ops.pairwise("k", "seq", "v"))
     assert rows(out, "k", "seq", "prev_v") == [(1, 1, None), (1, 2, 10.0), (2, 1, None)]
+
+
+def test_observe_metrics_surface(spark):
+    """df.observe: pipeline-embedded metrics (the engine-side replacement for
+    the reference's feedback/queue-depth instrumentation, SURVEY A18/A20) —
+    counters ride the job, no second pass over the data."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    df = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"), F.count("v").alias("nonnull"))
+    assert observed.filter(F.col("v").isNotNull()).count() == 2
+    assert obs.get == {"n": 3, "nonnull": 2}
