@@ -3806,3 +3806,36 @@ def q_unpivot_measures(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="amount",
     )
+
+
+@register(
+    "column_profile",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_custkey) AS custkey_nonnull,
+           COUNT(DISTINCT o_custkey) AS custkey_distinct,
+           COUNT(DISTINCT o_orderstatus) AS status_distinct,
+           MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max,
+           {DSUM('o_totalprice')} AS price_sum,
+           MIN(o_orderpriority) AS prio_min, MAX(o_orderpriority) AS prio_max
+    FROM orders
+    """,
+)
+def q_column_profile(spark, sf_dir):
+    """One-pass table profiling (the data-quality summary every ingest
+    pipeline runs before training): null/distinct/min/max/sum per column in a
+    SINGLE aggregate — Spark computes all measures in one scan with partial
+    aggregation; distinct counts expand internally (Expand node) without a
+    second pass over storage."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_totalprice").alias("price_min"),
+        F.max("o_totalprice").alias("price_max"),
+        dsum("o_totalprice").alias("price_sum"),
+        F.min("o_orderpriority").alias("prio_min"),
+        F.max("o_orderpriority").alias("prio_max"),
+    )

@@ -392,3 +392,55 @@ def test_streaming_distinct_within_watermark(spark):
     got = sorted(r.k for r in spark.sql(f"SELECT * FROM {name}").collect())
     assert got == [1, 2, 3]
     shutil.rmtree(d), shutil.rmtree(d + "_ck")
+
+
+def test_cli_run_multiply_graph(spark, tmp_path):
+    """CLI parity with `makinage --config app.yaml` (makinage/makinage.py:
+    138-155): the bare --config form compiles and runs the graph end-to-end."""
+    import yaml
+
+    from makinage_spark.cli import main
+
+    indir, outdir = str(tmp_path / "values"), str(tmp_path / "out")
+    spark.createDataFrame([("5",), ("7",)], "value string").write.parquet(indir)
+    config = {
+        "application": {"name": "cli_sample", "source_type": "batch"},
+        "topics": [
+            {"name": "values", "format": "parquet", "path": indir, "schema": "value string"},
+            {"name": "multiplied_values", "format": "parquet", "path": outdir},
+        ],
+        "operators": {
+            "multiply": {
+                "factory": "makinage_spark.sample.processor:multiply",
+                "config": {"multiply": 3},
+                "sources": ["values"],
+                "sinks": ["multiplied_values"],
+            }
+        },
+    }
+    cfg = tmp_path / "app.yaml"
+    cfg.write_text(yaml.safe_dump(config))
+    assert main(["--config", str(cfg)]) == 0
+    got = sorted(r.value for r in spark.read.parquet(outdir).collect())
+    assert got == ["15", "21"]
+
+
+def test_cli_publish_models(spark, tmp_path):
+    """CLI parity with `makinage-model-publisher` (model_publisher.py:101-111)."""
+    import yaml
+
+    from makinage_spark.cli import main
+
+    art = tmp_path / "model.zip"
+    art.write_bytes(b"\x50\x4b fake-model-bytes")
+    outdir = str(tmp_path / "models_topic")
+    config = {
+        "models": [
+            {"file": str(art), "topic": {"name": "models", "format": "parquet", "path": outdir}}
+        ]
+    }
+    cfg = tmp_path / "pub.yaml"
+    cfg.write_text(yaml.safe_dump(config))
+    assert main(["publish", "--config", str(cfg)]) == 0
+    rows = spark.read.parquet(outdir).collect()
+    assert len(rows) == 1
