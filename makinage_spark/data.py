@@ -157,3 +157,33 @@ def session_window(
         )
 
     return _op
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: ColumnLike,
+    budget: int,
+    order_by: list[ColumnLike],
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to the
+    fixed-token-budget training sequence its *start offset* falls in, under a
+    deterministic order. Adds ``seq_id``; ``floor(cumsum_exclusive / budget)``.
+
+    The standard LLM pretraining packer (concatenate the corpus, cut every
+    ``budget`` tokens) expressed relationally: a running sum over a window,
+    partitioned by ``by`` (e.g. source shard) so at 100 TB the cumsum is
+    per-partition-key and never a single global serial scan. Documents may
+    straddle a boundary — exactly like concat-and-chunk, where a straddling
+    document contributes tokens to two physical sequences; seq assignment
+    here follows the start offset.
+    """
+    order = [_col(c) for c in order_by]
+    w = Window.partitionBy(*(by or [])).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tok = _col(token_col)
+    cum = F.sum(tok).over(w)
+    return df.withColumn(
+        "seq_id", F.floor((cum - tok).cast("double") / F.lit(budget)).cast("bigint")
+    )

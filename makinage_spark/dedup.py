@@ -451,3 +451,78 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components of an undirected similar-pair graph → duplicate
+    clusters. Returns ``(id, cluster_id)`` with ``cluster_id`` = min node id
+    in the component (deterministic), one row per node that appears in
+    ``pairs``.
+
+    The step a dedup pipeline runs *after* pair generation: near-duplicate
+    similarity is not transitive, so keep-one-per-pair over-deletes; the
+    standard policy (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") is keep-one-per-*cluster* of the pair graph.
+
+    Algorithm: min-label propagation with pointer jumping (hash-to-min).
+    Each round does (1) label := min(label, neighbours' labels) — one shuffle
+    join on the symmetric edge list — then (2) label := label(label) — a
+    self-join that halves remaining path lengths, giving O(log diameter)
+    rounds instead of O(diameter). This is the same round structure GraphX /
+    GraphFrames use for CC. Each round is ``localCheckpoint``-ed to cut
+    lineage (on a real cluster with an unreliable driver, use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead); the
+    convergence test is a metadata-only count of changed labels, the only
+    driver-side scalar in the loop.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr"))
+        )
+        stepped = (
+            labels.join(nbr, labels.id == nbr.u, "left")
+            .select(
+                labels.id.alias("id"),
+                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
+            )
+        )
+        jumped = (
+            stepped.alias("l1")
+            .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
+            .select(
+                F.col("l1.id").alias("id"),
+                F.least(
+                    F.col("l1.label"),
+                    F.coalesce(F.col("l2.label"), F.col("l1.label")),
+                ).alias("label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -3839,3 +3839,227 @@ def q_column_profile(spark, sf_dir):
         F.min("o_orderpriority").alias("prio_min"),
         F.max("o_orderpriority").alias("prio_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions round 2: packing, PII, mixture, dup clusters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source,
+           CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY source, seq_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (LLM pretraining packer): documents
+    are laid out in deterministic (source, doc_id) order and each is assigned
+    to the 256-token training sequence its start offset falls in
+    (data.pack_sequences), then rolled up per sequence. The cumulative sum is
+    windowed PER SOURCE, so at 100 TB each shard packs independently —
+    parallel across the cluster, no global serial scan; the rollup reuses the
+    same (source) shuffle partitioning."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", text.token_count(F.lower(F.col("text"))).alias("n_tok")
+    )
+    packed = data.pack_sequences(
+        toks, "n_tok", budget=256, order_by=["doc_id"], by=["source"]
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PII_SYNTH_SQL = (
+    "substr(text, 1, 60) || ' contact user' || doc_id || '@mail.example.com or call 555-' "
+    "|| lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') "
+    "|| ' from 10.' || doc_id % 256 || '.0.' || (doc_id * 7) % 256"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH p AS (SELECT doc_id, {_PII_SYNTH_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(t, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ip,
+      md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\d{{3}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')) AS redacted_md5
+    FROM p
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub (text.pii_redact / pii_counts): count and redact emails,
+    phone numbers, and IPv4 addresses. The corpus is synthetic word-soup with
+    no real PII, so the query plants one of each per document from doc_id
+    (deterministically) and then scrubs — exercising true regex parity
+    between Spark's Java regex and DuckDB's RE2 on the portable pattern
+    subset (no lookaround). Output carries md5(redacted) so the oracle
+    verifies the *entire* redacted text, not just counts. Pure regexp_replace
+    chain — a narrow JVM map stage at any scale."""
+    docs = load_wide(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("t"),
+    )
+    counts = text.pii_counts("t")
+    return synth.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(text.pii_redact("t").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "domain_mixture_weights",
+    f"""
+    WITH t AS (
+      SELECT source, len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tok
+      FROM documents),
+    s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok_count FROM t GROUP BY source),
+    tot AS (SELECT CAST(SUM(tok_count) AS BIGINT) AS total, COUNT(*) AS n_src FROM s)
+    SELECT source, tok_count,
+           CAST(tok_count AS DOUBLE) / total AS actual_frac,
+           (1.0 / n_src) / (CAST(tok_count AS DOUBLE) / total) AS weight
+    FROM s, tot
+    """,
+)
+def q_domain_mixture_weights(spark, sf_dir):
+    """Domain-mixture calibration: per-source token share and the resampling
+    weight that would flatten the mixture to uniform — the computation behind
+    every "sample source X at weight w" pretraining recipe. Exact integer
+    token counts; each output double is one IEEE division of identical
+    operands on both engines. The per-source aggregate shuffles once on
+    source; the grand total is a single-row broadcast joined back — no second
+    pass over the corpus at 100 TB."""
+    docs = load_wide(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", text.token_count(F.lower(F.col("text"))).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("tok_count"))
+    )
+    tot = s.agg(
+        F.sum("tok_count").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    return s.join(F.broadcast(tot)).select(
+        "source",
+        "tok_count",
+        (F.col("tok_count").cast("double") / F.col("total")).alias("actual_frac"),
+        (
+            (F.lit(1.0) / F.col("n_src"))
+            / (F.col("tok_count").cast("double") / F.col("total"))
+        ).alias("weight"),
+    )
+
+
+_JACCARD_PAIRS_98_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS ts
+      FROM documents),
+    sh AS (SELECT doc_id, unnest(ts) AS sh FROM toks),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.a, i.b
+    FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+    WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.98
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_98_SQL}),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+    SELECT id AS doc_id, MIN(reach) AS cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY MIN(reach)) AS BIGINT) AS cluster_size,
+           id = MIN(reach) AS keep
+    FROM walk GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clustering: connected components over the token-set-Jaccard
+    ≥ 0.98 pair graph (dedup.connected_components — min-label propagation
+    with pointer jumping, O(log diameter) shuffle rounds), emitting each
+    document's cluster, the cluster size, and the keep-one-representative
+    flag (min doc_id per cluster). Near-dup similarity is not transitive, so
+    this is the step that turns pairs into a delete list without
+    over-deleting chains. The DuckDB oracle computes the same components via
+    WITH RECURSIVE transitive closure — different algorithm, identical
+    fixpoint, which is the point of the check."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias("sh"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(
+            F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= 0.98
+        )
+        .select("a", "b")
+    )
+    cc = dedup.connected_components(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

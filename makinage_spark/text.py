@@ -190,3 +190,37 @@ def add_text_features(col: str = "text"):
         )
 
     return _op
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: PII patterns, RE2/Java-portable subset (no lookaround) so Spark and the
+#: DuckDB oracle compile the identical regex. Order matters: emails first
+#: (an address contains dots that the IP pattern must not see), then phones,
+#: then IPv4.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_counts(c: ColumnLike) -> dict[str, Column]:
+    """Per-kind PII match counts (``n_email``/``n_phone``/``n_ip``)."""
+    col = _col(c)
+    return {
+        f"n_{kind}": F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_redact(c: ColumnLike) -> Column:
+    """Replace every PII match with its placeholder tag, all kinds, in the
+    frozen :data:`PII_PATTERNS` order. Pure JVM ``regexp_replace`` chain —
+    a narrow map stage at any scale."""
+    col = _col(c)
+    for _, pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col

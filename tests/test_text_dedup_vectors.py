@@ -140,3 +140,47 @@ def test_multimodal_real_decode_raises(spark):
     assets = multimodal.synthetic_assets(spark, n=1)
     with pytest.raises(Exception):
         pipe(assets, multimodal.decode_features(fake=False)).collect()
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # chain 1-2-3-4-5 (diameter 4, exercises pointer jumping), triangle
+    # 10-11-12, isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    from makinage_spark.dedup import connected_components
+
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pack_sequences_assigns_by_start_offset(spark):
+    from makinage_spark.data import pack_sequences
+
+    df = spark.createDataFrame(
+        [("s", 1, 60), ("s", 2, 60), ("s", 3, 60), ("s", 4, 60), ("t", 1, 250)],
+        "src string, doc long, n_tok long",
+    )
+    got = {
+        (r["src"], r["doc"]): r["seq_id"]
+        for r in pack_sequences(df, "n_tok", 100, order_by=["doc"], by=["src"]).collect()
+    }
+    # starts: 0, 60, 120, 180 → bins 0, 0, 1, 1; t resets per-partition
+    assert got == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 1, ("t", 1): 0}
+
+
+def test_pii_redact_and_counts(spark):
+    from makinage_spark.text import pii_counts, pii_redact
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("mail a@b.com and c.d+x@e.org, call 555-123-4567, host 10.0.0.1 end",)],
+        "t string",
+    )
+    counts = pii_counts("t")
+    row = df.select(
+        pii_redact("t").alias("red"), *[c.alias(k) for k, c in counts.items()]
+    ).collect()[0]
+    assert row["n_email"] == 2 and row["n_phone"] == 1 and row["n_ip"] == 1
+    assert row["red"] == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> end"
