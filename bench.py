@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "embedding_topk",
+    "pack_sequences",
+    "pii_redaction",
+    "domain_mixture_weights",
     # streaming runtime (readStream → stateful op → sink)
     "stream_scan_running",
 ]
