@@ -4063,3 +4063,62 @@ def q_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+@register(
+    "training_corpus_pipeline",
+    rf"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tok,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    kept AS (SELECT * FROM feat WHERE n_tok BETWEEN 30 AND 5000),
+    reps AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept),
+    r AS (SELECT doc_id, source, n_tok FROM reps WHERE rn = 1),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM r)
+    SELECT source,
+           CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS seq_tokens
+    FROM c GROUP BY source, seq_id
+    """,
+)
+def q_training_corpus_pipeline(spark, sf_dir):
+    """End-to-end training-corpus preparation as ONE declarative plan:
+    length-band quality filter → exact-dedup keep-one (min doc_id per
+    fingerprint) → per-source sequence packing → per-sequence rollup. The
+    composition the north-star asks for, showing the operator library chains
+    without materialization barriers.
+
+    Scale shape: the text column is consumed in the first narrow projection
+    (token count + md5 fingerprint) and DROPPED before any shuffle — the
+    wide-column hazard at 100 TB. Three shuffles remain, each on a key the
+    semantics require: fingerprint (dedup window), source (packing cumsum;
+    rollup reuses it via ClusteredDistribution), and nothing else. The quality
+    filter runs before the first exchange, so dropped documents never move."""
+    docs = load_wide(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        text.token_count(F.lower(F.col("text"))).alias("n_tok"),
+        text.fingerprint("text").alias("fp"),
+    )
+    kept = feat.filter(F.col("n_tok").between(30, 5000))
+    reps = (
+        kept.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tok")
+    )
+    packed = data.pack_sequences(reps, "n_tok", budget=256, order_by=["doc_id"], by=["source"])
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+    )

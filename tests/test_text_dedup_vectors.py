@@ -184,3 +184,44 @@ def test_pii_redact_and_counts(spark):
     ).collect()[0]
     assert row["n_email"] == 2 and row["n_phone"] == 1 and row["n_ip"] == 1
     assert row["red"] == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> end"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from makinage_spark.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        parent[find(u)] = find(v)
+    nodes = sorted(parent)
+    expected = {}
+    roots = {}
+    for x in nodes:  # min node id per component, like the operator
+        r = find(x)
+        roots.setdefault(r, x)
+        expected[x] = roots[r]
+
+    pairs = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], "a long, b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == expected
