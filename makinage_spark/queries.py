@@ -4122,3 +4122,45 @@ def q_training_corpus_pipeline(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("seq_tokens"),
     )
+
+
+@register(
+    "stream_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT source, doc_id, n_tok,
+           CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 256) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def q_stream_pack_sequences(spark, sf_dir):
+    """Streaming sequence packing (streaming_pack over
+    applyInPandasWithState): documents arrive as a stream, token counts are
+    computed JVM-side in the stream plan, and each document is assigned its
+    training-sequence id from ONE integer of per-source state (the running
+    token offset). Hash-matches the batch window-cumsum oracle — the
+    batch/stream unification contract extended to the corpus packer. At 100 TB
+    state is one long per source shard; throughput is bounded by the Arrow
+    batch boundary, not state size."""
+    import os
+    import tempfile
+
+    from makinage_spark.streaming import streaming_pack
+
+    path = f"{sf_dir}/documents.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="mk_stream_docs_")
+    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    schema = spark.read.parquet(path).schema
+    docs = spark.readStream.schema(schema).parquet(stream_dir)
+    toks = docs.select(
+        "source", "doc_id", text.token_count(F.lower(F.col("text"))).alias("n_tok")
+    )
+    return _drain(streaming_pack(toks, "source", "n_tok", "doc_id", budget=256))

@@ -131,3 +131,47 @@ def streaming_scan(df, key_col: str, value_col: str, order_col: str):
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_pack(df, key_col: str, token_col: str, order_col: str, budget: int):
+    """Streaming sequence packing: the stateful twin of
+    ``data.pack_sequences``. Per-key state is ONE integer — the cumulative
+    token offset consumed so far — so a perpetual ingest stream can assign
+    every arriving document to its fixed-token-budget training sequence
+    exactly as the batch packer would, with O(1) state per source shard.
+
+    Emits ``(key, order, n_tok, seq_id)`` per record, append mode;
+    ``seq_id = floor(start_offset / budget)`` where ``start_offset`` is the
+    running token offset before the record (intra-batch order = sort on the
+    order column; cross-batch order = arrival, the reference's ordering
+    model)."""
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (cum,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            toks = pdf[token_col].astype("int64")
+            ends = toks.cumsum() + cum
+            starts = ends - toks
+            out = pd.DataFrame(
+                {
+                    key_col: key[0],
+                    order_col: pdf[order_col].values,
+                    token_col: toks.values,
+                    "seq_id": (starts // budget).astype("int64").values,
+                }
+            )
+            if len(ends):
+                cum = int(ends.iloc[-1])
+            yield out
+        state.update((cum,))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=(
+            f"{key_col} string, {order_col} long, {token_col} long, seq_id long"
+        ),
+        stateStructType="cum long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
