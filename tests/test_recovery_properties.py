@@ -288,3 +288,48 @@ def test_streaming_topk_matches_reference(spark, values, k, split):
     expect = sorted(enumerate(values), key=lambda iv: (-iv[1], iv[0]))[:k]
     assert [(v, i) for _, v, i in got] == [(v, i) for i, v in expect]
     shutil.rmtree(d), shutil.rmtree(d + "_ck", ignore_errors=True)
+
+
+def test_streaming_pack_multibatch_recovery(spark):
+    """streaming_pack across micro-batches and a checkpoint restart: the
+    cumulative token offset must carry over so sequence ids keep counting
+    from where the previous run stopped — identical to one batch packing."""
+    from makinage_spark.streaming import streaming_pack
+
+    d, ckpt, outdir = tmpdir(), tmpdir(), tmpdir()
+    schema = "src string, doc long, n_tok long"
+    spark.createDataFrame(
+        [("s", 1, 60), ("s", 2, 60)], schema
+    ).coalesce(1).write.parquet(f"{d}/b0")
+    spark.createDataFrame(
+        [("s", 3, 60), ("s", 4, 60), ("t", 1, 10)], schema
+    ).coalesce(1).write.parquet(f"{d}/b1")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        out = streaming_pack(stream, "src", "n_tok", "doc", budget=100)
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(outdir)
+        )
+        q.awaitTermination(120)
+        return {
+            (r.src, r.doc): r.seq_id for r in spark.read.parquet(outdir).collect()
+        }
+
+    first = run()
+    # starts 0,60 | 120,180 across two micro-batches → bins 0,0,1,1
+    assert first == {("s", 1): 0, ("s", 2): 0, ("s", 3): 1, ("s", 4): 1, ("t", 1): 0}
+    # query goes down; more input lands; restart continues the offset (240 →)
+    spark.createDataFrame([("s", 5, 60)], schema).coalesce(1).write.parquet(f"{d}/b2")
+    second = run()
+    assert second[("s", 5)] == 2 and len(second) == 6
+    import shutil
+
+    shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
