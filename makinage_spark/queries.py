@@ -4164,3 +4164,44 @@ def q_stream_pack_sequences(spark, sf_dir):
         "source", "doc_id", text.token_count(F.lower(F.col("text"))).alias("n_tok")
     )
     return _drain(streaming_pack(toks, "source", "n_tok", "doc_id", budget=256))
+
+
+@register(
+    "embedding_quantize_sq8",
+    """
+    WITH d AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    stats AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY i),
+    q AS (
+      SELECT vec_id, v, mn, mx,
+             CAST(FLOOR((v - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT) AS qv
+      FROM d JOIN stats USING (i))
+    SELECT vec_id,
+           CAST(SUM(qv) AS BIGINT) AS q_checksum,
+           CAST(MIN(qv) AS BIGINT) AS q_min, CAST(MAX(qv) AS BIGINT) AS q_max,
+           ROUND(MAX(ABS(v - (mn + qv * (mx - mn) / 255.0))), 6) AS max_recon_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize_sq8(spark, sf_dir):
+    """8-bit scalar quantization of the embedding corpus
+    (vectors.sq8_stats/sq8_quantize) with per-vector fidelity rollup:
+    quantized checksum, code range, and max reconstruction error. float32 →
+    double promotion happens BEFORE any arithmetic on both engines, so every
+    derived value is the same IEEE double; half-up rounding is pinned with
+    floor(x+0.5). Two shuffles at any scale: the dim-sized calibration
+    aggregate (broadcast back) and the per-vector rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = vectors.sq8_stats(emb)
+    q = vectors.sq8_quantize(emb, stats)
+    return q.groupBy("vec_id").agg(
+        F.sum("qv").cast("bigint").alias("q_checksum"),
+        F.min("qv").cast("bigint").alias("q_min"),
+        F.max("qv").cast("bigint").alias("q_max"),
+        F.round(
+            F.max(F.abs(F.col("v") - (F.col("mn") + F.col("qv") * (F.col("mx") - F.col("mn")) / 255.0))),
+            6,
+        ).alias("max_recon_err"),
+    )

@@ -180,3 +180,48 @@ def ivf_topk(
     return brute_force_topk(
         df.filter(cell.isin(*probe)), query_vec, k, vec_col, id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8)
+# ---------------------------------------------------------------------------
+
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension ``(pos, mn, mx)`` calibration table for 8-bit scalar
+    quantization. ``posexplode`` + groupBy(pos): map-side partial min/max
+    collapse the shuffle to (#partitions × dim) rows, and the result is
+    dim-sized — always broadcastable."""
+    d = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select("pos", F.col("v").cast("double").alias("v"))
+    return d.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+
+
+def sq8_quantize(
+    df: DataFrame, stats: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """8-bit scalar quantization against a calibration table: each dimension
+    maps to ``floor((v - mn) * 255 / (mx - mn) + 0.5)`` ∈ [0, 255] — 4× memory
+    cut for float32 corpora, the standard first rung of ANN index compression
+    (before PQ). ``floor(x + 0.5)`` rather than ``round`` pins half-up
+    semantics across engines.
+
+    Emits one row per (id, pos, v, qv, mn, mx); callers either re-assemble an
+    ``array<tinyint>`` (production layout) or roll up fidelity metrics (see
+    the ``embedding_quantize_sq8`` query). The stats join broadcasts — dim
+    rows — so the only wide data movement is the final per-id rollup."""
+    d = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(F.col(id_col), "pos", F.col("v").cast("double").alias("v"))
+    j = d.join(F.broadcast(stats), "pos")
+    return j.select(
+        F.col(id_col),
+        "pos",
+        "v",
+        "mn",
+        "mx",
+        F.floor((F.col("v") - F.col("mn")) * 255.0 / (F.col("mx") - F.col("mn")) + 0.5)
+        .cast("bigint")
+        .alias("qv"),
+    )

@@ -225,3 +225,28 @@ def test_connected_components_matches_union_find(spark, edges):
     )
     got = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+def test_sq8_quantize_range_and_fidelity(spark):
+    from makinage_spark.vectors import sq8_quantize, sq8_stats
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 10.0]), (2, [1.0, 20.0]), (3, [2.0, 15.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = sq8_quantize(df, sq8_stats(df))
+    rows = q.collect()
+    assert all(0 <= r["qv"] <= 255 for r in rows)
+    # min/max of each dim map to code 0/255 exactly
+    codes = {(r["vec_id"], r["pos"]): r["qv"] for r in rows}
+    assert codes[(1, 0)] == 0 and codes[(3, 0)] == 255
+    assert codes[(1, 1)] == 0 and codes[(2, 1)] == 255
+    # reconstruction error bounded by half a quantization step
+    err = q.select(
+        F.max(
+            F.abs(F.col("v") - (F.col("mn") + F.col("qv") * (F.col("mx") - F.col("mn")) / 255.0))
+            / ((F.col("mx") - F.col("mn")) / 255.0)
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert err <= 0.5 + 1e-9
