@@ -4286,3 +4286,49 @@ def q_funnel_conversion(spark, sf_dir):
         .cast("bigint")
         .alias("stage"),
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS DATE) END) AS cohort_day,
+             list_distinct(list(CAST(ts AS DATE))) AS days
+      FROM events GROUP BY user_id),
+    x AS (
+      SELECT user_id, cohort_day, unnest(days) AS day
+      FROM per_user WHERE cohort_day IS NOT NULL)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM x WHERE day >= cohort_day
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (cohort day = first signup; a user counts in
+    day_offset k if they had ANY event k days later) — the standard product
+    retention analysis, in ONE wide shuffle: groupBy(user) computes the
+    cohort day and the distinct-day set together (collect_set partials
+    combine map-side; state per user is bounded by the horizon, 30 days
+    here), then explode + rollup on the now-tiny (cohort, offset) grid. The
+    textbook formulation (cohort table joined back to a distinct-activity
+    table) shuffles the events twice and the join once; this moves them
+    once."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("event_type"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("day"))).alias("cohort_day"),
+        F.collect_set("day").alias("days"),
+    ).filter(F.col("cohort_day").isNotNull())
+    x = per_user.select(
+        "cohort_day", F.explode("days").alias("day")
+    ).filter(F.col("day") >= F.col("cohort_day"))
+    return x.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
