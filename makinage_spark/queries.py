@@ -4332,3 +4332,132 @@ def q_cohort_retention(spark, sf_dir):
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+@register(
+    "segment_dup_fraction",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(toks) - 1) / 10) AS INT)),
+               i -> array_to_string(toks[(i * 10 + 1):(i * 10 + 10)], ' '))) AS seg
+      FROM toks WHERE len(toks) > 0),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(seg), 1, 15)) AS BIGINT) AS h
+      FROM segs),
+    marked AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS gc FROM hashed)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_segs,
+           CAST(SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_frac,
+           (CAST(SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             <= 0.3) AS keep
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_segment_dup_fraction(spark, sf_dir):
+    """CCNet-style chunk-level dedup signal (north-star: dedup below document
+    granularity). The corpus has no line structure, so the unit is a
+    deterministic non-overlapping 10-token segment; each doc reports the
+    fraction of its segments that occur anywhere else in the corpus, and a
+    keep/drop gate at 30% — the filter CCNet applies to strip boilerplate
+    before model training (reference scope: makinage has no dedup at all;
+    this extends SURVEY §2 north-star rows).
+
+    Spark shape: tokenize once, slice the token array into segments with a
+    higher-order transform (no Python), posexplode, 60-bit md5 segment hash.
+    Global duplication is a COUNT() window over the hash — ONE shuffle on the
+    hash (vs groupBy+join = two) — then one groupBy(doc_id) rollup. At 100 TB
+    only (doc_id, hash) pairs shuffle, never text; skew is impossible because
+    the partition key is a uniform hash."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(floor((size(toks) - 1) / 10) AS INT)),"
+                " i -> array_join(slice(toks, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("seg"),
+    )
+    hashed = segs.select("doc_id", text.md5_hash64("seg").alias("h"))
+    marked = hashed.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("h")).alias("gc")
+    )
+    dup = F.sum(F.when(F.col("gc") > 1, 1).otherwise(0)).cast("bigint")
+    n = F.count(F.lit(1)).cast("bigint")
+    return marked.groupBy("doc_id").agg(
+        n.alias("n_segs"),
+        dup.alias("dup_segs"),
+        (dup.cast("double") / n).alias("dup_frac"),
+        ((dup.cast("double") / n) <= 0.3).alias("keep"),
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS gc FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+      SELECT tok, CAST(ROUND(-ln(gc / total), 6) AS DECIMAL(18,6)) AS nll
+      FROM vocab, tot)
+    SELECT dt.doc_id,
+           CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(dt.c * lp.nll) AS DECIMAL(18,6)) AS sum_nll,
+           ROUND(CAST(SUM(dt.c * lp.nll) AS DOUBLE) / SUM(dt.c), 6) AS avg_nll
+    FROM dt JOIN lp USING (tok)
+    GROUP BY dt.doc_id
+    """,
+)
+def q_unigram_logprob_score(spark, sf_dir):
+    """Self-trained unigram language-model scoring (north-star: quality
+    scoring) — the cheap stand-in for KenLM perplexity filtering: train a
+    unigram LM on the corpus itself (global token frequencies), then score
+    each doc by its average negative log-likelihood. High avg_nll = rare-token
+    soup (noise); low = repetitive boilerplate.
+
+    Spark shape: one explode, ONE (doc, token) count aggregate that serves
+    both as the per-doc term vector and (re-aggregated) as the global vocab —
+    the events table is never re-scanned. The corpus-total is a 1-row
+    aggregate kept in-plan via broadcast cross-join (no driver collect). Each
+    token's nll is rounded to 6 dp and cast DECIMAL(18,6) BEFORE the weighted
+    sum, so the per-doc sum is exact-decimal and order-independent — the only
+    engine-portable way to sum floats across a shuffle. Vocab joins broadcast
+    (vocab ≪ corpus; at 100 TB a shuffle hash join on token with AQE works
+    the same)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    dt = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = vocab.agg(F.sum("gc").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(-F.log(F.col("gc").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    joined = dt.join(F.broadcast(lp), "tok")
+    sum_nll = F.sum(F.col("c") * F.col("nll"))
+    n_tokens = F.sum("c").cast("bigint")
+    return joined.groupBy("doc_id").agg(
+        n_tokens.alias("n_tokens"),
+        sum_nll.cast("decimal(18,6)").alias("sum_nll"),
+        F.round(sum_nll.cast("double") / F.sum("c"), 6).alias("avg_nll"),
+    )
