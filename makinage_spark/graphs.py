@@ -1,0 +1,89 @@
+"""Distributed graph analytics on DataFrames.
+
+Companion to :mod:`makinage_spark.dedup`'s connected components (duplicate
+clustering): the same edges-as-rows representation, driven by join-aggregate
+rounds instead of RDD message passing. Extends the reference's scope (the
+reference tree has no graph operators); north-star rows in SURVEY §2 cover
+graph-shaped corpus analyses (link graphs, citation ranks) that a
+training-data pipeline runs at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 3,
+) -> DataFrame:
+    """Damped power-iteration PageRank over a directed edge list.
+
+    Returns ``(id, rank_nanos, rank)`` for every node that appears in
+    ``edges``: ``rank_nanos`` is the rank in fixed-point nano-units (bigint,
+    1e9 = total mass 1.0) and ``rank`` the single IEEE division
+    ``rank_nanos / 1e9``.
+
+    Engine-portable determinism: float sums across a shuffle are
+    order-dependent, so all mass accounting is FIXED-POINT — each node's
+    out-contribution ``rank_nanos / outdeg`` is snapped to an integer with
+    ``floor(x + 0.5)`` (half-up pinned; built-in ROUND is HALF_UP on Spark
+    but half-even on DuckDB/Postgres, which diverges by one ulp) BEFORE the
+    per-destination sum. Integer addition is associative, so the result is
+    identical regardless of partitioning and matches a single-threaded SQL
+    oracle bit-for-bit. Every double op in the update runs on exact integer
+    inputs below 2^53, so it is deterministic on any IEEE engine.
+
+    Scale shape: each iteration is one hash join of the |V|-row rank vector
+    to the edge list on ``src`` plus one shuffle-aggregate on ``dst`` — the
+    textbook distributed formulation. The returned plan unrolls
+    ``iterations`` rounds of lineage; for iterations ≳ 8 on a real cluster,
+    checkpoint the rank vector every few rounds to truncate lineage (same
+    pattern as dedup.connected_components' pointer jumping).
+
+    Dangling nodes (no out-edges) simply contribute nothing; their mass is
+    dropped rather than redistributed, matching the common sparse
+    formulation. Nodes never referenced by any edge are absent.
+    """
+    half_up = lambda x: F.floor(x + F.lit(0.5)).cast("bigint")  # noqa: E731
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    base = nodes.crossJoin(F.broadcast(n_df))
+    ranks = base.select(
+        "id", "n", half_up(F.lit(1.0e9) / F.col("n")).alias("rank_nanos")
+    )
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, ranks.id == outdeg.src)
+            .select(
+                F.col("src"),
+                half_up(
+                    F.col("rank_nanos").cast("double") / F.col("outdeg")
+                ).alias("contrib"),
+            )
+            .join(e, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("contrib").alias("contrib"))
+        )
+        ranks = base.join(contrib, "id", "left").select(
+            "id",
+            "n",
+            half_up(
+                (1.0 - damping) * 1.0e9 / F.col("n")
+                + damping * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+            ).alias("rank_nanos"),
+        )
+    return ranks.select(
+        "id",
+        "rank_nanos",
+        (F.col("rank_nanos").cast("double") / F.lit(1.0e9)).alias("rank"),
+    )

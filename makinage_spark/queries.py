@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from makinage_spark import data, dedup, joins, ops, pipe, smath, text, vectors
+from makinage_spark import data, dedup, graphs, joins, ops, pipe, smath, text, vectors
 from makinage_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -4461,3 +4461,82 @@ def q_unigram_logprob_score(spark, sf_dir):
         sum_nll.cast("decimal(18,6)").alias("sum_nll"),
         F.round(sum_nll.cast("double") / F.sum("c"), 6).alias("avg_nll"),
     )
+
+
+@register(
+    "graph_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT id, CAST(FLOOR(1e9 / n + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN nn),
+    c1 AS (
+      SELECT e.dst AS id,
+             SUM(CAST(FLOOR(CAST(r.rank_nanos AS DOUBLE) / d.outdeg + 0.5)
+                      AS BIGINT)) AS contrib
+      FROM r0 r JOIN outdeg d ON r.id = d.src JOIN e ON e.src = r.id
+      GROUP BY e.dst),
+    r1 AS (
+      SELECT nodes.id,
+             CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / nn.n
+                  + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c1.contrib, 0) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.id = c1.id),
+    c2 AS (
+      SELECT e.dst AS id,
+             SUM(CAST(FLOOR(CAST(r.rank_nanos AS DOUBLE) / d.outdeg + 0.5)
+                      AS BIGINT)) AS contrib
+      FROM r1 r JOIN outdeg d ON r.id = d.src JOIN e ON e.src = r.id
+      GROUP BY e.dst),
+    r2 AS (
+      SELECT nodes.id,
+             CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / nn.n
+                  + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c2.contrib, 0) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.id = c2.id),
+    c3 AS (
+      SELECT e.dst AS id,
+             SUM(CAST(FLOOR(CAST(r.rank_nanos AS DOUBLE) / d.outdeg + 0.5)
+                      AS BIGINT)) AS contrib
+      FROM r2 r JOIN outdeg d ON r.id = d.src JOIN e ON e.src = r.id
+      GROUP BY e.dst)
+    SELECT nodes.id,
+           CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / nn.n
+                + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c3.contrib, 0) AS DOUBLE)
+                + 0.5) AS BIGINT) AS rank_nanos,
+           CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / nn.n
+                + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c3.contrib, 0) AS DOUBLE)
+                + 0.5) AS BIGINT) / 1e9 AS rank
+    FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.id = c3.id
+    """,
+)
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 power iterations) over the symmetric
+    customer↔supplier fulfillment graph (an edge per distinct
+    (o_custkey, l_suppkey) pair in an order) — graph centrality as a
+    corpus-analysis primitive, the second iterative-algorithm family after
+    connected components. graphs.pagerank keeps ALL mass accounting in
+    fixed-point nano-units (bigint; floor(x+0.5) half-up pinned), so the
+    distributed sums are integer-exact, bitwise independent of partitioning,
+    and match the oracle's unrolled 3-round CTE exactly. Per iteration: one
+    hash join of the |V|-row rank vector to the edge list + one shuffle-agg
+    on dst; on a long-running cluster job, checkpoint every few rounds to
+    truncate the unrolled lineage."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return graphs.pagerank(sym, damping=0.85, iterations=3)
