@@ -55,6 +55,13 @@ HEADLINE = [
     "pack_sequences",
     "pii_redaction",
     "domain_mixture_weights",
+    "segment_dup_fraction",
+    "unigram_logprob_score",
+    "training_corpus_pipeline",
+    # event analytics + iterative graph (scale with SF)
+    "funnel_conversion",
+    "cohort_retention",
+    "graph_pagerank",
     # streaming runtime (readStream → stateful op → sink)
     "stream_scan_running",
 ]

@@ -4467,7 +4467,8 @@ def q_unigram_logprob_score(spark, sf_dir):
     "graph_pagerank",
     """
     WITH e0 AS (
-      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+                      CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
     e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
     nodes AS (SELECT DISTINCT src AS id FROM e),
@@ -4519,7 +4520,9 @@ def q_unigram_logprob_score(spark, sf_dir):
 def q_graph_pagerank(spark, sf_dir):
     """PageRank (damping 0.85, 3 power iterations) over the symmetric
     customer↔supplier fulfillment graph (an edge per distinct
-    (o_custkey, l_suppkey) pair in an order) — graph centrality as a
+    (o_custkey, l_suppkey) pair in an order; nodes dictionary-encoded to
+    bigint — 2k for customers, 2k+1 for suppliers — so no string keys ever
+    shuffle) — graph centrality as a
     corpus-analysis primitive, the second iterative-algorithm family after
     connected components. graphs.pagerank keeps ALL mass accounting in
     fixed-point nano-units (bigint; floor(x+0.5) half-up pinned), so the
@@ -4528,15 +4531,21 @@ def q_graph_pagerank(spark, sf_dir):
     hash join of the |V|-row rank vector to the edge list + one shuffle-agg
     on dst; on a long-running cluster job, checkpoint every few rounds to
     truncate the unrolled lineage."""
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders", parallelize=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select(
+        "l_orderkey", "l_suppkey"
+    )
     e0 = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (2 * F.col("o_custkey")).cast("bigint").alias("src"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
         )
         .distinct()
     )
     sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return graphs.pagerank(sym, damping=0.85, iterations=3)
+    return graphs.pagerank(
+        sym, damping=0.85, iterations=3, broadcast_ranks=True, assume_distinct=True
+    )
