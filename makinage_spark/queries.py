@@ -4549,3 +4549,114 @@ def q_graph_pagerank(spark, sf_dir):
     return graphs.pagerank(
         sym, damping=0.85, iterations=3, broadcast_ranks=True, assume_distinct=True
     )
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    wc AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    pairs AS (
+      SELECT substring(tok, i, 1) AS a, substring(tok, i + 1, 1) AS b,
+             CAST(SUM(n) AS BIGINT) AS pair_count
+      FROM wc, unnest(generate_series(1, length(tok) - 1)) AS t(i)
+      WHERE length(tok) >= 2
+      GROUP BY a, b)
+    SELECT a, b, pair_count FROM pairs
+    ORDER BY pair_count DESC, a, b LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The inner step of BPE tokenizer training (north-star: token counting /
+    tokenizer induction): corpus-wide adjacent-symbol pair frequencies, here
+    the first merge round over character symbols, top-50 merge candidates
+    with a deterministic (count, pair) ordering.
+
+    The scale trick is counting pairs over the VOCABULARY, not the corpus:
+    words collapse to (word, count) first — a shuffle that map-side-combines
+    to near-nothing — and each distinct word then explodes into its adjacent
+    pairs weighted by its count, exactly how real BPE trainers avoid
+    re-scanning the corpus every merge. Final top-50 runs as per-partition
+    partial top-k merged on the driver (TakeOrderedAndProject), never a
+    global sort."""
+    docs = load_wide(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = wc.select(
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> struct(substring(tok, i, 1) AS a,"
+                "             substring(tok, i + 1, 1) AS b))"
+            )
+        ).alias("_pos", "p"),
+        "n",
+    ).select("p.a", "p.b", "n")
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("n").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(50)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    df AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * ln((1 + total) / (1 + doc_freq)), 6) AS tfidf
+      FROM tf JOIN df USING (tok) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tok) AS rnk
+      FROM scored)
+    SELECT doc_id, tok, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the keyword-extraction /
+    doc-representation primitive (smoothed idf = ln((1+N)/(1+df))). Reuses
+    ONE (doc, token) count aggregate for both term frequency and (re-agged)
+    document frequency, broadcasts the token→df side back onto it, and takes
+    per-doc top-3 with a window row_number whose (score, token) ordering is
+    total, so results are deterministic. The rank window partitions by
+    doc_id — at 100 TB that's the natural parallel unit with no global sort
+    anywhere; idf's ln runs on identical IEEE doubles in both engines and is
+    rounded before comparison."""
+    docs = load_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    total = docs.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    scored = tf.join(F.broadcast(dfreq), "tok").crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf")
+            * F.log((1 + F.col("total")) / (1 + F.col("doc_freq"))),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "tok")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
+    )
