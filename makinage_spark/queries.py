@@ -4660,3 +4660,45 @@ def q_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "weighted_sample_es",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             ROUND(
+               -ln((CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                     1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+                   / 1152921504606846976.0)
+               / n_chars, 9) AS es_key
+      FROM documents)
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM keyed ORDER BY es_key, doc_id LIMIT 200
+    """,
+)
+def q_weighted_sample_es(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis): draw 200
+    documents with probability ∝ size (n_chars) by giving each doc the key
+    -ln(u)/w and keeping the k smallest — the one-pass distributed algorithm
+    every mixture-resampling pipeline uses (pairs with
+    domain_mixture_weights, which computes the w's per source).
+
+    Randomness is DETERMINISTIC: u derives from the 60-bit md5 of doc_id
+    mapped into (0,1) — reproducible across engines, runs, and partitionings,
+    which is exactly what a training-data pipeline wants from a sampling
+    step (re-running the job yields the same corpus). The top-k executes as
+    per-partition partial top-k merged on the driver
+    (TakeOrderedAndProject) — no global sort at any scale; keys are rounded
+    to 9 dp with a doc_id tiebreak so the cut is total-ordered."""
+    docs = load_wide(spark, sf_dir, "documents")
+    u = (
+        text.md5_hash64(F.col("doc_id").cast("string")).cast("double") + 0.5
+    ) / F.lit(float(1 << 60))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    return keyed.orderBy("es_key", "doc_id").limit(200)
