@@ -187,3 +187,31 @@ def pack_sequences(
     return df.withColumn(
         "seq_id", F.floor((cum - tok).cast("double") / F.lit(budget)).cast("bigint")
     )
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each column.
+
+    Rows sorted by this key cluster so that ANY prefix range of the key is a
+    tight hyper-rectangle in ALL dimensions at once — the layout trick behind
+    multi-column data skipping (Delta/Iceberg OPTIMIZE ZORDER BY): write
+    parquet with ``df.repartitionByRange(n, zkey).sortWithinPartitions(zkey)``
+    and min/max row-group stats prune scans filtered on *either* column,
+    where a plain sort only skips on the leading one.
+
+    Inputs must already be non-negative integers below ``2**bits`` (bucketize
+    first — e.g. ``F.col("user_id") % 256``). Pure JVM bit arithmetic
+    (shift/and/or), whole-stage-codegen friendly; the expression tree is
+    ``bits × len(cols)`` static terms, no UDF.
+    """
+    n = len(cols)
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
+                    b * n + i,
+                )
+            )
+    return key

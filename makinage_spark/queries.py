@@ -4702,3 +4702,61 @@ def q_weighted_sample_es(spark, sf_dir):
         F.round(-F.log(u) / F.col("n_chars"), 9).alias("es_key"),
     )
     return keyed.orderBy("es_key", "doc_id").limit(200)
+
+
+def _zorder_sql(x: str, y: str, bits: int = 8) -> str:
+    """DuckDB expression for data.zorder_key([x, y], bits) — generated from
+    the same interleave loop so the two engines stay in lockstep; disjoint
+    bits are combined with + (≡ OR) and shifts with *2^s for dialect
+    portability."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({y}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_locality",
+    f"""
+    WITH pts AS (
+      SELECT user_id % 256 AS x,
+             abs(CAST(floor(value) AS BIGINT)) % 256 AS y
+      FROM events),
+    keyed AS (
+      SELECT x, y, CAST({_zorder_sql('x', 'y')} AS BIGINT) AS zkey FROM pts)
+    SELECT CAST(zkey // 256 AS BIGINT) AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+           CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+    FROM keyed GROUP BY z_bucket
+    """,
+)
+def q_zorder_locality(spark, sf_dir):
+    """Z-order (Morton) clustering stats — the multi-dimensional data-layout
+    technique behind Delta/Iceberg OPTIMIZE ZORDER: interleave the bits of
+    two bucketized dimensions and group rows by the key's top bits. Each
+    z-bucket is provably a ≤16×16 rectangle in (x, y) space, so min/max
+    row-group stats prune scans filtered on EITHER dimension — at 100 TB you
+    write events with repartitionByRange(zkey).sortWithinPartitions(zkey)
+    and both `user % k` and value-band predicates skip files; a plain sort
+    only skips on its leading column. The key is pure JVM shift/and
+    arithmetic inside whole-stage codegen (data.zorder_key), and the oracle's
+    interleave expression is generated from the same loop."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    pts = ev.select(
+        (F.col("user_id") % 256).alias("x"),
+        (F.abs(F.floor("value").cast("bigint")) % 256).alias("y"),
+    )
+    keyed = pts.select(
+        "x", "y", data.zorder_key([F.col("x"), F.col("y")], bits=8).alias("zkey")
+    )
+    return keyed.groupBy(
+        F.floor(F.col("zkey") / 256).cast("bigint").alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("x_min"),
+        F.max("x").cast("bigint").alias("x_max"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("y").cast("bigint").alias("y_max"),
+    )

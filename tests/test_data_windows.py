@@ -68,3 +68,43 @@ def test_session_window_native(spark):
     )
     out = pipe(df, data.session_window("t", "30 minutes", by=["user"]))
     assert sorted(r.n for r in out.collect()) == [1, 2]
+
+
+def test_zorder_key_known_vectors(spark):
+    from makinage_spark import data
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(10, 6), (0, 0), (255, 255)], ["x", "y"])
+    out = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", data.zorder_key([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    }
+    # x=0b1010, y=0b0110: x-bits land at even positions, y-bits at odd
+    assert out[(10, 6)] == 0b01101100  # 108
+    assert out[(0, 0)] == 0
+    assert out[(255, 255)] == (1 << 16) - 1
+
+
+def test_zorder_buckets_are_tight_rectangles(spark):
+    from makinage_spark import data
+    from pyspark.sql import functions as F
+
+    pts = spark.range(4096).select(
+        (F.col("id") % 251).alias("x"), ((F.col("id") * 17) % 256).alias("y")
+    )
+    keyed = pts.select(
+        "x", "y", data.zorder_key([F.col("x"), F.col("y")]).alias("z")
+    )
+    # top-8-bits bucket => exact 16x16 tile: span <= 15 in BOTH dims
+    spans = (
+        keyed.groupBy(F.floor(F.col("z") / 256).alias("b"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.max("sx").alias("mx"), F.max("sy").alias("my"))
+        .first()
+    )
+    assert spans.mx <= 15 and spans.my <= 15
