@@ -4760,3 +4760,58 @@ def q_zorder_locality(spark, sf_dir):
         F.min("y").cast("bigint").alias("y_min"),
         F.max("y").cast("bigint").alias("y_max"),
     )
+
+
+@register(
+    "rollup_reaggregate",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DECIMAL(28,6))
+               AS v_sum,
+             CAST(COUNT(*) AS BIGINT) AS v_cnt,
+             MIN(value) AS v_min, MAX(value) AS v_max
+      FROM events GROUP BY event_type, hour)
+    SELECT event_type,
+           strftime(CAST(date_trunc('day', hour) AS DATE), '%Y-%m-%d') AS day,
+           CAST(SUM(v_sum) AS DECIMAL(28,6)) AS v_sum,
+           CAST(SUM(v_cnt) AS BIGINT) AS v_cnt,
+           MIN(v_min) AS v_min, MAX(v_max) AS v_max,
+           ROUND(CAST(SUM(v_sum) AS DOUBLE) / SUM(v_cnt), 6) AS v_avg
+    FROM hourly GROUP BY event_type, day
+    """,
+)
+def q_rollup_reaggregate(spark, sf_dir):
+    """Hierarchical re-aggregation (TimescaleDB continuous-aggregate /
+    OLAP-cube rollup pattern): daily statistics derived FROM the hourly
+    partial aggregates — sum of sums, sum of counts, min of mins — never
+    rescanning the fact table. This is how a 100 TB pipeline maintains
+    multi-granularity rollups: the hourly layer is the only one that reads
+    events (and in streaming form is exactly stream_hourly_counts'
+    watermarked state); every coarser granularity re-aggregates the
+    thousands-of-rows layer below it, so refresh cost is independent of fact
+    volume. avg is decomposed as re-agged sum/count (avg of avgs would be
+    wrong); sums ride exact decimals so the two-level float accumulation is
+    order-independent."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(28,6)")).cast("decimal(28,6)").alias("v_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("v_cnt"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+    return hourly.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum("v_sum").cast("decimal(28,6)").alias("v_sum"),
+        F.sum("v_cnt").cast("bigint").alias("v_cnt"),
+        F.min("v_min").alias("v_min"),
+        F.max("v_max").alias("v_max"),
+        F.round(
+            F.sum("v_sum").cast("double") / F.sum("v_cnt"), 6
+        ).alias("v_avg"),
+    )
