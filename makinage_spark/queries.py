@@ -4815,3 +4815,52 @@ def q_rollup_reaggregate(spark, sf_dir):
             F.sum("v_sum").cast("double") / F.sum("v_cnt"), 6
         ).alias("v_avg"),
     )
+
+
+@register(
+    "char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+      FROM documents),
+    cc AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> ''
+      GROUP BY doc_id, ch),
+    tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+    SELECT cc.doc_id, tot.n AS n_chars,
+           CAST(SUM(CAST(ROUND(-(c / CAST(n AS DOUBLE))
+                                * log2(c / CAST(n AS DOUBLE)), 9)
+                         AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS entropy_bits
+    FROM cc JOIN tot USING (doc_id)
+    GROUP BY cc.doc_id, tot.n
+    """,
+)
+def q_char_entropy(spark, sf_dir):
+    """Shannon character entropy per document (bits/char) — the
+    information-theoretic quality gate that catches what ratio filters miss:
+    base64/hex blobs score high, repeated-padding and single-char spam score
+    near zero, natural text sits in a narrow band. Shape: explode to
+    (doc, char) counts — at most |alphabet| rows per doc survive the
+    map-side combine, so the shuffle is tiny regardless of document size —
+    then one rollup; each term of Σ-p·log2(p) is rounded to DECIMAL(18,9)
+    before the sum so the result is partitioning-independent and matches the
+    oracle exactly."""
+    docs = load_wide(spark, sf_dir, "documents")
+    cc = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+        )
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    tot = cc.select("doc_id", "c", F.sum("c").over(w).cast("bigint").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return tot.groupBy("doc_id", F.col("n").alias("n_chars")).agg(
+        F.sum(F.round(-p * F.log2(p), 9).cast("decimal(18,9)"))
+        .cast("decimal(18,9)")
+        .alias("entropy_bits")
+    )
