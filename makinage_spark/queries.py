@@ -4864,3 +4864,68 @@ def q_char_entropy(spark, sf_dir):
         .cast("decimal(18,9)")
         .alias("entropy_bits")
     )
+
+
+@register(
+    "stream_funnel_conversion",
+    f"""
+    WITH w1 AS (
+      SELECT user_id, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS v_min
+      FROM events),
+    w2 AS (
+      SELECT user_id, ts, event_type, v_min,
+             MIN(CASE WHEN event_type = 'click' AND v_min < ts THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS c_min
+      FROM w1)
+    SELECT user_id,
+           {FMT_TS("MIN(CASE WHEN event_type = 'view' THEN ts END)")} AS first_view,
+           {FMT_TS("MIN(CASE WHEN event_type = 'click' AND v_min < ts THEN ts END)")} AS first_click,
+           {FMT_TS("MIN(CASE WHEN event_type = 'purchase' AND c_min < ts THEN ts END)")} AS first_purchase,
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'purchase' AND c_min < ts THEN ts END) IS NOT NULL THEN 3
+                     WHEN MIN(CASE WHEN event_type = 'click' AND v_min < ts THEN ts END) IS NOT NULL THEN 2
+                     WHEN MIN(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage
+    FROM w2 GROUP BY user_id
+    """,
+)
+def q_stream_funnel(spark, sf_dir):
+    """Streaming twin of funnel_conversion: readStream →
+    streaming_funnel (applyInPandasWithState, ONE timestamp per stage per
+    user — O(1) state on a perpetual stream) → memory sink; the last
+    emission per user is formatted into the funnel columns and hash-matches
+    the SAME batch SQL oracle — the batch/stream unification contract
+    extended to sequential-pattern analytics. Users with no funnel events at
+    all still report stage 0 via a left join from the batch user universe
+    (the stream emits per observed key)."""
+    from makinage_spark.streaming import streaming_funnel
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    out = _drain(streaming_funnel(ev, "user_id", "ts", "event_type", "event_id"))
+    w = Window.partitionBy("user_id")
+    last = (
+        out.withColumn("mx", F.max("emit_seq").over(w))
+        .filter(F.col("emit_seq") == F.col("mx"))
+    )
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    joined = users.join(last, "user_id", "left")
+    v = F.timestamp_micros(F.col("stage1_us"))
+    c = F.timestamp_micros(F.col("stage2_us"))
+    p = F.timestamp_micros(F.col("stage3_us"))
+    return joined.select(
+        "user_id",
+        fmt_ts(v).alias("first_view"),
+        fmt_ts(c).alias("first_click"),
+        fmt_ts(p).alias("first_purchase"),
+        F.when(p.isNotNull(), 3)
+        .when(c.isNotNull(), 2)
+        .when(v.isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("stage"),
+    )

@@ -15,7 +15,12 @@ from makinage_spark.streaming.runtime import (
     run_available_now,
     with_event_time,
 )
-from makinage_spark.streaming.stateful import streaming_pack, streaming_roll, streaming_scan
+from makinage_spark.streaming.stateful import (
+    streaming_funnel,
+    streaming_pack,
+    streaming_roll,
+    streaming_scan,
+)
 from makinage_spark.streaming._topk import (
     has_transform_with_state,
     streaming_topk,
@@ -26,6 +31,7 @@ __all__ = [
     "with_event_time",
     "for_each_batch_with_latest",
     "run_available_now",
+    "streaming_funnel",
     "streaming_pack",
     "streaming_roll",
     "streaming_scan",

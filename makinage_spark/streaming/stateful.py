@@ -175,3 +175,67 @@ def streaming_pack(df, key_col: str, token_col: str, order_col: str, budget: int
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_funnel(
+    df,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    order_col: str,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+):
+    """Streaming ordered-funnel tracker: per-key state is ONE timestamp per
+    stage — the earliest time each stage was reached via a strictly-ordered
+    chain (stage k counts only after stage k-1's current earliest time and
+    strictly later than it). The batch twin is q_funnel_conversion's chained
+    cumulative-min windows; the fold below is the same recurrence applied in
+    event order, so the final emission per key hash-matches the batch SQL
+    oracle.
+
+    Emits one row per key per micro-batch with the current stage mins
+    (micros) and a monotone ``emit_seq``; take each key's max emit_seq for
+    the as-of-now funnel state. State is O(len(stages)) = O(1) per key
+    forever — a perpetual product-analytics stream never grows it.
+
+    Ordering: per-key arrival order across micro-batches with an intra-batch
+    (ts, order) sort — the reference's per-Kafka-partition ordering model
+    (SURVEY §1.3); out-of-order regressions across batches would need
+    watermark-delayed finalization instead.
+    """
+    n_stages = len(stages)
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            st = list(state.get[0])
+            seq = state.get[1]
+        else:
+            st, seq = [None] * n_stages, 0
+        mins = [None if m is None or m < 0 else m for m in st]
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, order_col])
+            ts_us = pdf[ts_col].astype("int64") // 1000
+            for t, et in zip(ts_us, pdf[type_col]):
+                try:
+                    i = stages.index(et)
+                except ValueError:
+                    continue
+                if i > 0 and (mins[i - 1] is None or not (mins[i - 1] < t)):
+                    continue
+                if mins[i] is None or t < mins[i]:
+                    mins[i] = int(t)
+        seq += 1
+        state.update(([-1 if m is None else m for m in mins], seq))
+        out = {key_col: [key[0]], "emit_seq": [seq]}
+        for j in range(n_stages):
+            out[f"stage{j + 1}_us"] = [mins[j]]
+        yield pd.DataFrame(out)
+
+    stage_cols = ", ".join(f"stage{j + 1}_us long" for j in range(n_stages))
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=f"{key_col} long, emit_seq long, {stage_cols}",
+        stateStructType="mins array<long>, seq long",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -333,3 +333,66 @@ def test_streaming_pack_multibatch_recovery(spark):
     import shutil
 
     shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
+
+
+def test_streaming_funnel_state_across_batches(spark):
+    """streaming_funnel must chain stages ACROSS micro-batches and a
+    restart: a view in batch 0 qualifies a click in batch 1 and a purchase
+    arriving after a checkpoint restart — final state equals the one-batch
+    fold."""
+    from datetime import datetime
+
+    from makinage_spark.streaming import streaming_funnel
+
+    d, ckpt, outdir = tmpdir(), tmpdir(), tmpdir()
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+
+    def ev(uid, sec, et, eid):
+        return (uid, datetime(2024, 1, 1, 0, 0, sec), et, eid)
+
+    # batch 0: view for u1; purchase for u2 (no prior stages -> must NOT count)
+    spark.createDataFrame(
+        [ev(1, 10, "view", 1), ev(2, 10, "purchase", 2)], schema
+    ).coalesce(1).write.parquet(f"{d}/b0")
+    # batch 1: click for u1 (qualified by batch-0 view); view for u2
+    spark.createDataFrame(
+        [ev(1, 20, "click", 3), ev(2, 20, "view", 4)], schema
+    ).coalesce(1).write.parquet(f"{d}/b1")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/b*")
+        )
+        out = streaming_funnel(stream, "user_id", "ts", "event_type", "event_id")
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start(outdir)
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(outdir).collect()
+        last = {}
+        for r in rows:
+            if r.user_id not in last or r.emit_seq > last[r.user_id].emit_seq:
+                last[r.user_id] = r
+        return last
+
+    first = run()
+    base = int(datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert first[1].stage1_us == base + 10_000_000
+    assert first[1].stage2_us == base + 20_000_000  # chained across batches
+    assert first[1].stage3_us is None
+    assert first[2].stage3_us is None  # early purchase never counted
+    assert first[2].stage1_us == base + 20_000_000
+    # restart: purchase for u1 after the click -> completes the funnel
+    spark.createDataFrame([ev(1, 30, "purchase", 5)], schema).coalesce(
+        1
+    ).write.parquet(f"{d}/b2")
+    second = run()
+    assert second[1].stage3_us == base + 30_000_000
+    import shutil
+
+    shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
