@@ -4929,3 +4929,79 @@ def q_stream_funnel(spark, sf_dir):
         .cast("bigint")
         .alias("stage"),
     )
+
+
+@register(
+    "daily_count_anomalies",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, day, n,
+             CAST(COUNT(*) OVER w AS BIGINT) AS w_n,
+             CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS w_sum2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           ROUND(CAST(w_sum AS DOUBLE) / w_n, 6) AS trail_mean,
+           ROUND((n - CAST(w_sum AS DOUBLE) / w_n)
+                 / sqrt((w_sum2 - CAST(w_sum AS DOUBLE) * w_sum / w_n)
+                        / (w_n - 1)), 6) AS zscore
+    FROM stats
+    WHERE w_n >= 4
+      AND (w_sum2 - CAST(w_sum AS DOUBLE) * w_sum / w_n) > 0
+    """,
+)
+def q_daily_count_anomalies(spark, sf_dir):
+    """Trailing-window anomaly scores — each (event_type, day) volume scored
+    against its own previous ≤7 days (z-score vs trailing mean/sample-std) —
+    the data-quality monitor every ingest pipeline runs to catch collection
+    regressions before they poison a training corpus.
+
+    Numeric portability: the trailing frame aggregates BIGINT count, sum and
+    sum-of-squares only — all exact — so mean/variance come out of single
+    IEEE divisions on identical integers and round cleanly; no float
+    accumulates across rows. Shape: one shuffle to daily grain (map-side
+    combined), then a per-event_type ordered frame over the now-tiny series;
+    zero-variance windows and short histories are gated exactly."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("w_n"),
+        F.sum("n").over(w).cast("bigint").alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("w_sum2"),
+    )
+    mean = F.col("w_sum").cast("double") / F.col("w_n")
+    var = (
+        F.col("w_sum2") - F.col("w_sum").cast("double") * F.col("w_sum") / F.col("w_n")
+    ) / (F.col("w_n") - 1)
+    return (
+        stats.filter(
+            (F.col("w_n") >= 4)
+            & (
+                F.col("w_sum2")
+                - F.col("w_sum").cast("double") * F.col("w_sum") / F.col("w_n")
+                > 0
+            )
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(mean, 6).alias("trail_mean"),
+            F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
+        )
+    )
