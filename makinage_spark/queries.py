@@ -5005,3 +5005,145 @@ def q_daily_count_anomalies(spark, sf_dir):
             F.round((F.col("n") - mean) / F.sqrt(var), 6).alias("zscore"),
         )
     )
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_id, d.event_type,
+           ROUND(d.value, 6) AS value,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs((d.value - d.med) / (1.4826 * m.mad)) > 3.0
+    """,
+)
+def q_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the filter
+    that survives exactly the heavy-tailed junk that wrecks mean/std
+    z-scores (a handful of 1e9 values drags the mean past everything). Two
+    median passes: per-type exact interpolated median, broadcast back to
+    score absolute deviations, per-type median of those (the MAD), broadcast
+    again for the 1.4826-scaled robust z. The per-type aggregate is
+    dimension-sized, so both joins broadcast and the events table never
+    shuffles — at 100 TB this is two map-side passes over the facts.
+    Medians verified numerically identical (percentile ≡ quantile_cont at
+    6dp); the comparison threshold runs on the same IEEE doubles both
+    sides."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    rz = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+               AS pos
+      FROM documents),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+    ut AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM uni),
+    bg AS (
+      SELECT a.tok AS x, b.tok AS y, CAST(COUNT(*) AS BIGINT) AS cxy
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY x, y),
+    bt AS (SELECT CAST(SUM(cxy) AS DOUBLE) AS bn FROM bg)
+    SELECT x, y, cxy,
+           ROUND(ln((cxy / bn) / ((cx.c / t) * (cy.c / t))), 6) AS pmi
+    FROM bg JOIN uni cx ON bg.x = cx.tok
+           JOIN uni cy ON bg.y = cy.tok
+           CROSS JOIN ut CROSS JOIN bt
+    WHERE cxy >= 5
+    ORDER BY pmi DESC, x, y LIMIT 100
+    """,
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Pointwise-mutual-information collocations — the corpus-linguistics
+    signal for multi-word expressions (PMI = ln(p(xy)/(p(x)p(y))) over
+    adjacent-token bigrams, support ≥ 5, top-100). In a training-data
+    pipeline this drives tokenizer-vocabulary candidates and
+    boilerplate-phrase discovery.
+
+    Shape: tokenize once; bigrams come from slicing the in-row token array
+    (a higher-order transform — NO self-join; the oracle's positional
+    self-join is the quadratic formulation this plan avoids), then two
+    token-keyed count aggregates; the unigram side broadcasts onto the
+    bigram table; top-100 via TakeOrderedAndProject. Probabilities divide
+    exact BIGINT counts as identical IEEE doubles; ln rounds to 6dp."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                    " (tk, i) -> struct(tk AS x, toks[i + 1] AS y))"
+                )
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ut = uni.agg(F.sum("c").cast("double").alias("t"))
+    bt = bg.agg(F.sum("cxy").cast("double").alias("bn"))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    pmi = F.log(
+        (F.col("cxy") / F.col("bn"))
+        / ((F.col("cx") / F.col("t")) * (F.col("cy") / F.col("t")))
+    )
+    return (
+        bg.filter(F.col("cxy") >= 5)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+        .select("x", "y", "cxy", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "x", "y")
+        .limit(100)
+    )
