@@ -5147,3 +5147,121 @@ def q_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi"), "x", "y")
         .limit(100)
     )
+
+
+@register(
+    "degree_distribution",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (
+      SELECT side, id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT 'customer' AS side, c AS id, s FROM e
+        UNION ALL
+        SELECT 'supplier' AS side, s AS id, c FROM e)
+      GROUP BY side, id)
+    SELECT side,
+           CAST(FLOOR(ln(degree) / ln(2)) AS BIGINT) AS log2_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(degree) AS BIGINT) AS min_deg,
+           CAST(MAX(degree) AS BIGINT) AS max_deg
+    FROM deg GROUP BY side, log2_bin
+    """,
+)
+def q_degree_distribution(spark, sf_dir):
+    """Log2-binned degree distribution of the customer↔supplier bipartite
+    graph, both sides in one pass — the first diagnostic you run on any
+    link/citation graph before choosing a partitioning (a power-law tail
+    means skew-salting; a flat histogram means plain hash). Edges
+    deduplicate once, both directions stack via UNION ALL (no second scan),
+    then two count aggregates; log2 binning pinned as floor(ln(d)/ln(2)) —
+    identical IEEE ops both engines."""
+    o = load_table(spark, sf_dir, "orders", parallelize=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    both = e.select(F.lit("customer").alias("side"), F.col("c").alias("id")).unionAll(
+        e.select(F.lit("supplier").alias("side"), F.col("s").alias("id"))
+    )
+    deg = both.groupBy("side", "id").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return deg.groupBy(
+        "side",
+        F.floor(F.log(F.col("degree").cast("double")) / F.log(F.lit(2.0)))
+        .cast("bigint")
+        .alias("log2_bin"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("degree").cast("bigint").alias("min_deg"),
+        F.max("degree").cast("bigint").alias("max_deg"),
+    )
+
+
+@register(
+    "supplier_cooccurrence_similarity",
+    """
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+    co AS (
+      SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY x, y),
+    scored AS (
+      SELECT co.x, co.y, co.cnt,
+             ROUND(cnt / sqrt(CAST(dx.d AS DOUBLE) * dy.d), 6) AS cosine
+      FROM co JOIN deg dx ON co.x = dx.s JOIN deg dy ON co.y = dy.s
+      WHERE co.cnt >= 5)
+    SELECT x, y, cnt, cosine FROM scored
+    ORDER BY cosine DESC, x, y LIMIT 200
+    """,
+)
+def q_supplier_cooccurrence(spark, sf_dir):
+    """Item-item cosine similarity over the bipartite adjacency (suppliers
+    scored by shared customers) — the co-occurrence join at the heart of
+    collaborative filtering and entity-resolution blocking. Shape: the
+    customer-keyed self-join emits each customer's supplier pairs (the
+    classic wedge expansion — at 100 TB you cap per-key fan-out or salt the
+    few mega-degree customers first), map-side-combines into per-pair
+    counts, normalizes by broadcast degrees, and top-200s via
+    TakeOrderedAndProject. cnt/deg are exact BIGINTs; one sqrt+divide in
+    IEEE double rounded at 6dp."""
+    o = load_table(spark, sf_dir, "orders", parallelize=True).select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem", parallelize=True).select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    co = (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
+    cos = F.round(
+        F.col("cnt") / F.sqrt(F.col("dx").cast("double") * F.col("dy")), 6
+    )
+    return (
+        co.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select("x", "y", "cnt", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "x", "y")
+        .limit(200)
+    )
