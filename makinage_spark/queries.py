@@ -5265,3 +5265,53 @@ def q_supplier_cooccurrence(spark, sf_dir):
         .orderBy(F.desc("cosine"), "x", "y")
         .limit(200)
     )
+
+
+@register(
+    "phrase_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok,
+             generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1)
+               AS pos
+      FROM documents)
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Phrase search ("table scan") over a positional inverted index — the
+    retrieval primitive for contamination lookups and eval-set leakage scans
+    where you probe MANY phrases against one corpus: posting lists (doc,
+    term, position) are built once; a phrase query is then a join of its
+    terms' postings on (doc, adjacent position) — per-term selectivity cuts
+    the work to the rare term's postings, never a corpus scan per query.
+    Spark shape: posexplode to postings, filter to the two terms at the
+    scan (predicate on the exploded term column), join on (doc_id,
+    pos+1) — both sides are term-filtered slivers, so the shuffle is
+    postings-of-two-terms sized. Emits per-doc match count + first hit
+    position (both exact integers)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id",
+        F.posexplode(text.tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    a = postings.filter(F.col("tok") == "table").select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("tok") == "scan").select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    return (
+        a.join(b, on=[a.doc_id == b.doc_id, F.col("pb") == F.col("pa") + 1])
+        .drop(b.doc_id)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            (F.min("pa") + 1).cast("bigint").alias("first_pos"),
+        )
+    )
