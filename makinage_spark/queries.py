@@ -5315,3 +5315,180 @@ def q_phrase_search(spark, sf_dir):
             (F.min("pa") + 1).cast("bigint").alias("first_pos"),
         )
     )
+
+
+@register(
+    "status_validity_intervals",
+    f"""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lead(o_orderdate) OVER w AS next_date,
+             lag(o_orderstatus) OVER w AS prev_status
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey, next_date
+      FROM seq
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+             '%Y-%m-%d'), '9999-12-31') AS valid_to
+    FROM changes
+    """,
+)
+def q_status_intervals(spark, sf_dir):
+    """SCD-type-2 validity intervals built from an event log: collapse each
+    customer's order-status sequence into [valid_from, valid_to) change
+    intervals (open tail = 9999-12-31) — the dimension-history construction
+    every warehouse maintains, as one windowed pass: lag() flags changes,
+    a second lead() on the change rows closes each interval. Both windows
+    share the (custkey, date, orderkey) sort, so Catalyst plans ONE exchange
+    + sort; at 100 TB that's a single shuffle of the orders table and the
+    deterministic (date, orderkey) tie-break makes the intervals
+    reproducible."""
+    o = load_table(spark, sf_dir, "orders", parallelize=True)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    )
+    changes = seq.filter(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w2), "yyyy-MM-dd"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+    )
+
+
+@register(
+    "quality_ensemble",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+    tok_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS DOUBLE) / SUM(c) AS ttr
+      FROM dt GROUP BY doc_id),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS gc FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+      SELECT tok, CAST(ROUND(-ln(gc / total), 6) AS DECIMAL(18,6)) AS nll
+      FROM vocab, tot),
+    nll AS (
+      SELECT dt.doc_id,
+             ROUND(CAST(SUM(dt.c * lp.nll) AS DOUBLE) / SUM(dt.c), 6) AS avg_nll
+      FROM dt JOIN lp USING (tok) GROUP BY dt.doc_id),
+    tarr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ta
+      FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, CAST(floor((len(ta) - 1) / 10) AS INT)),
+               i -> array_to_string(ta[(i * 10 + 1):(i * 10 + 10)], ' '))) AS seg
+      FROM tarr WHERE len(ta) > 0),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(seg), 1, 15)) AS BIGINT) AS h
+      FROM segs),
+    marked AS (
+      SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS gc FROM hashed),
+    dup AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS dup_frac
+      FROM marked GROUP BY doc_id),
+    chars AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS ch
+        FROM documents) z
+      WHERE ch <> '' GROUP BY doc_id, ch),
+    ctot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM chars GROUP BY doc_id),
+    ent AS (
+      SELECT chars.doc_id,
+             CAST(CAST(SUM(CAST(ROUND(-(c / CAST(n AS DOUBLE))
+                                       * log2(c / CAST(n AS DOUBLE)), 9)
+                               AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS DOUBLE)
+               AS entropy_bits
+      FROM chars JOIN ctot USING (doc_id) GROUP BY chars.doc_id)
+    SELECT t.doc_id, t.n_tokens, ROUND(t.ttr, 6) AS ttr, d.dup_frac,
+           e.entropy_bits, n.avg_nll,
+           CAST(CASE WHEN t.n_tokens BETWEEN 30 AND 50000 THEN 0 ELSE 1 END
+              + CASE WHEN t.ttr > 0.05 THEN 0 ELSE 2 END
+              + CASE WHEN d.dup_frac <= 0.3 THEN 0 ELSE 4 END
+              + CASE WHEN e.entropy_bits BETWEEN 3.0 AND 6.0 THEN 0 ELSE 8 END
+              + CASE WHEN n.avg_nll <= 6.5 THEN 0 ELSE 16 END AS BIGINT)
+             AS drop_reasons,
+           (t.n_tokens BETWEEN 30 AND 50000 AND t.ttr > 0.05
+            AND d.dup_frac <= 0.3 AND e.entropy_bits BETWEEN 3.0 AND 6.0
+            AND n.avg_nll <= 6.5) AS keep
+    FROM tok_stats t
+    JOIN dup d USING (doc_id)
+    JOIN ent e USING (doc_id)
+    JOIN nll n USING (doc_id)
+    """,
+)
+def q_quality_ensemble(spark, sf_dir):
+    """The full quality gate, composed from this engine's own verified
+    signals: token-length band + type-token ratio, segment duplicate
+    fraction (segment_dup_fraction), character entropy band (char_entropy),
+    and unigram-LM negative log-likelihood (unigram_logprob_score), fused
+    into a keep verdict plus a drop-reason BITMASK (1 length, 2 ttr, 4
+    dup, 8 entropy, 16 lm) — what a production corpus pipeline actually
+    ships, and the bitmask is what you aggregate to see WHY data is dying.
+    Each signal is doc-grained, so the fusion is a 4-way join of
+    corpus-cardinality aggregates on doc_id (AQE broadcasts the small
+    sides); the heavy lifting below stays in each signal's already-audited
+    one-or-two-shuffle plan, and the registered signal queries are REUSED
+    verbatim (operator composition, not copy-paste)."""
+    t = QUERIES["text_repetition_signals"](spark, sf_dir).select(
+        "doc_id", "n_tokens", F.round("ttr", 6).alias("ttr")
+    )
+    d = QUERIES["segment_dup_fraction"](spark, sf_dir).select("doc_id", "dup_frac")
+    e = QUERIES["char_entropy"](spark, sf_dir).select(
+        "doc_id", F.col("entropy_bits").cast("double").alias("entropy_bits")
+    )
+    n = QUERIES["unigram_logprob_score"](spark, sf_dir).select("doc_id", "avg_nll")
+    ok_len = F.col("n_tokens").between(30, 50000)
+    ok_ttr = F.col("ttr") > 0.05
+    ok_dup = F.col("dup_frac") <= 0.3
+    ok_ent = F.col("entropy_bits").between(3.0, 6.0)
+    ok_nll = F.col("avg_nll") <= 6.5
+    mask = (
+        F.when(ok_len, 0).otherwise(1)
+        + F.when(ok_ttr, 0).otherwise(2)
+        + F.when(ok_dup, 0).otherwise(4)
+        + F.when(ok_ent, 0).otherwise(8)
+        + F.when(ok_nll, 0).otherwise(16)
+    )
+    return (
+        t.join(d, "doc_id")
+        .join(e, "doc_id")
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "ttr",
+            "dup_frac",
+            "entropy_bits",
+            "avg_nll",
+            mask.cast("bigint").alias("drop_reasons"),
+            (ok_len & ok_ttr & ok_dup & ok_ent & ok_nll).alias("keep"),
+        )
+    )
