@@ -5492,3 +5492,71 @@ def q_quality_ensemble(spark, sf_dir):
             (ok_len & ok_ttr & ok_dup & ok_ent & ok_nll).alias("keep"),
         )
     )
+
+
+@register(
+    "embedding_power_iteration",
+    """
+    WITH elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    y AS (
+      SELECT vec_id,
+             CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS y
+      FROM elems GROUP BY vec_id),
+    v1 AS (
+      SELECT pos,
+             CAST(SUM(CAST(ROUND(e.x * CAST(y.y AS DOUBLE), 6)
+                           AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS v
+      FROM elems e JOIN y USING (vec_id) GROUP BY pos),
+    mx AS (SELECT MAX(abs(CAST(v AS DOUBLE))) AS m FROM v1)
+    SELECT CAST(pos AS BIGINT) AS dim,
+           ROUND(CAST(v AS DOUBLE) / m, 6) AS component
+    FROM v1 CROSS JOIN mx
+    """,
+)
+def q_embedding_power_iteration(spark, sf_dir):
+    """One round of power iteration toward the corpus's top principal
+    direction — v1 = normalize(Xᵀ(X·1)) — distributed matvec as pure
+    DataFrame algebra (the building block of spectral embedding-drift
+    analysis and PCA whitening): X·v is a per-vector fold, Xᵀy is an
+    explode to (dim, x·y) cells summed per dim — at 100 TB the shuffle
+    carries |dims| partial sums per partition (map-side combined), never
+    vectors. Both sums ride ROUND-to-decimal terms (the engine-portable
+    float-sum discipline, same as embedding_centroids); max-abs
+    normalization keeps the iterate in fixed dynamic range, as a real
+    power-iteration loop would (further rounds = rerun with v as the new
+    weight). DuckDB unrolls the identical round as CTEs; position is
+    1-based in both (posexplode+1)."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    y = elems.groupBy("vec_id").agg(
+        F.sum(F.round("x", 6).cast("decimal(18,6)"))
+        .cast("decimal(18,6)")
+        .alias("y")
+    )
+    v1 = (
+        elems.join(y, "vec_id")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.round(F.col("x") * F.col("y").cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            )
+            .cast("decimal(28,6)")
+            .alias("v")
+        )
+    )
+    mx = v1.agg(F.max(F.abs(F.col("v").cast("double"))).alias("m"))
+    return v1.crossJoin(F.broadcast(mx)).select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.round(F.col("v").cast("double") / F.col("m"), 6).alias("component"),
+    )
