@@ -5560,3 +5560,87 @@ def q_embedding_power_iteration(spark, sf_dir):
         F.col("pos").cast("bigint").alias("dim"),
         F.round(F.col("v").cast("double") / F.col("m"), 6).alias("component"),
     )
+
+
+@register(
+    "jaccard_prefix_filter_pairs",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT inter.a, inter.b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id
+               JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.98
+    """,
+)
+def q_jaccard_prefix_filter(spark, sf_dir):
+    """Set-similarity join with PPJoin-style prefix filtering — the THIRD
+    blocking strategy alongside MinHash-LSH and SimHash, and the only
+    lossless one: order each doc's token set rarest-token-first (global
+    document frequency ascending), keep only the first
+    |s| - ⌈t·|s|⌉ + 1 tokens as the "prefix", and generate candidates ONLY
+    from docs sharing a prefix token — any pair with Jaccard ≥ t provably
+    shares one, so exact verification of candidates returns exactly the
+    full O(n²) answer (the oracle IS the unpruned formulation; the hash
+    match proves losslessness). At 100 TB the candidate join is keyed on
+    rare tokens only — the frequent-token hot keys that blow up the naive
+    token join never enter it — and verification joins the two bounded
+    token-array columns, not the corpus."""
+    docs = load_wide(spark, sf_dir, "documents")
+    t = 0.98
+    toks = docs.select(
+        "doc_id",
+        F.array_distinct(text.tokens(F.lower(F.col("text")))).alias("toks"),
+    )
+    dfreq = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # rarest-first canonical order: sort (df, tok) structs, project back
+    ordered = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+            .alias("otoks")
+        )
+        .select(
+            "doc_id",
+            "otoks",
+            F.size("otoks").alias("sz"),
+            F.expr(f"slice(otoks, 1, size(otoks) - CAST(ceil({t} * size(otoks)) AS INT) + 1)")
+            .alias("prefix"),
+        )
+    )
+    cand = (
+        ordered.select("doc_id", "sz", "otoks", F.explode("prefix").alias("ptok"))
+        .alias("a")
+        .join(
+            ordered.select(
+                "doc_id", "sz", "otoks", F.explode("prefix").alias("ptok")
+            ).alias("b"),
+            on=[F.col("a.ptok") == F.col("b.ptok"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            F.col("a.otoks").alias("ta"),
+            F.col("b.otoks").alias("tb"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
+        )
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
+    return cand.filter(jac >= t).select(
+        "a", "b", F.round(jac, 6).alias("jaccard")
+    )
