@@ -5644,3 +5644,54 @@ def q_jaccard_prefix_filter(spark, sf_dir):
     return cand.filter(jac >= t).select(
         "a", "b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register(
+    "benford_digit_check",
+    """
+    WITH digits AS (
+      SELECT event_type,
+             CAST(substring(CAST(CAST(floor(abs(value)) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM events WHERE abs(value) >= 1),
+    counts AS (
+      SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS n
+      FROM digits GROUP BY event_type, d),
+    tot AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS t
+      FROM counts GROUP BY event_type)
+    SELECT c.event_type, c.d, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.t, 6) AS observed,
+           ROUND(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS expected
+    FROM counts c JOIN tot t USING (event_type)
+    """,
+)
+def q_benford_digit_check(spark, sf_dir):
+    """Benford first-significant-digit audit per event type — the forensic
+    data-quality check that flags synthetic or truncated numeric feeds
+    (organic multi-scale magnitudes follow log10(1+1/d); capped, defaulted,
+    or fabricated feeds don't). First digit extracted integer-exactly
+    (floor→string head, no float log tricks), counted in one map-side-
+    combined shuffle; observed and expected shares are single IEEE
+    divisions. The ~9-row-per-type result is what a pipeline joins against
+    alert thresholds."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+    digits = ev.filter(F.abs("value") >= 1).select(
+        "event_type",
+        F.substring(F.floor(F.abs("value")).cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d"),
+    )
+    counts = digits.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("observed"),
+        F.round(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6).alias(
+            "expected"
+        ),
+    )
