@@ -58,10 +58,14 @@ HEADLINE = [
     "segment_dup_fraction",
     "unigram_logprob_score",
     "training_corpus_pipeline",
+    "quality_ensemble",
     # event analytics + iterative graph (scale with SF)
     "funnel_conversion",
     "cohort_retention",
+    "mad_outliers",
+    "daily_count_anomalies",
     "graph_pagerank",
+    "supplier_cooccurrence_similarity",
     # streaming runtime (readStream → stateful op → sink)
     "stream_scan_running",
 ]
