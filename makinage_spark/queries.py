@@ -5695,3 +5695,119 @@ def q_benford_digit_check(spark, sf_dir):
             "expected"
         ),
     )
+
+
+@register(
+    "session_funnel_rates",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    w1 AS (
+      SELECT user_id, sid, ts, event_id, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS v_min
+      FROM sess),
+    w2 AS (
+      SELECT user_id, sid, ts, event_type, v_min,
+             MIN(CASE WHEN event_type = 'click' AND v_min < ts THEN ts END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS c_min
+      FROM w1),
+    per_session AS (
+      SELECT user_id, sid,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND v_min < ts THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND c_min < ts THEN 1 ELSE 0 END) AS s3
+      FROM w2 GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(s1) AS BIGINT) AS reached_view,
+           CAST(SUM(s2) AS BIGINT) AS reached_click,
+           CAST(SUM(s3) AS BIGINT) AS reached_purchase,
+           ROUND(CAST(SUM(s2) AS DOUBLE) / SUM(s1), 6) AS click_rate,
+           ROUND(CAST(SUM(s3) AS DOUBLE) / SUM(s2), 6) AS purchase_rate
+    FROM per_session
+    """,
+)
+def q_session_funnel_rates(spark, sf_dir):
+    """Session-scoped funnel conversion rates — the composition every
+    product-analytics stack runs: 30-minute-gap sessionization, then the
+    ordered view→click→purchase chain WITHIN each session, rolled up to
+    stage-to-stage conversion rates. All four window passes (gap flag,
+    session id, and both chained cumulative mins) share the
+    (user_id, ts, event_id) sort — Catalyst plans ONE exchange + one sort
+    for the entire chain, then the (user, session) rollup reuses the same
+    partitioning; the final global rollup moves a handful of counters. At
+    100 TB the events table crosses the wire once, total."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "*",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (F.col("ts") >= F.lag("ts").over(wo) + F.expr("INTERVAL 30 MINUTES")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum("new_session").over(cum).alias("sid"),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w1 = sess.select(
+        "*",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(ws).alias("v_min"),
+    )
+    w2 = w1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("v_min") < F.col("ts")),
+                F.col("ts"),
+            )
+        )
+        .over(
+            Window.partitionBy("user_id", "sid")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("c_min"),
+    )
+    per_session = w2.groupBy("user_id", "sid").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("v_min") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("c_min") < F.col("ts")), 1
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("s1").cast("bigint").alias("reached_view"),
+        F.sum("s2").cast("bigint").alias("reached_click"),
+        F.sum("s3").cast("bigint").alias("reached_purchase"),
+        F.round(F.sum("s2").cast("double") / F.sum("s1"), 6).alias("click_rate"),
+        F.round(F.sum("s3").cast("double") / F.sum("s2"), 6).alias("purchase_rate"),
+    )
