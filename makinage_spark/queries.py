@@ -5811,3 +5811,81 @@ def q_session_funnel_rates(spark, sf_dir):
         F.round(F.sum("s2").cast("double") / F.sum("s1"), 6).alias("click_rate"),
         F.round(F.sum("s3").cast("double") / F.sum("s2"), 6).alias("purchase_rate"),
     )
+
+
+@register(
+    "embedding_label_drift",
+    """
+    WITH elems AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cell AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS c
+      FROM elems GROUP BY label, pos),
+    gcell AS (
+      SELECT pos,
+             CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS g
+      FROM elems GROUP BY pos),
+    diff AS (
+      SELECT label,
+             SUM(CAST(ROUND((c - g) * (c - g), 9) AS DECIMAL(28,9))) AS d2,
+             SUM(CAST(ROUND(c * g, 9) AS DECIMAL(28,9))) AS dot_cg,
+             SUM(CAST(ROUND(c * c, 9) AS DECIMAL(28,9))) AS dot_cc,
+             SUM(CAST(ROUND(g * g, 9) AS DECIMAL(28,9))) AS dot_gg
+      FROM cell JOIN gcell USING (pos) GROUP BY label)
+    SELECT label,
+           ROUND(sqrt(CAST(d2 AS DOUBLE)), 6) AS l2_drift,
+           ROUND(CAST(dot_cg AS DOUBLE)
+                 / (sqrt(CAST(dot_cc AS DOUBLE)) * sqrt(CAST(dot_gg AS DOUBLE))),
+                 6) AS cosine_to_global
+    FROM diff
+    """,
+)
+def q_embedding_label_drift(spark, sf_dir):
+    """Per-class embedding drift: each label's centroid scored against the
+    global corpus centroid by L2 displacement and cosine — the monitor a
+    training pipeline runs across snapshots to catch embedding-space shift
+    (re-run per ingest batch and diff). One explode feeds BOTH centroid
+    grids (per-label and global — |labels|·dims and dims cells; vector count
+    never matters after the map-side combine); the dim-sized grids join on
+    position and fold into three decimal-exact dot products per label, so
+    the only floats are final sqrt/divides on identical IEEE inputs."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("vf").cast("double").alias("v")
+    )
+    cell = elems.groupBy("label", "pos").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("c")
+    )
+    gcell = elems.groupBy("pos").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("g")
+    )
+    dec = lambda col: F.sum(F.round(col, 9).cast("decimal(28,9)"))  # noqa: E731
+    diff = (
+        cell.join(F.broadcast(gcell), "pos")
+        .groupBy("label")
+        .agg(
+            dec((F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))).alias("d2"),
+            dec(F.col("c") * F.col("g")).alias("dot_cg"),
+            dec(F.col("c") * F.col("c")).alias("dot_cc"),
+            dec(F.col("g") * F.col("g")).alias("dot_gg"),
+        )
+    )
+    return diff.select(
+        "label",
+        F.round(F.sqrt(F.col("d2").cast("double")), 6).alias("l2_drift"),
+        F.round(
+            F.col("dot_cg").cast("double")
+            / (
+                F.sqrt(F.col("dot_cc").cast("double"))
+                * F.sqrt(F.col("dot_gg").cast("double"))
+            ),
+            6,
+        ).alias("cosine_to_global"),
+    )
