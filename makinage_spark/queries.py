@@ -5889,3 +5889,60 @@ def q_embedding_label_drift(spark, sf_dir):
             6,
         ).alias("cosine_to_global"),
     )
+
+
+@register(
+    "watermark_lateness_audit",
+    """
+    WITH arr AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events),
+    late AS (
+      SELECT event_type,
+             CAST(date_diff('millisecond', ts, frontier) AS BIGINT) AS late_ms
+      FROM arr)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           ROUND(quantile_cont(late_ms, 0.5), 6) AS p50_ms,
+           ROUND(quantile_cont(late_ms, 0.95), 6) AS p95_ms,
+           CAST(MAX(late_ms) AS BIGINT) AS max_ms,
+           CAST(SUM(CASE WHEN late_ms > 3600000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_at_1h
+    FROM late GROUP BY event_type
+    """,
+)
+def q_watermark_lateness_audit(spark, sf_dir):
+    """Watermark sizing from historical lateness — THE analysis behind every
+    `withWatermark` bound: replay events in arrival order (event_id), track
+    the event-time frontier (running max), measure each record's lateness
+    against it, and report per-type lateness percentiles plus how many
+    records a 1-hour watermark would drop. Run this before deploying any
+    windowed streaming aggregation; re-run to audit drift. The frontier is
+    a single ordered cumulative max — Spark computes it in one pass (the
+    unpartitioned window is the point: the frontier is global, and lateness
+    is then reduced per-type map-side; the heavy percentile runs on the
+    already-tiny per-type lateness sets at any corpus scale... here events
+    fit one pass; on a 100 TB replay you'd frontier per Kafka partition,
+    matching real per-partition ordering)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    arr = ev.select(
+        "event_type",
+        (
+            (F.max("ts").over(w).cast("double") - F.col("ts").cast("double")) * 1000
+        ).cast("bigint").alias("late_ms"),
+    )
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("late_ms") > 0, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.round(F.expr("percentile(late_ms, 0.5)"), 6).alias("p50_ms"),
+        F.round(F.expr("percentile(late_ms, 0.95)"), 6).alias("p95_ms"),
+        F.max("late_ms").cast("bigint").alias("max_ms"),
+        F.sum(F.when(F.col("late_ms") > 3600000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_at_1h"),
+    )
