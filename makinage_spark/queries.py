@@ -5946,3 +5946,121 @@ def q_watermark_lateness_audit(spark, sf_dir):
         .cast("bigint")
         .alias("dropped_at_1h"),
     )
+
+
+@register(
+    "vocab_id_assignment",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(SUM(freq) AS DOUBLE) AS t FROM freq),
+    ranked AS (
+      SELECT tok, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, tok) AS BIGINT) AS vocab_id,
+             CAST(SUM(freq) OVER (ORDER BY freq DESC, tok
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM freq)
+    SELECT vocab_id, tok, freq,
+           ROUND(cum / t, 6) AS cum_coverage
+    FROM ranked CROSS JOIN tot
+    WHERE vocab_id <= 64
+    """,
+)
+def q_vocab_id_assignment(spark, sf_dir):
+    """Vocabulary finalization — the step after merge-candidate mining
+    (bpe_pair_counts): rank tokens by corpus frequency, assign dense
+    contiguous ids, and report cumulative corpus coverage per rank (the
+    curve that tells you where to cut vocab size). The frequency table is
+    vocab-sized, so the ordered window runs on an already-tiny frame (at
+    100 TB: the corpus-size explode map-side-combines into |vocab| rows
+    BEFORE any ordered operation; the single-partition window only ever
+    sees the vocabulary). Deterministic (freq desc, tok) total order; the
+    coverage ratio is an exact-BIGINT running sum over one IEEE division."""
+    docs = load_wide(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    tot = freq.agg(F.sum("freq").cast("double").alias("t"))
+    w = Window.orderBy(F.desc("freq"), "tok")
+    cum = Window.orderBy(F.desc("freq"), "tok").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        freq.select(
+            F.row_number().over(w).cast("bigint").alias("vocab_id"),
+            "tok",
+            "freq",
+            F.sum("freq").over(cum).cast("bigint").alias("cum"),
+        )
+        .filter(F.col("vocab_id") <= 64)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_id", "tok", "freq",
+            F.round(F.col("cum") / F.col("t"), 6).alias("cum_coverage"),
+        )
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    """,
+)
+def q_referential_integrity(spark, sf_dir):
+    """Warehouse-wide referential-integrity audit: orphan counts for every
+    foreign-key edge of the star schema in one result — the ingest gate
+    that catches partial loads and broken joins before queries silently
+    lose rows. Each edge is a LEFT ANTI join counted (Spark's anti joins
+    broadcast the parent's key column when small — nation/customer here;
+    at 100 TB the lineitem→orders edge shuffles child keys only, and the
+    per-edge results union into one audit row set."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    def edge(name, child, parent, cond):
+        orphans = child.join(F.broadcast(parent), cond, "left_anti")
+        return child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child")).crossJoin(
+            orphans.agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        ).select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+
+    return (
+        edge("lineitem.l_orderkey -> orders", li, o, li.l_orderkey == o.o_orderkey)
+        .unionAll(edge("orders.o_custkey -> customer", o, c, o.o_custkey == c.c_custkey))
+        .unionAll(
+            edge("customer.c_nationkey -> nation", c, n, c.c_nationkey == n.n_nationkey)
+        )
+        .unionAll(
+            edge("supplier.s_nationkey -> nation", s, n, s.s_nationkey == n.n_nationkey)
+        )
+    )
