@@ -5932,8 +5932,8 @@ def q_watermark_lateness_audit(spark, sf_dir):
     w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     arr = ev.select(
         "event_type",
-        (
-            (F.max("ts").over(w).cast("double") - F.col("ts").cast("double")) * 1000
+        F.floor(
+            (F.max(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1000
         ).cast("bigint").alias("late_ms"),
     )
     return arr.groupBy("event_type").agg(
@@ -6063,4 +6063,65 @@ def q_referential_integrity(spark, sf_dir):
         .unionAll(
             edge("supplier.s_nationkey -> nation", s, n, s.s_nationkey == n.n_nationkey)
         )
+    )
+
+
+@register(
+    "last_touch_attribution",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events)
+    SELECT user_id, event_id,
+           {FMT_TS('ts')} AS purchase_ts,
+           touch_type,
+           CAST(date_diff('microsecond', touch_ts, ts) // 1000 AS BIGINT)
+             AS delay_ms
+    FROM marked
+    WHERE event_type = 'purchase' AND touch_ts IS NOT NULL
+    """,
+)
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credited to the user's most
+    recent PRIOR non-purchase event (type + delay) — the marketing/product
+    attribution join, expressed as a carry-forward window instead of the
+    textbook self-as-of-join: last_value(... IGNORE NULLS) over
+    rows-up-to-previous carries the latest touch along the (user, time)
+    sort, so the events table shuffles ONCE and there is no join at all
+    (the self-as-of formulation shuffles it twice and range-matches). The
+    1-PRECEDING frame end makes the same-timestamp purchase/touch case
+    deterministic (a touch at the exact purchase ts does not self-credit)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    touch_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    marked = ev.select(
+        "*",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_type"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("touch_ts"),
+    )
+    return marked.filter(
+        (F.col("event_type") == "purchase") & F.col("touch_ts").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        fmt_ts(F.col("ts")).alias("purchase_ts"),
+        "touch_type",
+        F.floor(
+            (F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1000
+        ).cast("bigint").alias("delay_ms"),
     )
