@@ -6125,3 +6125,84 @@ def q_last_touch_attribution(spark, sf_dir):
             (F.unix_micros("ts") - F.unix_micros("touch_ts")) / 1000
         ).cast("bigint").alias("delay_ms"),
     )
+
+
+@register(
+    "period_profile_diff",
+    """
+    WITH p1 AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS t
+      FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-30'
+      GROUP BY user_id),
+    p2 AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS t
+      FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-30'
+      GROUP BY user_id),
+    diff AS (
+      SELECT COALESCE(p1.user_id, p2.user_id) AS user_id,
+             CASE WHEN p1.user_id IS NULL THEN 'added'
+                  WHEN p2.user_id IS NULL THEN 'removed'
+                  WHEN p1.n <> p2.n OR p1.v <> p2.v OR p1.t <> p2.t THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(p2.n, 0) - COALESCE(p1.n, 0) AS dn
+      FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(dn) AS BIGINT) AS net_event_delta
+    FROM diff GROUP BY status
+    """,
+)
+def q_period_profile_diff(spark, sf_dir):
+    """Snapshot diff (CDC compaction audit): per-user activity profiles for
+    two adjacent periods, full-outer-joined and classified
+    added/removed/changed/unchanged with the net event delta — the
+    comparison every incremental pipeline runs between snapshot versions to
+    validate an incremental load against a full rebuild. Profile equality
+    uses exact-decimal sums so 'changed' is never float jitter; both
+    period aggregates map-side-combine and the diff join shuffles
+    profile-grain rows (one per user), never events. The period predicate
+    sits at the parquet scan (PushedFilters) — each side reads only its
+    half."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True)
+
+    def profile(pred):
+        return (
+            ev.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.round("value", 6).cast("decimal(18,6)"))
+                .cast("decimal(18,6)")
+                .alias("v"),
+                F.countDistinct("event_type").cast("bigint").alias("t"),
+            )
+        )
+
+    cut = F.to_date(F.col("ts")) < F.lit("2024-01-30").cast("date")
+    p1 = profile(cut).alias("p1")
+    p2 = profile(~cut).alias("p2")
+    j = p1.join(p2, F.col("p1.user_id") == F.col("p2.user_id"), "full_outer")
+    status = (
+        F.when(F.col("p1.user_id").isNull(), "added")
+        .when(F.col("p2.user_id").isNull(), "removed")
+        .when(
+            (F.col("p1.n") != F.col("p2.n"))
+            | (F.col("p1.v") != F.col("p2.v"))
+            | (F.col("p1.t") != F.col("p2.t")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    diff = j.select(
+        status.alias("status"),
+        (
+            F.coalesce(F.col("p2.n"), F.lit(0)) - F.coalesce(F.col("p1.n"), F.lit(0))
+        ).alias("dn"),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("dn").cast("bigint").alias("net_event_delta"),
+    )
