@@ -6206,3 +6206,178 @@ def q_period_profile_diff(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("dn").cast("bigint").alias("net_event_delta"),
     )
+
+
+@register(
+    "max_concurrent_intervals",
+    f"""
+    WITH pts AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1 FROM events),
+    sweep AS (
+      SELECT CAST(CAST(t AS DATE) AS VARCHAR) AS day,
+             SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts)
+    SELECT day, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY day
+    """,
+)
+def q_max_concurrent_intervals(spark, sf_dir):
+    """Sweep-line concurrency audit: each event opens a 5-minute activity
+    interval [ts, ts+5min); report the peak number of simultaneously open
+    intervals per day — the classic 'max concurrent sessions' capacity
+    question. The naive formulation is a global single-partition running
+    sum; here the prefix sum is DISTRIBUTED two-phase: boundary points
+    (+1/-1) get a within-day running sum (shuffle partitioned by day),
+    per-day delta totals form a days-sized frame whose exclusive running
+    sum is each day's carry-in offset, broadcast back. Concurrency =
+    day-local prefix + carry, so no executor ever sees more than one day
+    and cross-midnight intervals are still counted exactly. Tie order at
+    equal t is -1 before +1 (half-open intervals); the per-day MAX is
+    invariant to ordering among equal (t, delta) rows because prefix sums
+    within a tie group are monotone."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select("ts")
+    pts = (
+        ev.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+        .unionAll(
+            ev.select(
+                (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("t"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .withColumn("day", F.to_date("t"))
+    )
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w_day).alias("run"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        pts.groupBy("day")
+        .agg(F.sum("delta").alias("tot"))
+        .select(
+            "day",
+            F.coalesce(F.sum("tot").over(w_days), F.lit(0)).alias("carry"),
+        )
+    )
+    return (
+        run.join(F.broadcast(carry), "day")
+        .groupBy("day")
+        .agg(F.max(F.col("run") + F.col("carry")).cast("bigint").alias("peak_concurrency"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+    )
+
+
+@register(
+    "time_weighted_average",
+    """
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events),
+    wtd AS (
+      SELECT user_id,
+             CAST(CAST(ROUND(value * 1000000) AS BIGINT) AS DECIMAL(19,0)) AS v_u,
+             CAST(date_diff('microsecond', ts, nts) AS DECIMAL(19,0)) AS wt
+      FROM seq WHERE nts IS NOT NULL),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(v_u * wt) AS HUGEINT) AS num,
+             CAST(SUM(wt) AS HUGEINT) AS den
+      FROM wtd GROUP BY user_id)
+    SELECT user_id,
+           CAST(num // den AS BIGINT) AS twap_micro,
+           CAST(CAST(num // den AS BIGINT) AS DOUBLE) / 1000000 AS twap,
+           CAST(den AS BIGINT) AS span_us
+    FROM agg
+    """,
+)
+def q_time_weighted_average(spark, sf_dir):
+    """Time-weighted average (TWAP): each reading holds until the user's
+    next event, so the mean weights every value by its holding duration —
+    the correct aggregate for irregularly sampled gauges (price feeds,
+    sensor states), where the arithmetic mean over-weights bursts. One
+    shuffle: lead() pairs consecutive events per user, then the weighted
+    sum map-side-combines. Exactness is PURE-INTEGER end to end: value in
+    micro-units (bigint) times the exact integer-microsecond duration, both
+    as decimal(19,0) so the product decimal(38,0) and its sum stay inside
+    Decimal128; the quotient is a floor division of exact integers (the
+    naive decimal→double cast diverges between engines once the weighted
+    sum passes 2^53 micro-units)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "value", F.lead("ts").over(w).alias("nts")
+    ).filter(F.col("nts").isNotNull())
+    wtd = seq.select(
+        "user_id",
+        F.round(F.col("value") * 1000000)
+        .cast("bigint")
+        .cast("decimal(19,0)")
+        .alias("v_u"),
+        (F.unix_micros("nts") - F.unix_micros("ts")).cast("decimal(19,0)").alias("wt"),
+    )
+    agg = wtd.groupBy("user_id").agg(
+        F.sum(F.col("v_u") * F.col("wt")).alias("num"),
+        F.sum("wt").alias("den"),
+    )
+    twap_micro = F.expr("num div den").cast("bigint")
+    return agg.select(
+        "user_id",
+        twap_micro.alias("twap_micro"),
+        (twap_micro.cast("double") / F.lit(1000000)).alias("twap"),
+        F.col("den").cast("bigint").alias("span_us"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS to_type
+      FROM events),
+    trans AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+    FROM trans
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current event type) — the behavioral model behind
+    next-action prediction and funnel leak detection. lead() pairs
+    consecutive events inside the per-user shuffle, the pair counts
+    map-side-combine down to a |types|² frame, and the row normalization
+    runs as a window over that tiny frame — the events table shuffles
+    exactly once regardless of scale. The probability is one IEEE division
+    on exact integer counts, rounded for display."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_row = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
+        ).alias("p"),
+    )
