@@ -6381,3 +6381,159 @@ def q_event_transition_matrix(spark, sf_dir):
             F.col("n").cast("double") / F.sum("n").over(w_row).cast("double"), 6
         ).alias("p"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    """
+    WITH fs AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    daily AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM fs GROUP BY first_day)
+    SELECT CAST(day AS VARCHAR) AS day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM daily
+    """,
+)
+def q_cumulative_distinct_users(spark, sf_dir):
+    """Cumulative distinct users per day — the growth-accounting curve
+    ('total users ever seen by day D'). The naive formulation is a running
+    COUNT(DISTINCT) over an expanding window (quadratic state); this is
+    the scalable identity: a user contributes exactly once, on their
+    first-seen day, so min-date per user map-side-combines, the per-day
+    new-user counts are a days-sized frame, and the running total is a
+    window over that tiny frame. One full shuffle (by user), nothing
+    quadratic, no distinct-state growth — the standard incremental
+    formulation a warehouse would maintain."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select("user_id", "ts")
+    fs = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    daily = fs.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+@register(
+    "group_linear_regression",
+    """
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_diff('second', TIMESTAMP '2024-01-15 12:00:00', ts)
+                  AS DECIMAL(19,0)) AS x,
+             CAST(CAST(ROUND(value * 100) AS BIGINT) AS DECIMAL(19,0)) AS y_c
+      FROM events),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y_c) AS DOUBLE) AS sy,
+             CAST(SUM(x * y_c) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 864, 6)
+             AS slope_per_day,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n / 100, 6)
+             AS intercept_mid_month
+    FROM sums
+    """,
+)
+def q_group_linear_regression(spark, sf_dir):
+    """Per-group ordinary least squares: trend slope of event value over
+    time for every event type (value units/day) plus the fitted level at
+    mid-month — the drift detector behind metric monitoring, computed as
+    one map-side-combinable aggregate (n, Σx, Σy, Σxy, Σx²) with the
+    closed-form slope assembled on group-sized sums. Scale: the fact table
+    never shuffles raw rows, only five sums per group. Determinism:
+    x = integer seconds centered on mid-month, y = integer cents, so every
+    sum is an exact integer < 2^53 whose double conversion is lossless in
+    both engines; the remaining arithmetic is a fixed IEEE op sequence on
+    identical operands (regr_slope-style float accumulation would be
+    partition-order-dependent — this is not)."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "event_type", "ts", "value"
+    )
+    anchor = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    pts = ev.select(
+        "event_type",
+        F.floor((F.unix_micros("ts") - F.unix_micros(anchor)) / 1000000)
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").cast("decimal(19,0)").alias("y_c"),
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y_c").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y_c")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope * 864, 6).alias("slope_per_day"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n") / 100, 6).alias(
+            "intercept_mid_month"
+        ),
+    )
+
+
+@register(
+    "winsorized_mean",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type, b.lo, b.hi,
+             LEAST(GREATEST(e.value, b.lo), b.hi) AS cv
+      FROM events e JOIN b USING (event_type))
+    SELECT event_type, ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {DSUM('cv')} / CAST(COUNT(*) AS DOUBLE) AS winsorized_mean
+    FROM c GROUP BY event_type
+    """,
+)
+def q_winsorized_mean(spark, sf_dir):
+    """Winsorized mean per event type: clamp values into the exact
+    [p05, p95] interpolated-percentile band, then average — the robust
+    location estimate that survives fat-tailed metrics where the plain
+    mean is one outlier away from garbage. Two passes over the facts
+    (percentile then clamp+mean), but only (group, value) pairs ever
+    shuffle and the band table is group-sized and broadcast back; at
+    100 TB you'd swap the exact percentile for the registered t-digest
+    sketch and keep the identical clamp pass. Band edges are rounded to
+    6dp on both sides before clamping, so the clamped values — and their
+    exact decimal sum — are engine-identical."""
+    ev = load_table(spark, sf_dir, "events", parallelize=True).select(
+        "event_type", "value"
+    )
+    b = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("hi"),
+    )
+    cv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .select("event_type", "lo", "hi", cv.alias("cv"))
+        .groupBy("event_type")
+        .agg(
+            F.any_value("lo").alias("lo"),
+            F.any_value("hi").alias("hi"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (dsum("cv") / F.count(F.lit(1)).cast("double")).alias("winsorized_mean"),
+        )
+    )

@@ -41,5 +41,5 @@ def test_every_oracle_has_a_query():
 
 def test_registry_size_floor():
     # coverage must never silently shrink across rounds
-    assert len(QUERIES) >= 177
-    assert len(ORACLES) >= 169
+    assert len(QUERIES) >= 180
+    assert len(ORACLES) >= 172
