@@ -93,14 +93,25 @@ def main():
             pass
 
     # timed: cold data (no reused cache/persist), warm JVM; min-of-2 absorbs
-    # scheduler noise on a shared box
+    # scheduler noise on a shared box. A failing query is recorded with a
+    # penalty time instead of aborting the run — one bad query must never
+    # cost the whole benchmark line.
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as e:
+                print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                failed.append(name)
+                best = 999.0
+                break
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
@@ -112,6 +123,8 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if failed:
+        out["failed"] = failed
     print(json.dumps(out))
     spark.stop()
 

@@ -28,6 +28,7 @@ from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from makinage_spark import data, dedup, graphs, joins, ops, pipe, smath, text, vectors
 from makinage_spark.sources import load_table
@@ -1720,7 +1721,14 @@ def _stream_events(spark, sf_dir):
     os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stream_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # normalize ts exactly like load_table: nano-ts fixtures surface as longs
+    # (nanosAsLong) and need div-1000→micros; micro-ts fixtures arrive as a
+    # timestamp type already (cast unifies NTZ → session-TZ TimestampType)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def _drain(df, mode: str = "append"):

@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 #: Driver testdata tables (TESTDATA.md).
 TABLES = (
@@ -76,6 +77,13 @@ def load_table(
         # integer division: nanos (~1.7e18) exceed double precision, so a
         # float divide-then-cast can be off by 1 µs
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # micro-ts parquet surfaces as TIMESTAMP_NTZ (inferTimestampNTZ); unify to
+    # session-TZ TimestampType so event-time functions (unix_micros, window,
+    # date_format) behave identically across fixture vintages — value-
+    # preserving because the session TZ is pinned UTC above
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     cores = spark.sparkContext.defaultParallelism
     if parallelize and num_rows >= _PARALLELIZE_MIN_ROWS and row_groups < cores // 2:
         df = df.repartition(cores)
