@@ -6544,6 +6544,139 @@ def q_winsorized_mean(spark, sf_dir):
     )
 
 
+@register(
+    "kmeans_lloyd_clusters",
+    """
+    WITH elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    c0 AS (
+      SELECT dense_rank() OVER (ORDER BY e.vec_id) - 1 AS cid, e.pos, e.x AS v
+      FROM elems e JOIN seeds USING (vec_id)),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) z WHERE rn = 1),
+    c1 AS (
+      SELECT a1.cid, e.pos,
+             CAST(SUM(CAST(ROUND(e.x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM elems e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) z WHERE rn = 1)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+    """,
+)
+def q_kmeans_lloyd(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 rounds) over the full embeddings
+    corpus — the fourth iterative-algorithm family (after pagerank, connected
+    components, power iteration), and the exact-balance alternative to
+    vectors.ivf_centroids' sampled driver-side training. Per round:
+    assignment is a map-only broadcast-literal pass (zip_with/aggregate
+    distance folds, whole-stage codegen, no shuffle); the update shuffles at
+    most k·d decimal partial sums per partition; exactly k·d doubles reach
+    the driver. Engine-exact: distance terms round((x-c)²,12)→DECIMAL before
+    the fold, argmin tie-breaks to the lowest cluster id, centroids are
+    exact-decimal-sum / count in one IEEE division — the duckdb oracle
+    unrolls the identical two rounds as CTEs and hash-matches per-vector
+    assignments."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    return vectors.kmeans_lloyd(emb, k=8, iters=2)
+
+
+@register(
+    "zipf_rank_slope",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq ORDER BY f DESC, tok LIMIT 1000),
+    pts AS (
+      SELECT CAST(log2(r) AS DOUBLE) AS lx, CAST(log2(f) AS DOUBLE) AS ly
+      FROM ranked),
+    sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(ROUND(lx, 6) AS DECIMAL(28,6))) AS sx,
+             SUM(CAST(ROUND(ly, 6) AS DECIMAL(28,6))) AS sy,
+             SUM(CAST(ROUND(lx * ly, 6) AS DECIMAL(28,6))) AS sxy,
+             SUM(CAST(ROUND(lx * lx, 6) AS DECIMAL(28,6))) AS sxx
+      FROM pts)
+    SELECT n AS n_points,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS slope
+    FROM sums
+    """,
+)
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope of
+    log2(freq) on log2(rank) for the top-1000 tokens — the canonical corpus
+    health check (natural text ≈ −1; synthetic/boilerplate-heavy corpora
+    flatten or steepen). One token-count shuffle (vocab-sized), a top-1000
+    TakeOrdered, then a singleton OLS over ≤1000 points with the engine's
+    decimal-exact sum discipline (log2 terms rounded to 6dp before decimal
+    summation, slope derived from exact sums in IEEE doubles)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("f"), "tok")
+        .limit(1000)
+        .select(
+            "f",
+            F.row_number()
+            .over(Window.orderBy(F.desc("f"), "tok"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    pts = ranked.select(
+        F.log2("r").alias("lx"), F.log2("f").alias("ly")
+    )
+    dec = lambda c: F.round(c, 6).cast("decimal(28,6)")  # noqa: E731
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec(F.col("lx"))).alias("sx"),
+        F.sum(dec(F.col("ly"))).alias("sy"),
+        F.sum(dec(F.col("lx") * F.col("ly"))).alias("sxy"),
+        F.sum(dec(F.col("lx") * F.col("lx"))).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    return sums.select(
+        F.col("n").alias("n_points"),
+        F.round(
+            (n * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (n * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # registered queries (observed in round 1: CORRECTNESS_r01.json holds exactly

@@ -225,3 +225,106 @@ def sq8_quantize(
         .cast("bigint")
         .alias("qv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means (full-corpus, engine-exact)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full-corpus Lloyd's k-means; returns ``(id_col, cluster)``.
+
+    Unlike :func:`ivf_centroids` (driver-side k-means on a bounded sample,
+    fine for training a coarse quantizer), this is the distributed textbook
+    loop over ALL rows — the shape you run when cluster assignments themselves
+    are the product (topic bucketing, dedup sharding, IVF with exact balance):
+
+    - **assignment** is a map-only pass: the k×d centroid set is tiny, so it
+      rides into the plan as literals (broadcast by value) and each row folds
+      its distance to every centroid via ``zip_with``/``aggregate`` — no
+      shuffle, no UDF, whole-stage-codegen'd.
+    - **update** is one shuffle of (cluster, dim) decimal partial sums —
+      map-side combined, so each partition contributes at most k·d rows no
+      matter how many vectors it holds.
+    - per round, exactly k·d aggregated values reach the driver (the new
+      centroids) — at 100 TB that is still k·d doubles.
+
+    Engine-exact determinism (duckdb-oracle replayable, partition-invariant):
+    distance terms are ``round((x-c)², 12)`` snapped to DECIMAL(38,12) before
+    the per-row fold (decimal addition is associative; double inputs are
+    bit-identical on any IEEE engine); argmin tie-breaks on lowest cluster id
+    via strict ``<``; centroid updates keep exact decimal sums
+    (``round(x, 9)`` → DECIMAL(18,9)) and derive each component in ONE IEEE
+    double division sum/count. Seeds are the k lowest-``id_col`` vectors (no
+    RNG). Empty clusters drop out (classic sparse Lloyd).
+    """
+    seeds = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple[int, list[float]]] = [
+        (int(r[id_col]), [float(x) for x in r["v"]]) for r in seeds
+    ]
+    # re-key seed clusters 0..k-1 by seed order (stable: sorted by id)
+    cents = [(i, v) for i, (_, v) in enumerate(cents)]
+
+    def _assign(centroids: list[tuple[int, list[float]]]) -> Column:
+        v = F.col(vec_col).cast("array<double>")
+        # terms at (30,12): addition widens to (31,12) -- scale PRESERVED
+        # (at (38,12) Spark would cap precision and drop to scale 11, silently
+        # rounding every partial); the cast back to (30,12) never loses value
+        # because the fold total stays far below 18 integer digits
+        zero = F.lit(0).cast("decimal(30,12)")
+
+        def dist_to(cvec: list[float]) -> Column:
+            c = F.array(*[F.lit(x) for x in cvec])
+            terms = F.zip_with(
+                v, c, lambda x, cv: F.round((x - cv) * (x - cv), 12).cast(
+                    "decimal(30,12)"
+                )
+            )
+            return F.aggregate(
+                terms, zero, lambda acc, t: (acc + t).cast("decimal(30,12)")
+            )
+
+        cid0, c0 = centroids[0]
+        best_id, best_d = F.lit(cid0), dist_to(c0)
+        for cid, cvec in centroids[1:]:
+            d = dist_to(cvec)
+            better = d < best_d  # strict: ties keep the lower cluster id
+            best_id = F.when(better, F.lit(cid)).otherwise(best_id)
+            best_d = F.when(better, d).otherwise(best_d)
+        return best_id.cast("bigint")
+
+    for _ in range(iters - 1):
+        assigned = df.select(
+            _assign(cents).alias("cluster"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.round("x", 9).cast("decimal(18,9)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["pos"])] = float(
+                r["s"]
+            ) / int(r["n"])
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return df.select(F.col(id_col), _assign(cents).alias("cluster"))

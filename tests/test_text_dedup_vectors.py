@@ -250,3 +250,29 @@ def test_sq8_quantize_range_and_fidelity(spark):
         ).alias("e")
     ).collect()[0]["e"]
     assert err <= 0.5 + 1e-9
+
+
+def test_kmeans_lloyd_separates_obvious_clusters(spark):
+    # two tight blobs around (10,10,0,0) and (0,0,10,10); seeds = ids 0 and 1
+    # land one in each blob, so 2 rounds must recover the partition exactly
+    rows = [
+        (0, [10.0, 10.0, 0.0, 0.1]),
+        (1, [0.1, 0.0, 10.0, 10.0]),
+        (2, [9.9, 10.1, 0.0, 0.0]),
+        (3, [0.0, 0.2, 9.8, 10.0]),
+        (4, [10.2, 9.8, 0.1, 0.0]),
+        (5, [0.0, 0.0, 10.1, 9.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(df, k=2, iters=2).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_lloyd_partitioning_invariant(spark):
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {r.vec_id: r.cluster
+           for r in vectors.kmeans_lloyd(df.coalesce(1), k=3, iters=2).collect()}
+    many = {r.vec_id: r.cluster
+            for r in vectors.kmeans_lloyd(df.repartition(8), k=3, iters=2).collect()}
+    assert one == many
