@@ -144,21 +144,18 @@ def ivf_centroids(
 
 def ivf_assign(centroids: list[list[float]], vec_col: str = "embedding") -> Column:
     """Cell id = argmin_c ||v - centroid_c||² as a pure expression (the
-    ``-2·v·c + ||c||²`` form, since ||v||² is constant per row)."""
+    ``-2·v·c + ||c||²`` form, since ||v||² is constant per row). argmin is
+    ``least()`` over (score, cell) structs — a when()-chain would reference
+    the running best in two branches and double the dot-product subtree per
+    cell (exponential codegen; see kmeans_lloyd). Ties take the lower cell."""
     v = F.col(vec_col).cast("array<double>")
-    best_cell = F.lit(0)
-    best_score = None
+    pairs = []
     for i, c in enumerate(centroids):
         ccol = F.array(*[F.lit(float(x)) for x in c])
         c2 = float(np.dot(c, c))
         score = F.lit(c2) - F.lit(2.0) * dot(v, ccol)
-        if best_score is None:
-            best_score = score
-        else:
-            better = score < best_score
-            best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-            best_score = F.when(better, score).otherwise(best_score)
-    return best_cell
+        pairs.append(F.struct(score, F.lit(i)))
+    return F.least(*pairs).getField("col2")
 
 
 def ivf_topk(
