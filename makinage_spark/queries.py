@@ -1780,6 +1780,29 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_watermarked",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup_watermarked(spark, sf_dir):
+    """Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    evicts keys once the watermark passes them, so state is
+    O(keys-per-watermark-window), not O(all keys ever) — the production
+    answer for unbounded streams where plain dropDuplicates would grow
+    state forever. The fixture replays as one availableNow batch (every
+    duplicate lands within the watermark), so the result still equals batch
+    DISTINCT and hash-checks against the same oracle; the semantic
+    difference (late re-arrivals after eviction pass through) is a
+    documented relaxation the reference cannot express at all."""
+    ev = (
+        _stream_events(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+    )
+    out = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return _drain(out).select("user_id", "event_type")
+
+
+@register(
     "stream_scan_running",
     """
     SELECT user_id, event_id,
@@ -6541,6 +6564,56 @@ def q_winsorized_mean(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             (dsum("cv") / F.count(F.lit(1)).cast("double")).alias("winsorized_mean"),
         )
+    )
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH tarr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ta
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, s // 24 AS chunk_idx,
+             ta[(s + 1):(s + 32)] AS chunk
+      FROM tarr, LATERAL (
+        SELECT unnest(generate_series(0, len(ta) - 1, 24)) AS s)
+      WHERE len(ta) > 0)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (window 32, stride 24 — the RAG /
+    context-packing primitive: every token is covered, consecutive chunks
+    share a 8-token overlap so no boundary context is lost). All in-row array
+    algebra — tokenize once, slice per start offset, explode — so the plan is
+    scan → generator → project with NO shuffle at all; at 100 TB it
+    parallelizes embarrassingly by input split. Chunk identity is the md5 of
+    the reassembled token text (hash-checked against DuckDB's identical
+    slicing)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    tarr = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("ta")
+    ).filter(F.size("ta") > 0)
+    chunks = tarr.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("ta") - 1, F.lit(24))
+        ).alias("s"),
+        "ta",
+    ).select(
+        "doc_id",
+        (F.col("s") / 24).cast("bigint").alias("chunk_idx"),
+        F.slice("ta", F.col("s") + 1, 32).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
     )
 
 
