@@ -53,6 +53,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "embedding_topk",
     "pack_sequences",
+    "chunk_documents",
     "pii_redaction",
     "domain_mixture_weights",
     "segment_dup_fraction",
