@@ -1004,9 +1004,49 @@ def q_lsh_topk(spark, sf_dir):
     return vectors.lsh_topk(emb, qv, k=10, planes=4)
 
 
-@register("dedup_minhash_pairs", None)
+def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 5) -> str:
+    """Exact SQL twin of dedup.minhash_lsh_pairs: the banding is md5-derived
+    and fully deterministic, so the 'approximate' op still has an exact
+    oracle — approximation is a property of WHICH pairs LSH surfaces, not of
+    the computation."""
+    norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+    shingles = (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(1, length({norm}) - {ngram - 1})), "
+        f"i -> substr({norm}, i, {ngram})))"
+    )
+    hashes = (
+        f"list_transform({shingles}, s -> "
+        f"CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT))"
+    )
+    p = dedup.MINHASH_PRIME
+    mins = ", ".join(
+        f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % {p}), 'min') AS mh{i}"
+        for i, (a, b) in enumerate(dedup.minhash_params(num_hashes))
+    )
+    r = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r))
+        + ")) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {hashes} AS hs FROM documents),
+    sig AS (SELECT doc_id, {mins} FROM t),
+    bnd AS ({band_rows})
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.doc_id < r.doc_id
+    """
+
+
+@register("dedup_minhash_pairs", _minhash_pairs_sql())
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH banding candidate pairs (probabilistic → rows-only check)."""
+    """MinHash+LSH banding candidate pairs. The LSH is *recall*-approximate,
+    but every arithmetic step (md5 shingle hash → affine minima → md5 band
+    bucket → bucket equi-join) is deterministic, so the emitted pair set
+    hash-matches an exact SQL unroll of the same banding."""
     docs = load_wide(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
@@ -6785,8 +6825,8 @@ _SHOWCASE_50 = [
     "variance_stddev",          # rs.math.variance/stddev
     "quantiles_exact",          # rs.math.dist quantiles
     "histogram_values",         # rs.math.dist histogram
-    "corr_covar",               # bivariate aggregates
-    "max_by_order",             # argmax aggregate
+    "kmeans_lloyd_clusters",    # distributed Lloyd's k-means (iterative ML)
+    "chunk_documents",          # overlapping token windows (RAG/packing)
     "first_last_event",         # rs.ops.first/last
     "q3_shipping_priority",     # join+agg+topk
     "q5_region_revenue",        # 6-way join
