@@ -235,6 +235,99 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    items_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """PPJoin-style LOSSLESS set-similarity join over an array column.
+
+    Order each row's (distinct) item set rarest-item-first by global document
+    frequency, keep only the first ``|s| - ⌈t·|s|⌉ + 1`` items as the
+    "prefix", and generate candidate pairs ONLY from rows sharing a prefix
+    item — the prefix-filter theorem guarantees every pair with Jaccard ≥ t
+    shares at least one, so exact verification of candidates (in-row
+    ``array_intersect`` of the two full sets) returns exactly the unpruned
+    O(n²) answer.
+
+    Why this is the 100 TB default over a raw inverted-index join: the naive
+    join keys on EVERY item, so one stop-item ("of the" shingles, common
+    tokens) with document frequency f contributes f² candidate pairs on a
+    single reducer key. Here the frequent items never enter the join — only
+    the ~(1-t)·|s| rarest per row do — and verification touches the two
+    bounded item arrays, never the corpus.
+
+    Returns ``(a, b, inter, sz_a, sz_b, jaccard)``; ``inter``/sizes are exact
+    BIGINTs, the filter compares the raw (unrounded) ratio.
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.col(items_col)).alias("items"),
+    )
+    dfreq = (
+        sets.select(F.explode("items").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("dfr"))
+    )
+    # rarest-first canonical order: sort (df, item) structs, project back.
+    # dfreq is vocabulary-sized (zipf-bounded) — broadcast; at extreme vocab
+    # sizes AQE falls back to a shuffle hash join on the same plan.
+    # ordered feeds three branches (prefix explode + both sides of the array
+    # attach) — persist so the sort-by-rarity aggregation runs once
+    ordered = (
+        sets.select("doc_id", F.explode("items").alias("it"))
+        .join(F.broadcast(dfreq), "it")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfr, it))), s -> s.it)"
+            ).alias("oit")
+        )
+        .select(
+            "doc_id",
+            "oit",
+            F.size("oit").cast("bigint").alias("sz"),
+            F.expr(
+                f"slice(oit, 1, size(oit) - CAST(ceil({threshold} * size(oit)) AS INT) + 1)"
+            ).alias("prefix"),
+        )
+        .persist()
+    )
+    # candidate ids stay NARROW through the skew-prone join + distinct (two
+    # longs per row): near-identical docs share ~every prefix token, so
+    # carrying the full arrays here would duplicate them once per shared
+    # prefix token; the arrays attach after dedup, once per surviving pair
+    pa = ordered.select("doc_id", F.explode("prefix").alias("ptok"))
+    pairs = (
+        pa.alias("a")
+        .join(
+            pa.alias("b"),
+            on=[
+                F.col("a.ptok") == F.col("b.ptok"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    left = ordered.select(
+        F.col("doc_id").alias("a"), F.col("oit").alias("ta"),
+        F.col("sz").alias("sz_a"),
+    )
+    right = ordered.select(
+        F.col("doc_id").alias("b"), F.col("oit").alias("tb"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = pairs.join(left, "a").join(right, "b")
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    scored = cand.select("a", "b", inter.alias("inter"), "sz_a", "sz_b")
+    jac = F.col("inter").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    )
+    return scored.filter(jac >= threshold).withColumn("jaccard", jac)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -242,46 +335,22 @@ def ngram_jaccard_pairs(
     ngram_words: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similar pairs via an inverted shingle index.
+    """Exact n-gram Jaccard similar pairs — prefix-filtered by default.
 
-    ``explode`` shingles → join on shingle (pairs only form for docs *sharing*
-    a shingle — the inverted-index trick; never a global cross product) →
-    intersection counts → ``|A∪B| = |A|+|B|-|A∩B|`` → filter on threshold.
-
-    At 100 TB: the join key is a word-shingle; stop-shingle skew (very common
-    shingles creating huge buckets) is the known hazard — mitigate upstream by
-    document-frequency filtering of shingles; AQE skew-join splits the rest.
-    This exact form is the *verify* stage after :func:`minhash_lsh_pairs`
-    candidates at scale; standalone it is fine to ~10⁸ docs.
+    Delegates to :func:`prefix_filter_pairs` over the distinct word-shingle
+    sets: lossless (identical answer to the naive inverted-index join, which
+    survives only as the oracle formulation) and immune to stop-shingle skew —
+    a high-document-frequency shingle never becomes a join key. The rounded
+    ``jaccard`` is display-only; thresholding happens on the raw ratio.
     """
     from makinage_spark.text import tokens, word_shingles_of
 
-    sh = df.select(
-        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
-    ).select(F.col(id_col), F.explode(word_shingles_of(F.col("__t"), ngram_words)).alias("sh"))
-    # the inverted index feeds three plan branches (sizes, join left, join
-    # right) — persist so tokenization+shingling runs once
-    sh = sh.persist()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles_of(tokens(F.lower(F.col(text_col))), ngram_words).alias("__sh"),
     )
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "a").join(sb, "b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
-    )
-    return out
+    out = prefix_filter_pairs(sets, "__sh", "doc_id", threshold)
+    return out.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------

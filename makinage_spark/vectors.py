@@ -147,7 +147,11 @@ def ivf_assign(centroids: list[list[float]], vec_col: str = "embedding") -> Colu
     ``-2·v·c + ||c||²`` form, since ||v||² is constant per row). argmin is
     ``least()`` over (score, cell) structs — a when()-chain would reference
     the running best in two branches and double the dot-product subtree per
-    cell (exponential codegen; see kmeans_lloyd). Ties take the lower cell."""
+    cell (exponential codegen; see kmeans_lloyd). Ties take the lower cell.
+
+    Edge contract: a single centroid assigns every row to cell 0 (``least``
+    needs ≥2 args), and a NULL embedding yields a NULL cell id (it belongs to
+    no cell; callers filter or impute upstream)."""
     v = F.col(vec_col).cast("array<double>")
     pairs = []
     for i, c in enumerate(centroids):
@@ -155,7 +159,9 @@ def ivf_assign(centroids: list[list[float]], vec_col: str = "embedding") -> Colu
         c2 = float(np.dot(c, c))
         score = F.lit(c2) - F.lit(2.0) * dot(v, ccol)
         pairs.append(F.struct(score, F.lit(i)))
-    return F.least(*pairs).getField("col2")
+    if len(pairs) == 1:
+        return F.when(v.isNotNull(), F.lit(0))
+    return F.when(v.isNotNull(), F.least(*pairs).getField("col2"))
 
 
 def ivf_topk(
@@ -302,6 +308,8 @@ def kmeans_lloyd(
             F.struct(dist_to(cvec), F.lit(cid).cast("bigint"))
             for cid, cvec in centroids
         ]
+        if len(pairs) == 1:  # least() needs ≥2 args; k=1 is a constant assign
+            return F.lit(centroids[0][0]).cast("bigint")
         return F.least(*pairs).getField("col2")
 
     for _ in range(iters - 1):

@@ -276,3 +276,28 @@ def test_kmeans_lloyd_partitioning_invariant(spark):
     many = {r.vec_id: r.cluster
             for r in vectors.kmeans_lloyd(df.repartition(8), k=3, iters=2).collect()}
     assert one == many
+
+
+def test_ivf_assign_single_centroid_and_null(spark):
+    # k=1: least() needs >=2 args, so the assign degenerates to a constant;
+    # a NULL embedding belongs to no cell -> NULL cell id (documented contract)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    cell = vectors.ivf_assign([[0.0, 0.0]])
+    got = {r.vec_id: r.c for r in df.select("vec_id", cell.alias("c")).collect()}
+    assert got == {0: 0, 1: 0, 2: None}
+    # k=2 null passthrough
+    cell2 = vectors.ivf_assign([[0.0, 0.0], [10.0, 10.0]])
+    got2 = {r.vec_id: r.c for r in df.select("vec_id", cell2.alias("c")).collect()}
+    assert got2 == {0: 0, 1: 0, 2: None}
+
+
+def test_kmeans_lloyd_k1(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(df, k=1, iters=2).collect()}
+    assert got == {i: 0 for i in range(6)}
