@@ -82,6 +82,20 @@ def _load_topic(spark: SparkSession, topic: dict[str, Any], streaming: bool) -> 
             streaming=streaming,
             options=topic.get("options"),
         )
+    elif fmt == "kafka_emu":
+        # broker-less twin of the kafka format: same wire schema, codecs and
+        # start_from semantics over a file-backed log (sources/kafka_emulator)
+        from makinage_spark.sources.kafka_emulator import emu_source
+
+        df = emu_source(
+            spark,
+            broker_dir=topic["broker_dir"],
+            topics=[name],
+            encoding=topic.get("encoder", "string"),
+            schema=topic.get("schema"),
+            start_from=topic.get("start_from", "beginning"),
+            streaming=streaming,
+        )
     else:
         raise ValueError(f"unknown topic format {fmt!r} for {name!r}")
     ts_field = topic.get("timestamp_field")
@@ -159,6 +173,10 @@ def run_graph(spark: SparkSession, config: dict[str, Any] | str, await_batch: bo
                 from makinage_spark.sources.kafka import kafka_sink_batch
 
                 kafka_sink_batch(df, topic)
+            elif fmt == "kafka_emu":
+                from makinage_spark.sources.kafka_emulator import emu_sink_batch
+
+                emu_sink_batch(df, topic)
             else:
                 df.write.format(fmt).mode(topic.get("mode", "overwrite")).options(
                     **topic.get("options", {})
@@ -174,6 +192,10 @@ def run_graph(spark: SparkSession, config: dict[str, Any] | str, await_batch: bo
                 from makinage_spark.sources.kafka import kafka_sink_stream
 
                 q = kafka_sink_stream(df, topic)
+            elif fmt == "kafka_emu":
+                from makinage_spark.sources.kafka_emulator import emu_sink_stream
+
+                q = emu_sink_stream(df, topic)
             else:
                 q = (
                     writer.format(fmt)

@@ -1089,6 +1089,44 @@ def q_text_quality(spark, sf_dir):
 
 
 @register(
+    "kafka_emu_roundtrip",
+    """
+    SELECT event_id, event_type FROM events WHERE event_id < 1000
+    """,
+)
+def q_kafka_emu_roundtrip(spark, sf_dir):
+    """The Kafka deployment surface (A1 consumer + A2 producer + A11 json
+    codec) proven through the file-backed topic emulator: produce a slice of
+    the events table through the REAL encode path (to_json → binary value,
+    per-partition offset assignment), then consume it back through the REAL
+    decode path (from_json with declared schema) — the oracle match against
+    the source table proves the wire roundtrip is lossless. No broker exists
+    in this environment; sources/kafka_emulator implements the connector's
+    exact wire schema and start_from semantics over a parquet log
+    (reference: makinage/operator.py:216-269, makinage/encoding/json.py)."""
+    import tempfile
+
+    from makinage_spark.sources import kafka_emulator as emu
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_id < 1000")
+        .select("event_id", "event_type")
+    )
+    broker = tempfile.mkdtemp(prefix="makinage_kafka_emu_")
+    emu.produce(spark, broker, "events_topic", ev, encoding="json")
+    out = emu.emu_source(
+        spark,
+        broker,
+        ["events_topic"],
+        encoding="json",
+        schema="event_id bigint, event_type string",
+        start_from="beginning",
+    )
+    return out.select("event_id", "event_type")
+
+
+@register(
     "grouping_sets",
     f"""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, {DSUM('o_totalprice')} AS total
@@ -6874,7 +6912,7 @@ _SHOWCASE_50 = [
     "stream_dedup_keys",        # real readStream → keyed dedup state
     "variance_stddev",          # rs.math.variance/stddev
     "quantiles_exact",          # rs.math.dist quantiles
-    "histogram_values",         # rs.math.dist histogram
+    "kafka_emu_roundtrip",      # A1/A2/A11 wire roundtrip (emulated broker)
     "kmeans_lloyd_clusters",    # distributed Lloyd's k-means (iterative ML)
     "chunk_documents",          # overlapping token windows (RAG/packing)
     "first_last_event",         # rs.ops.first/last
