@@ -168,3 +168,40 @@ def test_json_codec_roundtrip_over_emulated_topic(spark, broker):
         spark, broker, ["j"], encoding="json", schema="id bigint, name string"
     )
     assert sorted((r.id, r.name) for r in out.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_streaming_checkpoint_replays_only_new_offsets(spark, broker, tmp_path):
+    """The checkpointed-consumer contract behind start_from: last
+    (makinage/operator.py:50-53): a second availableNow run against the same
+    checkpoint must process ONLY messages produced after the first run —
+    offset progress lives in the Structured Streaming checkpoint exactly as
+    it would in a Kafka consumer group."""
+    ck = str(tmp_path / "ck")
+    out_topic = {
+        "name": "doubled",
+        "broker_dir": broker,
+        "encoder": "string",
+        "checkpoint": ck,
+    }
+    _produce_strings(spark, broker, "nums", ["1", "2"])
+    src = emu.emu_source(
+        spark, broker, ["nums"], encoding="string", start_from="beginning",
+        streaming=True,
+    )
+    doubled = src.withColumn(
+        "value", (F.col("value").cast("long") * 2).cast("string")
+    )
+    emu.emu_sink_stream(doubled, out_topic).awaitTermination()
+    first = sorted(
+        r.value
+        for r in emu.emu_source(spark, broker, ["doubled"]).collect()
+    )
+    assert first == ["2", "4"]
+    # produce more, rerun against the SAME checkpoint: only new offsets flow
+    _produce_strings(spark, broker, "nums", ["10"])
+    emu.emu_sink_stream(doubled, out_topic).awaitTermination()
+    second = sorted(
+        int(r.value)
+        for r in emu.emu_source(spark, broker, ["doubled"]).collect()
+    )
+    assert second == [2, 4, 20]  # "1","2" were NOT reprocessed
