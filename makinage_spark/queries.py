@@ -4720,6 +4720,68 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
+def _bpe_merges_sql(rounds: int = 3) -> str:
+    """Unrolled-CTE oracle for :func:`text.bpe_learn_merges` (same pattern as
+    the kmeans / pagerank fixed-point oracles): per round, count adjacent
+    symbol pairs over the vocabulary, pick the (count DESC, l, r) winner, and
+    re-fold every word's symbol string with DuckDB ``list_reduce`` — the same
+    greedy leftmost-non-overlapping apply the Spark expression performs."""
+    ctes = [
+        f"""vocab AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS wn
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+            FROM documents) GROUP BY tok),
+    r0 AS (
+      SELECT array_to_string(list_filter(string_split_regex(word, ''), x -> x <> ''),
+                             ' ') AS rep, wn
+      FROM vocab)"""
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(wn) AS BIGINT) AS total
+      FROM (SELECT wn,
+                   unnest(list_transform(generate_series(1, len(sy) - 1),
+                                         i -> [sy[i], sy[i + 1]])) AS pr
+            FROM (SELECT string_split(rep, ' ') AS sy, wn FROM r{k - 1})
+            WHERE len(sy) >= 2)
+      GROUP BY l, r),
+    b{k} AS (SELECT l, r, total FROM p{k} ORDER BY total DESC, l, r LIMIT 1),
+    r{k} AS (
+      SELECT list_reduce(string_split(rep, ' '),
+               (acc, s) -> CASE
+                 WHEN (acc = b.l OR substr(acc, length(acc) - length(b.l),
+                                           length(b.l) + 1) = ' ' || b.l)
+                      AND s = b.r
+                 THEN substr(acc, 1, length(acc) - length(b.l)) || b.l || b.r
+                 ELSE acc || ' ' || s END) AS rep, wn
+      FROM r{k - 1} CROSS JOIN b{k} b)""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS round, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, total AS pair_count FROM b{k}"
+        for k in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+@register("bpe_learn_merges", _bpe_merges_sql(3))
+def q_bpe_learn_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (north-star: tokenizer induction beyond the
+    single pair-count step of bpe_pair_counts): learn the first 3 merges by
+    iterated count → argmax → greedy re-segmentation, the third iterative-
+    fixed-point family alongside k-means and PageRank. All rounds operate on
+    the VOCABULARY (corpus collapses to (word, count) once); the winning
+    pair stays in-plan via a broadcast 1-row cross join; the merge APPLY is
+    an in-row string fold (text.bpe_learn_merges) with zero shuffle. The
+    oracle re-derives the identical 3 rounds with DuckDB list_reduce."""
+    docs = load_wide(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return text.bpe_learn_merges(vocab, "word", "n", rounds=3)
+
+
 @register(
     "tfidf_top_terms",
     f"""

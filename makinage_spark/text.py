@@ -224,3 +224,85 @@ def pii_redact(c: ColumnLike) -> Column:
     for _, pat, tag in PII_PATTERNS:
         col = F.regexp_replace(col, pat, tag)
     return col
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def bpe_learn_merges(
+    vocab,
+    word_col: str = "word",
+    count_col: str = "n",
+    rounds: int = 3,
+):
+    """Learn the first ``rounds`` BPE merges from a ``(word, count)``
+    vocabulary — the training loop of a byte-pair tokenizer, distributed.
+
+    Per round: adjacent symbol pairs are counted across the vocabulary
+    weighted by word frequency (one explode + one map-side-combined
+    aggregate over the VOCABULARY, never the corpus — the scale property
+    that makes tokenizer training cheap even at 100 TB corpus size); the
+    winning pair (max count, ties broken lexicographically) stays IN-PLAN
+    via a broadcast one-row cross join; the merge is applied to every word
+    by an in-row string fold over its symbol sequence::
+
+        acc ends with <left> (as a whole symbol) and next == <right>
+          -> replace that tail symbol with <left><right>
+
+    which is exactly greedy leftmost non-overlapping BPE application
+    ("aaaa" + (a,a) -> "aa aa", never "a aa a"), with zero shuffle — the
+    whole apply step is whole-stage-codegen'd expression work.
+
+    Returns a ``rounds``-row DataFrame ``(round, left_sym, right_sym,
+    merged, pair_count)``.
+    """
+    from pyspark.sql import functions as F
+
+    reps = vocab.select(
+        F.concat_ws(
+            " ", F.filter(F.split(F.col(word_col), ""), lambda x: x != "")
+        ).alias("rep"),
+        F.col(count_col).cast("bigint").alias("__n"),
+    )
+    merges = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            reps.select(
+                "__n",
+                F.explode(
+                    F.expr(
+                        "transform(slice(split(rep, ' '), 1, size(split(rep, ' ')) - 1),"
+                        " (x, i) -> struct(x AS l, split(rep, ' ')[i + 1] AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("__l"), F.col("pr.r").alias("__r"))
+            .agg(F.sum("__n").cast("bigint").alias("__total"))
+        )
+        best = pairs.orderBy(F.desc("__total"), "__l", "__r").limit(1)
+        merges.append(
+            best.select(
+                F.lit(rnd).cast("bigint").alias("round"),
+                F.col("__l").alias("left_sym"),
+                F.col("__r").alias("right_sym"),
+                F.concat("__l", "__r").alias("merged"),
+                F.col("__total").alias("pair_count"),
+            )
+        )
+        fold = (
+            "aggregate(split(rep, ' '), '', (acc, s) -> CASE"
+            " WHEN acc = '' THEN s"
+            " WHEN (acc = __l OR substr(acc, length(acc) - length(__l),"
+            "       length(__l) + 1) = concat(' ', __l)) AND s = __r"
+            " THEN concat(substr(acc, 1, length(acc) - length(__l)), __l, __r)"
+            " ELSE concat(acc, ' ', s) END)"
+        )
+        reps = reps.crossJoin(F.broadcast(best)).select(
+            F.expr(fold).alias("rep"), "__n"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

@@ -301,3 +301,21 @@ def test_kmeans_lloyd_k1(spark):
     )
     got = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(df, k=1, iters=2).collect()}
     assert got == {i: 0 for i in range(6)}
+
+
+def test_bpe_learn_merges_classic_example(spark):
+    # hand-computed: (a,a)=12 wins round 1 and greedy apply gives "aa aa"
+    # (never "a aa a"); round 2 is the (e,s)/(s,t) 9-9 tie broken
+    # lexicographically; round 3 merges the MERGED symbol pair (es,t);
+    # round 4 falls to (l,o)=7
+    vocab = spark.createDataFrame(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("aaaa", 4)],
+        "word string, n long",
+    )
+    got = [tuple(r) for r in text.bpe_learn_merges(vocab, rounds=4).collect()]
+    assert got == [
+        (1, "a", "a", "aa", 12),
+        (2, "e", "s", "es", 9),
+        (3, "es", "t", "est", 9),
+        (4, "l", "o", "lo", 7),
+    ]
