@@ -8,6 +8,7 @@ while compiling to a single Catalyst plan.
 
 from makinage_spark.ops.core import (
     assert_,
+    dematerialize,
     distinct,
     distinct_until_changed,
     filter,
@@ -16,6 +17,7 @@ from makinage_spark.ops.core import (
     group_by,
     last,
     map,
+    materialize,
     multiplex,
     pairwise,
     sample,
@@ -42,6 +44,8 @@ __all__ = [
     "group_by",
     "tee_map",
     "multiplex",
+    "materialize",
+    "dematerialize",
     "pairwise",
     "sample",
     "with_latest_from",

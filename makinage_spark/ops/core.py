@@ -353,6 +353,57 @@ def with_latest_from(
 
 
 # ---------------------------------------------------------------------------
+# Error channel (A20)
+# ---------------------------------------------------------------------------
+
+
+def materialize(
+    attempt: ColumnLike,
+    diagnostic: ColumnLike | None = None,
+    kind_col: str = "kind",
+    value_col: str = "value",
+    error_col: str = "error",
+):
+    """Fold per-record failures into the data channel (``rx.materialize``,
+    reference error-channel handoff makinage/driver/app_sink.py:69-73):
+    every record flows on tagged ``kind = 'next' | 'error'`` instead of
+    killing the pipeline.
+
+    Spark-native contract: expressions never raise per-row — the fallible
+    step is expressed with a ``try_``-family expression (``try_cast``,
+    ``try_parse_json``, ``try_divide``, ``try_element_at``) whose NULL means
+    failure; ``materialize`` turns that NULL into an ``error`` record
+    carrying ``diagnostic``. This keeps the error channel fully data-plane
+    (one narrow projection, no Python, streams unchanged), the distributed
+    analogue of Rx's OnError-as-data. Demux with :func:`dematerialize` or a
+    plain filter; route the error branch to a dead-letter sink."""
+    att = _col(attempt)
+
+    def _op(df: DataFrame) -> DataFrame:
+        kind = F.when(att.isNotNull(), F.lit("next")).otherwise(F.lit("error"))
+        out = df.withColumn(value_col, att).withColumn(kind_col, kind)
+        diag = _col(diagnostic) if diagnostic is not None else F.lit(None)
+        return out.withColumn(
+            error_col, F.when(F.col(kind_col) == "error", diag)
+        )
+
+    return _op
+
+
+def dematerialize(
+    kind_col: str = "kind", error_col: str = "error"
+):
+    """Inverse of :func:`materialize`: keep only the ``next`` records and
+    drop the channel tags (the reference's downstream operators see clean
+    OnNext values)."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.filter(F.col(kind_col) == "next").drop(kind_col, error_col)
+
+    return _op
+
+
+# ---------------------------------------------------------------------------
 # Assertions (test surface)
 # ---------------------------------------------------------------------------
 

@@ -4720,6 +4720,47 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
+@register(
+    "error_channel_dead_letter",
+    """
+    WITH feed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN 'x' || props ELSE props END AS raw
+      FROM events WHERE event_id < 3000),
+    tagged AS (
+      SELECT event_id, raw,
+             CASE WHEN json_valid(raw) THEN 'next' ELSE 'error' END AS kind,
+             CASE WHEN json_valid(raw)
+                  THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k_val
+      FROM feed)
+    SELECT event_id, kind, k_val,
+           CASE WHEN kind = 'error'
+                THEN 'malformed:' || substr(raw, 1, 16) END AS error
+    FROM tagged
+    """,
+)
+def q_error_channel(spark, sf_dir):
+    """The A20 error channel as data-plane routing (ops.materialize — the
+    Spark-native rx.materialize, reference handoff
+    makinage/driver/app_sink.py:69-73): a dirty feed (1-in-7 records
+    corrupted with a leading-garbage prefix — both engines agree that is
+    malformed; Spark's try_parse_json tolerates TRAILING garbage, DuckDB's
+    json_valid does not) flows through a fallible parse
+    (try_parse_json → NULL on malformed, never a task failure); materialize
+    folds the failures into tagged 'error' records carrying a diagnostic
+    while clean records continue as 'next' — the dead-letter-queue pattern.
+    One narrow projection, no Python, identical semantics under streaming."""
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 3000")
+    raw = F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("x"), F.col("props"))
+    ).otherwise(F.col("props"))
+    feed = ev.select("event_id", raw.alias("raw"))
+    attempt = F.try_variant_get(F.try_parse_json(F.col("raw")), "$.k", "bigint")
+    diag = F.concat(F.lit("malformed:"), F.substring("raw", 1, 16))
+    out = pipe(feed, ops.materialize(attempt, diagnostic=diag, value_col="k_val"))
+    return out.select("event_id", "kind", "k_val", "error")
+
+
 def _bpe_merges_sql(rounds: int = 3) -> str:
     """Unrolled-CTE oracle for :func:`text.bpe_learn_merges` (same pattern as
     the kmeans / pagerank fixed-point oracles): per round, count adjacent

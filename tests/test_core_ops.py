@@ -166,3 +166,26 @@ def test_observe_metrics_surface(spark):
     observed = df.observe(obs, F.count(F.lit(1)).alias("n"), F.count("v").alias("nonnull"))
     assert observed.filter(F.col("v").isNotNull()).count() == 2
     assert obs.get == {"n": 3, "nonnull": 2}
+
+
+def test_materialize_dematerialize_error_channel(spark):
+    from pyspark.sql import functions as F
+
+    from makinage_spark import ops, pipe
+
+    df = spark.createDataFrame(
+        [(1, "10"), (2, "x"), (3, "30")], "id long, s string"
+    )
+    tagged = pipe(
+        df,
+        ops.materialize(
+            F.expr("try_cast(s AS BIGINT)"), diagnostic=F.concat(F.lit("bad:"), "s")
+        ),
+    )
+    got = {r.id: (r.kind, r.value, r.error) for r in tagged.collect()}
+    assert got[1] == ("next", 10, None)
+    assert got[2] == ("error", None, "bad:x")
+    assert got[3] == ("next", 30, None)
+    clean = pipe(tagged, ops.dematerialize())
+    assert sorted(r.value for r in clean.collect()) == [10, 30]
+    assert "kind" not in clean.columns and "error" not in clean.columns
