@@ -297,8 +297,11 @@ def prefix_filter_pairs(
     # candidate ids stay NARROW through the skew-prone join + distinct (two
     # longs per row): near-identical docs share ~every prefix token, so
     # carrying the full arrays here would duplicate them once per shared
-    # prefix token; the arrays attach after dedup, once per surviving pair
-    pa = ordered.select("doc_id", F.explode("prefix").alias("ptok"))
+    # prefix token; the arrays attach after dedup, once per surviving pair.
+    # The PPJoin LENGTH filter rides the join condition: Jaccard ≥ t forces
+    # min(|a|,|b|) ≥ t·max(|a|,|b|), so wildly different-sized sets never
+    # become candidates at all (lossless).
+    pa = ordered.select("doc_id", "sz", F.explode("prefix").alias("ptok"))
     pairs = (
         pa.alias("a")
         .join(
@@ -306,6 +309,8 @@ def prefix_filter_pairs(
             on=[
                 F.col("a.ptok") == F.col("b.ptok"),
                 F.col("a.doc_id") < F.col("b.doc_id"),
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")),
             ],
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
