@@ -175,14 +175,61 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF search: score only rows whose cell is among the ``nprobe`` cells
     nearest the query. When the index table is partitioned by cell id, the
-    filter is partition-pruned — the scan touches nprobe/n_cells of the data."""
-    q = np.asarray(query_vec, dtype=np.float64)
-    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
-    probe = sorted(range(len(centroids)), key=lambda i: d2[i])[:nprobe]
+    filter is partition-pruned — the scan touches nprobe/n_cells of the data
+    (see :func:`ivf_write_index` / :func:`ivf_topk_indexed` for that path)."""
+    probe = probe_cells(centroids, query_vec, nprobe)
     cell = ivf_assign(centroids, vec_col)
     return brute_force_topk(
         df.filter(cell.isin(*probe)), query_vec, k, vec_col, id_col
     )
+
+
+def probe_cells(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query (driver-side over the tiny
+    centroid table; deterministic tie-break on cell id)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = [float(((q - np.asarray(c)) ** 2).sum()) for c in centroids]
+    return sorted(range(len(centroids)), key=lambda i: (d2[i], i))[:nprobe]
+
+
+def ivf_write_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> None:
+    """Materialize the IVF index: assign every vector its coarse cell and
+    write parquet PARTITIONED BY the cell id — the physical layout that turns
+    an nprobe search into a partition-pruned scan. At 100 TB this is the
+    difference between reading nprobe/n_cells of the corpus and reading all
+    of it; the cell assignment itself is a narrow expression-only map."""
+    df.withColumn(cell_col, ivf_assign(centroids, vec_col)).write.partitionBy(
+        cell_col
+    ).mode("overwrite").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Search a materialized IVF index (:func:`ivf_write_index`): the probe
+    filter lands on the PARTITION column, so Catalyst prunes non-probed
+    cells at planning time (``PartitionFilters`` in the scan — asserted by
+    tests/test_partition_pruning.py) and the scan reads only
+    nprobe/n_cells of the files."""
+    probe = probe_cells(centroids, query_vec, nprobe)
+    idx = spark.read.parquet(path).filter(F.col(cell_col).isin(*probe))
+    return brute_force_topk(idx, query_vec, k, vec_col, id_col)
 
 
 # ---------------------------------------------------------------------------
