@@ -205,3 +205,38 @@ def test_streaming_checkpoint_replays_only_new_offsets(spark, broker, tmp_path):
         for r in emu.emu_source(spark, broker, ["doubled"]).collect()
     )
     assert second == [2, 4, 20]  # "1","2" were NOT reprocessed
+
+
+def test_streaming_error_channel_over_emulated_topic(spark, broker, tmp_path):
+    """ops.materialize is a pure projection, so the dead-letter pattern runs
+    UNCHANGED under streaming: a dirty topic feed routes malformed records to
+    the error branch of the same micro-batch."""
+    from makinage_spark import ops, pipe
+
+    good = ['{"k": 1}', '{"k": 2}']
+    bad = ['x{"k": 3}']
+    _produce_strings(spark, broker, "dirty", good + bad)
+    src = emu.emu_source(
+        spark, broker, ["dirty"], encoding="string", start_from="beginning",
+        streaming=True,
+    )
+    attempt = F.try_variant_get(F.try_parse_json(F.col("raw")), "$.k", "bigint")
+    tagged = pipe(
+        src.select(F.col("value").cast("string").alias("raw")),
+        ops.materialize(attempt, diagnostic=F.col("raw"), value_col="k"),
+    )
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("dead_letter_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT kind, k, error FROM dead_letter_stream").collect()
+    got = sorted((r.kind, r.k, r.error) for r in rows)
+    assert got == [
+        ("error", None, 'x{"k": 3}'),
+        ("next", 1, None),
+        ("next", 2, None),
+    ]
