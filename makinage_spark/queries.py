@@ -5062,39 +5062,46 @@ def q_char_entropy(spark, sf_dir):
     map-side combine, so the shuffle is tiny regardless of document size —
     then one rollup; each term of Σ-p·log2(p) is rounded to DECIMAL(18,9)
     before the sum so the result is partitioning-independent and matches the
-    oracle exactly. The per-doc count vectors (≤ |alphabet| entries) are
-    gathered with collect_list and the entropy fold runs IN-ROW — two
-    shuffles total, no window sort; decimal addition is exact so the
-    in-row fold order is immaterial."""
+    oracle exactly.
+
+    Spark shape: fully IN-ROW, zero shuffle — per-character counts come from
+    ``array_sort`` + run-length boundaries (a maximal run of one character =
+    its count), so no (doc, char) explode ever materializes ~n_chars rows;
+    the whole query is a narrow codegen'd projection over the corpus scan.
+    Decimal addition is exact, so the in-row fold order is immaterial."""
     docs = load_wide(spark, sf_dir, "documents")
-    cc = (
+    per = (
         docs.select(
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+            F.expr("array_sort(filter(split(lower(text), ''), x -> x != ''))")
+            .alias("cs"),
         )
-        .filter(F.col("ch") != "")
-        .groupBy("doc_id", "ch")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.size("cs") > 0)
+        .withColumn(
+            "bnds",
+            F.expr("filter(sequence(0, size(cs) - 1),"
+                   " i -> i = 0 OR cs[i] != cs[i - 1])"),
+        )
+        .withColumn(
+            "runs",
+            F.expr("transform(bnds, (b, j) ->"
+                   " IF(j = size(bnds) - 1, size(cs), bnds[j + 1]) - b)"),
+        )
     )
-    per = cc.groupBy("doc_id").agg(F.collect_list("c").alias("cs"))
-    n_fold = F.aggregate(
-        "cs", F.lit(0).cast("bigint"), lambda a, x: (a + x).cast("bigint")
-    )
-    per = per.select("doc_id", "cs", n_fold.alias("n"))
-    nd = F.col("n").cast("double")
+    nd = F.size("cs").cast("double")
 
     def _term(x):
         p = x.cast("double") / nd
         return F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
 
     ent = F.aggregate(
-        F.transform("cs", _term),
+        F.transform("runs", _term),
         F.lit(0).cast("decimal(28,9)"),
         lambda acc, t: (acc + t).cast("decimal(28,9)"),
     )
     return per.select(
         "doc_id",
-        F.col("n").alias("n_chars"),
+        F.size("cs").cast("bigint").alias("n_chars"),
         ent.cast("double").alias("entropy_bits"),
     )
 
