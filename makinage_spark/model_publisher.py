@@ -57,6 +57,16 @@ def publish_models(
             options.setdefault("kafka.max.request.size", str(MAX_REQUEST_SIZE))
             kafka_sink_batch(df.select("value"), {**topic, "options": options})
             n = df.count()
+        elif fmt == "kafka_emu":
+            from makinage_spark.sources.kafka_emulator import emu_sink_batch
+
+            # model topics are single-partition compacted logs: the consumer
+            # reads the LAST retained message (start_from: last,
+            # config.sample.serve.yml:8-10)
+            emu_sink_batch(
+                df.select("value"), {**topic, "encoder": "none", "partitions": 1}
+            )
+            n = df.count()
         else:
             df.write.format(fmt).mode(topic.get("mode", "append")).save(topic["path"])
             n = df.count()

@@ -240,3 +240,27 @@ def test_streaming_error_channel_over_emulated_topic(spark, broker, tmp_path):
         ("next", 1, None),
         ("next", 2, None),
     ]
+
+
+def test_model_publisher_hot_swap_over_emulated_topic(spark, broker, tmp_path):
+    """A9 end-to-end: publish two successive model artifacts onto a
+    single-partition emulated model topic (none encoding, raw bytes), and
+    read back with start_from: last — the consumer sees exactly the LATEST
+    artifact, the hot-swap contract of the serving layer
+    (config.sample.serve.yml:8-10)."""
+    from makinage_spark.model_publisher import publish_models
+
+    topic = {"name": "models", "format": "kafka_emu", "broker_dir": broker}
+    for version in (b"model-v1-bytes", b"model-v2-bytes"):
+        f = tmp_path / "model.bin"
+        f.write_bytes(version)
+        out = publish_models(
+            spark, {"models": [{"file": str(f), "topic": topic}]}
+        )
+        assert out == [("models", 1)]
+    last = emu.emu_source(
+        spark, broker, ["models"], encoding="none", start_from="last"
+    )
+    rows = last.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].value) == b"model-v2-bytes"
