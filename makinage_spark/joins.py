@@ -30,9 +30,16 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of (backward) join: each left row is enriched with the most recent
-    right row having ``right_ts <= left_ts``, per ``on`` key.
+    """As-of join: each left row is enriched with the right row nearest in
+    event time, per ``on`` key. ``direction`` follows pandas ``merge_asof``:
+    ``backward`` (default — most recent right row with ``right_ts <=
+    left_ts``), ``forward`` (earliest right row with ``right_ts >=
+    left_ts``), or ``nearest`` (the closer of the two; exact ties take the
+    backward match). ``forward`` adds no cost (same single shuffle,
+    descending sort); ``nearest`` computes both fills over the SAME
+    shuffled union — one extra per-key sort, still zero extra exchanges.
 
     This is the event-time semantics of ``rs.ops.with_latest_from``
     (makinage/serve/serve.py:140-141) made deterministic: instead of "whatever
@@ -77,26 +84,92 @@ def asof_join(
         r_tagged, allowMissingColumns=True
     )
 
-    # Right rows sort before left rows at equal __ts → inclusive (<=) semantics.
-    w = (
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+
+    # Right rows sort before left rows at equal __ts → inclusive semantics
+    # in either direction (ascending order for backward, descending for
+    # forward — the window always looks at unboundedPreceding..current).
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {dst: F.last(F.when(F.col("__side") == 0, F.col(dst)), ignorenulls=True).over(w)
-         for dst in renames.values()}
-        | {"__match_ts": F.last(
-            F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w)}
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def _fills(w, tag: str):
+        return {f"{dst}{tag}": F.last(
+                    F.when(F.col("__side") == 0, F.col(dst)), ignorenulls=True
+                ).over(w) for dst in renames.values()} | {
+                f"__match_ts{tag}": F.last(
+                    F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True
+                ).over(w)}
+
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+
+    if direction == "backward":
+        filled = unioned.withColumns(
+            {dst: F.last(F.when(F.col("__side") == 0, F.col(dst)), ignorenulls=True).over(w_back)
+             for dst in renames.values()}
+            | {"__match_ts": F.last(
+                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w_back)}
+        )
+        out = filled.filter(F.col("__side") == 1)
+        if tol is not None:
+            too_old = F.col("__match_ts") < F.col("__ts") - tol
+            out = out.withColumns(
+                {dst: F.when(too_old, F.lit(None)).otherwise(F.col(dst))
+                 for dst in renames.values()}
+            )
+        return out.drop("__ts", "__side", "__match_ts")
+
+    if direction == "forward":
+        filled = unioned.withColumns(
+            {dst: F.last(F.when(F.col("__side") == 0, F.col(dst)), ignorenulls=True).over(w_fwd)
+             for dst in renames.values()}
+            | {"__match_ts": F.last(
+                F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w_fwd)}
+        )
+        out = filled.filter(F.col("__side") == 1)
+        if tol is not None:
+            too_far = F.col("__match_ts") > F.col("__ts") + tol
+            out = out.withColumns(
+                {dst: F.when(too_far, F.lit(None)).otherwise(F.col(dst))
+                 for dst in renames.values()}
+            )
+        return out.drop("__ts", "__side", "__match_ts")
+
+    # nearest: both fills over the same shuffled union, then per-row choice;
+    # each side's tolerance applies before the choice (pandas semantics)
+    filled = unioned.withColumns(_fills(w_back, "__b")).withColumns(
+        _fills(w_fwd, "__f")
     )
     out = filled.filter(F.col("__side") == 1)
-    if tolerance is not None:
-        too_old = F.col("__match_ts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.withColumns(
-            {dst: F.when(too_old, F.lit(None)).otherwise(F.col(dst))
-             for dst in renames.values()}
+    back_ok = F.col("__match_ts__b").isNotNull()
+    fwd_ok = F.col("__match_ts__f").isNotNull()
+    if tol is not None:
+        back_ok = back_ok & (F.col("__match_ts__b") >= F.col("__ts") - tol)
+        fwd_ok = fwd_ok & (F.col("__match_ts__f") <= F.col("__ts") + tol)
+    use_back = back_ok & (
+        ~fwd_ok
+        | (
+            (F.unix_micros("__ts") - F.unix_micros("__match_ts__b"))
+            <= (F.unix_micros("__match_ts__f") - F.unix_micros("__ts"))
         )
-    return out.drop("__ts", "__side", "__match_ts")
+    )
+    out = out.withColumns(
+        {dst: F.when(use_back, F.col(f"{dst}__b"))
+              .when(fwd_ok, F.col(f"{dst}__f"))
+         for dst in renames.values()}
+    )
+    drop = ["__ts", "__side", "__match_ts__b", "__match_ts__f"] + [
+        f"{dst}{tag}" for dst in renames.values() for tag in ("__b", "__f")
+    ]
+    return out.drop(*drop)
 
 
 def enrich(

@@ -408,6 +408,94 @@ def q_asof(spark, sf_dir):
 
 
 @register(
+    "asof_forward_enrich",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    SELECT ev.event_id, clicks.click_value
+    FROM ev ASOF LEFT JOIN clicks
+      ON ev.user_id = clicks.user_id AND ev.t <= clicks.cts
+    """,
+)
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of (pandas merge_asof direction='forward'): each event
+    enriched with the user's NEXT click value at-or-after it — the lookahead
+    enrich (time-to-next-action features). Same single-shuffle union+window
+    plan as backward, descending sort."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumnRenamed("ts", "cts")
+    )
+    out = joins.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_value"],
+        direction="forward",
+    )
+    return out.select("event_id", "click_value")
+
+
+@register(
+    "asof_nearest_enrich",
+    """
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts, MAX(value) AS click_value
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    b AS (
+      SELECT ev.event_id, ev.t, clicks.cts AS bts, clicks.click_value AS bval
+      FROM ev ASOF LEFT JOIN clicks
+        ON ev.user_id = clicks.user_id AND ev.t >= clicks.cts),
+    f AS (
+      SELECT ev.event_id, clicks.cts AS fts, clicks.click_value AS fval
+      FROM ev ASOF LEFT JOIN clicks
+        ON ev.user_id = clicks.user_id AND ev.t <= clicks.cts)
+    SELECT b.event_id,
+           CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                     epoch_us(t) - epoch_us(bts) <= epoch_us(fts) - epoch_us(t))
+                THEN bval
+                WHEN fts IS NOT NULL THEN fval END AS click_value
+    FROM b JOIN f USING (event_id)
+    """,
+)
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of (pandas merge_asof direction='nearest'; exact ties take
+    the backward match): both directional fills computed over the SAME
+    shuffled union — one extra per-key sort, zero extra exchanges — then a
+    per-row microsecond-distance choice. The oracle derives the identical
+    answer from DuckDB's two directional ASOF joins."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = (
+        events.filter("event_type = 'click'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+        .withColumnRenamed("ts", "cts")
+    )
+    out = joins.asof_join(
+        events.select("event_id", "user_id", "ts"),
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_value"],
+        direction="nearest",
+    )
+    return out.select("event_id", "click_value")
+
+
+@register(
     "merge_streams",
     """
     SELECT event_id, event_type FROM events WHERE event_type = 'click'

@@ -76,3 +76,55 @@ def test_salted_join_equals_plain_join(spark):
     # the join key includes the salt → hot key spreads over `salts` reducers
     plan = salted._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
+
+
+def test_asof_direction_forward_and_nearest(spark):
+    from pyspark.sql import functions as F
+
+    from makinage_spark import joins
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:10"),
+         (2, "k", "2024-01-01 00:00:25"),
+         (3, "k", "2024-01-01 00:00:40")],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 100.0),
+         ("k", "2024-01-01 00:00:30", 300.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    def run(**kw):
+        out = joins.asof_join(left, right, ["k"], "ts", "rts",
+                              right_cols=["v"], **kw)
+        return {r.id: r.v for r in out.collect()}
+
+    assert run() == {1: 100.0, 2: 100.0, 3: 300.0}  # backward
+    assert run(direction="forward") == {1: 300.0, 2: 300.0, 3: None}
+    # nearest: id=1 is 10s after 00:00 vs 20s before 00:30 -> backward;
+    # id=2 is 25s after 00:00 vs 5s before 00:30 -> forward
+    assert run(direction="nearest") == {1: 100.0, 2: 300.0, 3: 300.0}
+    # forward tolerance drops matches further than 10s ahead
+    assert run(direction="forward", tolerance="10 seconds") == {
+        1: None, 2: 300.0, 3: None}
+    # nearest tolerance bounds each side before the choice
+    assert run(direction="nearest", tolerance="10 seconds") == {
+        1: 100.0, 2: 300.0, 3: 300.0}
+
+
+def test_asof_nearest_tie_takes_backward(spark):
+    from pyspark.sql import functions as F
+
+    from makinage_spark import joins
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 00:00:20")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:10", 1.0), ("k", "2024-01-01 00:00:30", 2.0)],
+        "k string, rts string, v double",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    out = joins.asof_join(left, right, ["k"], "ts", "rts",
+                          right_cols=["v"], direction="nearest")
+    assert out.collect()[0].v == 1.0  # equidistant -> backward (pandas tie rule)
