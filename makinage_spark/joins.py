@@ -185,6 +185,33 @@ def enrich(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def zip_streams(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_order: ColumnLike,
+    right_order: ColumnLike,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Ordinal zip (``rx.zip`` made deterministic): pair the i-th left record
+    with the i-th right record per ``by`` key, both sides sequenced by their
+    own event-time/order column instead of arrival order — the only zip
+    semantics that is stable under re-execution in a distributed engine.
+    Unpaired tail records (one stream longer) are dropped, matching Rx.
+
+    Shape: a row_number window per side (one shuffle each on ``by``) and an
+    equi-join on ``(by, seq)``; AQE aligns the join since both sides leave
+    their windows hash-partitioned on the key prefix."""
+    lw = Window.partitionBy(*by).orderBy(_col(left_order))
+    rw = Window.partitionBy(*by).orderBy(_col(right_order))
+    l_seq = left.withColumn("__seq", F.row_number().over(lw))
+    r_seq = right.withColumn("__seq", F.row_number().over(rw))
+    overlap = [c for c in r_seq.columns if c in l_seq.columns and c not in (*by, "__seq")]
+    for c in overlap:
+        r_seq = r_seq.withColumnRenamed(c, c + suffix)
+    return l_seq.join(r_seq, on=[*by, "__seq"]).drop("__seq")
+
+
 def merge(*dfs: DataFrame) -> DataFrame:
     """Unordered stream merge (``ops.merge_all``, makinage/operator.py:145-152)
     = UNION ALL by column name."""

@@ -496,6 +496,55 @@ def q_asof_nearest(spark, sf_dir):
 
 
 @register(
+    "zip_streams",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, value AS click_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, event_id AS purchase_id, value AS purchase_value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, c.click_value, p.purchase_id, p.purchase_value
+    FROM c JOIN p ON c.user_id = p.user_id AND c.seq = p.seq
+    """,
+)
+def q_zip_streams(spark, sf_dir):
+    """rx.zip made deterministic (the last Rx combinator family): pair each
+    user's i-th click with their i-th purchase, both sequenced by event time
+    (+ event_id tie-break) rather than arrival order — stable under
+    re-execution and re-partitioning; unpaired tails drop, matching Rx."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        "ts", "event_id",
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+        "ts", "event_id",
+    )
+    zipped = joins.zip_streams(
+        clicks.select("user_id", "click_id", "click_value",
+                      F.struct("ts", "event_id").alias("__o")),
+        purchases.select("user_id", "purchase_id", "purchase_value",
+                         F.struct("ts", "event_id").alias("__o")),
+        by=["user_id"],
+        left_order="__o",
+        right_order="__o",
+    )
+    return zipped.select(
+        "user_id", "click_id", "click_value", "purchase_id", "purchase_value"
+    )
+
+
+@register(
     "merge_streams",
     """
     SELECT event_id, event_type FROM events WHERE event_type = 'click'
