@@ -8,6 +8,7 @@ while compiling to a single Catalyst plan.
 
 from makinage_spark.ops.core import (
     assert_,
+    debounce,
     dematerialize,
     distinct,
     distinct_until_changed,
@@ -46,6 +47,7 @@ __all__ = [
     "multiplex",
     "materialize",
     "dematerialize",
+    "debounce",
     "pairwise",
     "sample",
     "with_latest_from",

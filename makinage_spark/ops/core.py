@@ -403,6 +403,41 @@ def dematerialize(
     return _op
 
 
+def debounce(
+    by: str | list[str],
+    ts: ColumnLike,
+    gap: str,
+    order_by: list[ColumnLike] | None = None,
+):
+    """Event-time debounce (``rx.ops.debounce`` / trailing-edge): keep a
+    record only when NO later record of the same key follows within ``gap``
+    — each burst collapses to its final record, the quiet-period emission Rx
+    defines. Deterministic because the quiet period is measured in event
+    time, not arrival time.
+
+    One window pass (single shuffle on the key + per-key sort): ``lead(ts)``
+    against ``ts + gap``. The last record per key always survives (no
+    follower). Burst-collapse for sensor chatter, retry storms, UI event
+    streams."""
+    keys = [by] if isinstance(by, str) else list(by)
+    tcol = _col(ts)
+    order = [tcol] if order_by is None else [_col(c) for c in order_by]
+
+    def _op(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        nxt = F.lead(tcol).over(w)
+        return (
+            df.withColumn("__next_ts", nxt)
+            .filter(
+                F.col("__next_ts").isNull()
+                | (F.col("__next_ts") > tcol + F.expr(f"INTERVAL {gap}"))
+            )
+            .drop("__next_ts")
+        )
+
+    return _op
+
+
 # ---------------------------------------------------------------------------
 # Assertions (test surface)
 # ---------------------------------------------------------------------------

@@ -496,6 +496,38 @@ def q_asof_nearest(spark, sf_dir):
 
 
 @register(
+    "debounce_events",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             lead(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_t
+      FROM events)
+    SELECT user_id, event_id, event_type
+    FROM w
+    WHERE next_t IS NULL OR next_t > t + INTERVAL 10 MINUTE
+    """,
+)
+def q_debounce(spark, sf_dir):
+    """rx.ops.debounce in event time (trailing edge): keep a record only when
+    the same user stays quiet for 10 minutes after it — every activity burst
+    collapses to its final event. One window shuffle; the burst-collapse
+    primitive for sensor chatter / retry storms / UI streams."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    out = pipe(
+        ev,
+        ops.debounce(
+            "user_id", F.col("ts"), "10 minutes",
+            order_by=[F.col("ts"), F.col("event_id")],
+        ),
+    )
+    return out.select("user_id", "event_id", "event_type")
+
+
+@register(
     "zip_streams",
     """
     WITH c AS (

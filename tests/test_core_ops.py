@@ -189,3 +189,23 @@ def test_materialize_dematerialize_error_channel(spark):
     clean = pipe(tagged, ops.dematerialize())
     assert sorted(r.value for r in clean.collect()) == [10, 30]
     assert "kind" not in clean.columns and "error" not in clean.columns
+
+
+def test_debounce_collapses_bursts(spark):
+    from pyspark.sql import functions as F
+
+    from makinage_spark import ops, pipe
+
+    rows = [
+        (1, "k", "2024-01-01 00:00:00"),
+        (2, "k", "2024-01-01 00:00:05"),   # 1 and 2 both followed within 10min
+        (3, "k", "2024-01-01 00:10:00"),   # burst ends here: 20min of quiet
+        (4, "k", "2024-01-01 00:30:00"),   # quiet before and after -> kept
+        (5, "x", "2024-01-01 00:00:00"),   # other key, last record -> kept
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = pipe(df, ops.debounce("k", F.col("ts"), "10 minutes",
+                                order_by=[F.col("ts"), F.col("id")]))
+    assert sorted(r.id for r in out.collect()) == [3, 4, 5]
