@@ -4816,12 +4816,14 @@ def q_graph_pagerank(spark, sf_dir):
     hash join of the |V|-row rank vector to the edge list + one shuffle-agg
     on dst; on a long-running cluster job, checkpoint every few rounds to
     truncate the unrolled lineage."""
-    # parallelize=False: both sides shuffle on orderkey for the join anyway,
-    # so the round-robin exchange is pure overhead (measured 6.3s → 4.9s)
+    # parallelize=False: the round-robin exchange is pure overhead (measured
+    # 6.3s → 4.9s). orders broadcasts (|orders| ≪ |lineitem|), so lineitem
+    # reaches the distinct without a join shuffle — its only exchange is the
+    # (src, dst) dedup the semantics require.
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
         .select(
             (2 * F.col("o_custkey")).cast("bigint").alias("src"),
             (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
