@@ -5653,13 +5653,14 @@ def q_supplier_cooccurrence(spark, sf_dir):
     everything carries no similarity signal and only contributes noise
     pairs). The cap is far above any real per-customer degree at test
     scales (max 102 at sf0.1), so it is provably a no-op on the oracle."""
-    # parallelize=False: the orderkey join shuffles both sides anyway, so the
-    # round-robin exchange is pure overhead (measured 4.3s -> 2.7s at sf0.1);
-    # the e self-join reuses the shuffle output via ReusedExchange, no persist
+    # parallelize=False: the round-robin exchange is pure overhead (measured
+    # 4.3s -> 2.7s at sf0.1); orders broadcasts so lineitem's only exchange
+    # is the (c,s) distinct; the e self-join reuses that shuffle output via
+    # ReusedExchange, no persist
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
