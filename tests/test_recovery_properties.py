@@ -132,11 +132,13 @@ def test_streaming_roll_matches_reference(spark, agg, values, window, stride, sp
     left_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
     right_ts=st.lists(st.integers(min_value=0, max_value=100), min_size=1, max_size=15),
     tol=st.integers(min_value=1, max_value=50),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
 )
-@settings(max_examples=8, deadline=None)
-def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol):
-    """asof_join (backward, with tolerance) equals pandas merge_asof on a
-    single key."""
+@settings(max_examples=18, deadline=None)
+def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol, direction):
+    """asof_join equals pandas merge_asof on a single key for ALL three
+    directions, with tolerance — pandas is the independent reference
+    implementation (incl. the nearest tie rule: equidistant → backward)."""
     right_ts = sorted(set(right_ts))
     lpdf = pd.DataFrame(
         {"k": 1, "lt": pd.to_datetime(sorted(left_ts), unit="s"), "lid": range(len(left_ts))}
@@ -151,13 +153,13 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_ts, right_ts, tol):
         right_on="rt",
         by="k",
         tolerance=pd.Timedelta(seconds=tol),
-        direction="backward",
+        direction=direction,
     )
     ldf = spark.createDataFrame(lpdf)
     rdf = spark.createDataFrame(rpdf)
     out = joins.asof_join(
         ldf, rdf, on=["k"], left_ts="lt", right_ts="rt", right_cols=["rv"],
-        tolerance=f"{tol} seconds",
+        tolerance=f"{tol} seconds", direction=direction,
     )
     got = {r.lid: r.rv for r in out.collect()}
     want = {

@@ -319,3 +319,31 @@ def test_bpe_learn_merges_classic_example(spark):
         (3, "es", "t", "est", 9),
         (4, "l", "o", "lo", 7),
     ]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs_sets=st.lists(
+        st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_prefix_filter_pairs_is_lossless(spark, docs_sets, threshold):
+    """PPJoin prefix filtering returns EXACTLY the brute-force all-pairs
+    answer at any threshold — the losslessness theorem, property-checked
+    against a plain-Python O(n²) reference."""
+    rows = [(i, sorted(s)) for i, s in enumerate(docs_sets)]
+    expect = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                inter = len(set(a) & set(b))
+                jac = inter / (len(a) + len(b) - inter)
+                if jac >= threshold:
+                    expect[(i, j)] = inter
+    df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+    out = dedup.prefix_filter_pairs(df, "items", "doc_id", threshold=threshold)
+    got = {(r.a, r.b): r.inter for r in out.collect()}
+    assert got == expect
