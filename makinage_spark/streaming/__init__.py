@@ -16,6 +16,7 @@ from makinage_spark.streaming.runtime import (
     with_event_time,
 )
 from makinage_spark.streaming.stateful import (
+    streaming_debounce,
     streaming_funnel,
     streaming_pack,
     streaming_roll,
@@ -31,6 +32,7 @@ __all__ = [
     "with_event_time",
     "for_each_batch_with_latest",
     "run_available_now",
+    "streaming_debounce",
     "streaming_funnel",
     "streaming_pack",
     "streaming_roll",

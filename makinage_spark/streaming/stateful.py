@@ -239,3 +239,60 @@ def streaming_funnel(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_seconds: int):
+    """Streaming event-time debounce (the stateful twin of ``ops.debounce``):
+    per key, hold only the LATEST record; a newcomer more than ``gap`` after
+    the held record flushes it (reason='follow'), a newcomer inside the gap
+    SUPERSEDES it (trailing-edge semantics — the burst's non-final records
+    are dropped); and when the event-time WATERMARK passes the held record's
+    quiet period, an event-time TIMEOUT flushes it (reason='timeout') — the
+    only way a debounce can ever emit the final element of a stream.
+
+    This is the repo's timer-based stateful shape: state is O(1) per key
+    (one timestamp + one order id), and emission is driven by
+    ``GroupStateTimeout.EventTimeTimeout`` + ``setTimeoutTimestamp``, so
+    correctness follows the watermark, not wall clock — deterministic under
+    replay. Input must carry ``withWatermark(ts_col, ...)``.
+
+    Emits ``(key, order, ts_us, reason)`` per flushed record.
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        out = {"order": [], "ts_us": [], "reason": []}
+        if state.hasTimedOut:
+            held_ts, held_order = state.get
+            out["order"].append(int(held_order))
+            out["ts_us"].append(int(held_ts))
+            out["reason"].append("timeout")
+            state.remove()
+        else:
+            held = state.get if state.exists else None
+            for pdf in pdfs:
+                pdf = pdf.sort_values([ts_col, order_col])
+                ts_us = pdf[ts_col].astype("int64") // 1000
+                for t, oid in zip(ts_us, pdf[order_col]):
+                    t = int(t)
+                    if held is not None and t > held[0] + gap_us:
+                        out["order"].append(int(held[1]))
+                        out["ts_us"].append(int(held[0]))
+                        out["reason"].append("follow")
+                    held = (t, int(oid))
+                if held is not None:
+                    state.update((held[0], held[1]))
+                    # flush when the watermark passes the quiet period
+                    state.setTimeoutTimestamp(held[0] // 1000 + gap_seconds * 1000 + 1)
+        if out["order"]:
+            res = pd.DataFrame(out)
+            res[key_col] = key[0]
+            yield res[[key_col, "order", "ts_us", "reason"]]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=f"{key_col} string, order long, ts_us long, reason string",
+        stateStructType="held_ts long, held_order long",
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -444,3 +444,71 @@ def test_cli_publish_models(spark, tmp_path):
     assert main(["publish", "--config", str(cfg)]) == 0
     rows = spark.read.parquet(outdir).collect()
     assert len(rows) == 1
+
+
+def test_streaming_debounce_event_time_timers(spark, tmp_path):
+    """Timer-based stateful op: bursts collapse via 'follow' flushes when a
+    late-enough newcomer arrives, and the held final record flushes via an
+    EVENT-TIME TIMEOUT once the watermark passes its quiet period — never by
+    wall clock, so replay is deterministic."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from makinage_spark.streaming import streaming_debounce
+
+    d = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    outd = str(tmp_path / "out")
+    os.makedirs(d)
+    schema = "k string, id long, ts timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    def run_once():
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(d)
+            .withWatermark("ts", "0 seconds")
+        )
+        out = streaming_debounce(src, "k", "ts", "id", gap_seconds=10)
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", outd)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return {
+                (r.k, r.order): r.reason
+                for r in spark.read.parquet(outd).collect()
+            }
+        except Exception:
+            return {}
+
+    from datetime import datetime
+
+    from datetime import timedelta
+
+    t = lambda s: datetime(2024, 1, 1) + timedelta(seconds=s)  # noqa: E731
+    # burst on k (0s, 5s within the 10s gap) + a lone x record
+    write_batch("a", [("k", 1, t(0)), ("k", 2, t(5)), ("x", 9, t(0))])
+    got1 = run_once()
+    assert got1 == {}  # nothing quiet yet: 2 and 9 are held, 1 superseded
+    # k@100 arrives far after the burst -> held k:2 flushes as 'follow';
+    # watermark jumps to 100s, so x:9's quiet period (0s+10s) has passed ->
+    # its event-time timeout fires (same run or next)
+    write_batch("b", [("k", 3, t(100))])
+    got2 = run_once()
+    assert got2.get(("k", 2)) == "follow"
+    # one more batch advances the watermark past every quiet period
+    write_batch("c", [("y", 7, datetime(2024, 1, 1, 1, 0, 0))])
+    got3 = run_once()
+    assert got3.get(("x", 9)) == "timeout"
+    assert got3.get(("k", 3)) == "timeout"
+    assert ("k", 1) not in got3  # superseded burst record never emits
