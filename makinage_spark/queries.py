@@ -4316,30 +4316,16 @@ def q_dedup_clusters(spark, sf_dir):
     this is the step that turns pairs into a delete list without
     over-deleting chains. The DuckDB oracle computes the same components via
     WITH RECURSIVE transitive closure — different algorithm, identical
-    fixpoint, which is the point of the check."""
+    fixpoint, which is the point of the check. The pair stage rides the
+    lossless PPJoin prefix filter (dedup.prefix_filter_pairs) — no raw-token
+    inverted-index join survives anywhere in the registry."""
     docs = load_wide(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(text.tokens(F.lower(F.col("text"))))).alias("sh"),
+    sets = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("__items")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col("a.doc_id") < F.col("b.doc_id")])
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
-    pairs = (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .filter(
-            F.col("inter") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-            >= 0.98
-        )
-        .select("a", "b")
-    )
+    pairs = dedup.prefix_filter_pairs(
+        sets, "__items", "doc_id", threshold=0.98
+    ).select("a", "b")
     cc = dedup.connected_components(pairs)
     w = Window.partitionBy("cluster_id")
     return cc.select(
