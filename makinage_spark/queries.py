@@ -1427,6 +1427,44 @@ def q_variance(spark, sf_dir):
 
 
 @register(
+    "ewma_smoothing",
+    """
+    WITH ord AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      FROM events),
+    arrs AS (
+      SELECT user_id, list(value ORDER BY rn) AS vals FROM ord GROUP BY user_id)
+    SELECT o.user_id, o.event_id,
+           ROUND(list_reduce(a.vals[1:o.rn],
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ord o JOIN arrs a USING (user_id)
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """rs.math EWMA (α=0.3, seeded at the first observation): the standard
+    smoothing aggregate for monitoring/features, emitted per record in Rx
+    scan style. smath.ewma runs the recursion itself as an in-row sequential
+    fold — the identical IEEE multiply-multiply-add sequence on both
+    engines, so the match is bit-exact (a pow/window closed form diverges
+    at ~1e-4 across engines; see smath.ewma docstring)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    out = pipe(
+        ev,
+        smath.ewma(
+            "value", 0.3, by=["user_id"],
+            order_by=[F.col("ts"), F.col("event_id")],
+        ),
+    )
+    return out.select(
+        "user_id", "event_id", F.round("ewma", 6).alias("ewma")
+    )
+
+
+@register(
     "corr_covar",
     """
     SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,

@@ -140,3 +140,56 @@ def histogram(
         return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias_count))
 
     return _op
+
+
+def ewma(
+    source: ColumnLike,
+    alpha: float,
+    by: list[str] | None,
+    order_by: list[ColumnLike],
+    alias: str | None = None,
+):
+    """Exponentially weighted moving average per record (``rs.math.ewma``
+    family): ``ewma_t = α·x_t + (1-α)·ewma_{t-1}``, seeded ``ewma_0 = x_0``.
+
+    Implementation is the recursion ITSELF, run as an in-row sequential fold
+    over each row's value prefix (collect the key's ordered value array once,
+    re-explode with position, fold ``slice(vals, 1, t+1)``). Why not a
+    window closed form: any ``(1-α)^{±t}`` rescaling routes through libm
+    ``pow`` and a windowed float sum, both of which differ across engines
+    (measured 1e-4 divergences vs DuckDB); the fold performs the identical
+    IEEE multiply-multiply-add sequence in the identical order on any
+    engine, so results are BIT-exact and need no rounding discipline.
+
+    Cost: the exploded prefix work is O(n²) per key with the array
+    duplicated per row — sized for per-key series in the thousands
+    (sessions, daily traces). For unbounded per-key streams use the O(1)
+    recursive state in a stateful streaming op instead
+    (streaming/stateful.py patterns)."""
+    out = alias or "ewma"
+    a = float(alpha)
+    if not 0.0 < a < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+
+    def _op(df: DataFrame) -> DataFrame:
+        keys = list(by or [])
+        order_cols = [_col(c) for c in order_by]
+        ord_fields = [c.alias(f"__o{i}") for i, c in enumerate(order_cols)]
+        payload = F.struct(*[F.col(c) for c in df.columns]).alias("__row")
+        item = F.struct(
+            *ord_fields, _col(source).cast("double").alias("__v"), payload
+        )
+        g = df.groupBy(*keys).agg(
+            F.array_sort(F.collect_list(item)).alias("__arr")
+        )
+        ex = g.select(
+            "__arr", F.posexplode("__arr").alias("__pos", "__e")
+        ).withColumn("__vals", F.expr("transform(__arr, e -> e.__v)"))
+        fold = F.expr(
+            f"aggregate(slice(__vals, 2, __pos), element_at(__vals, 1),"
+            f" (acc, x) -> cast({a} as double) * x"
+            f" + cast({1.0 - a} as double) * acc)"
+        )
+        return ex.select(F.col("__e.__row.*"), fold.alias(out))
+
+    return _op

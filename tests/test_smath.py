@@ -41,3 +41,22 @@ def test_histogram(spark):
     out = pipe(df, smath.histogram("x", 10.0))
     got = sorted((r.bucket, r.n) for r in out.collect())
     assert got == [(0, 2), (1, 1)]
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from makinage_spark import pipe, smath
+
+    vals = [10.0, 20.0, 5.0, 40.0, 15.0]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k long, i long, value double"
+    )
+    out = pipe(
+        df, smath.ewma("value", 0.3, by=["k"], order_by=[F.col("i")])
+    )
+    got = {r.i: r.ewma for r in out.collect()}
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean()
+    for i in range(len(vals)):
+        assert abs(got[i] - want.iloc[i]) < 1e-12
