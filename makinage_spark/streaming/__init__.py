@@ -17,6 +17,7 @@ from makinage_spark.streaming.runtime import (
 )
 from makinage_spark.streaming.stateful import (
     streaming_debounce,
+    streaming_ewma,
     streaming_funnel,
     streaming_pack,
     streaming_roll,
@@ -33,6 +34,7 @@ __all__ = [
     "for_each_batch_with_latest",
     "run_available_now",
     "streaming_debounce",
+    "streaming_ewma",
     "streaming_funnel",
     "streaming_pack",
     "streaming_roll",

@@ -296,3 +296,45 @@ def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_second
         outputMode="append",
         timeoutConf="EventTimeTimeout",
     )
+
+
+def streaming_ewma(df, key_col: str, value_col: str, order_col: str, alpha: float):
+    """Streaming EWMA: the O(1)-state recursive twin of ``smath.ewma`` —
+    ``ewma = α·x + (1-α)·ewma_prev`` applied per record in arrival order
+    (intra-batch sort on the order column), seeded at the key's first
+    observation. State is ONE double per key forever, so the batch
+    operator's O(n²) prefix-fold bound never applies on unbounded streams;
+    the arithmetic is the same multiply-multiply-add sequence, so a stream
+    replay reproduces the batch fold bit-for-bit."""
+    a = float(alpha)
+    if not 0.0 < a < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur, seeded = state.get
+        else:
+            cur, seeded = 0.0, False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            out = []
+            for v in pdf[value_col].astype(float):
+                cur = float(v) if not seeded else a * float(v) + (1.0 - a) * cur
+                seeded = True
+                out.append(cur)
+            yield pd.DataFrame(
+                {
+                    key_col: key[0],
+                    order_col: pdf[order_col].values,
+                    "ewma": out,
+                }
+            )
+        state.update((cur, seeded))
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=f"{key_col} long, {order_col} long, ewma double",
+        stateStructType="cur double, seeded boolean",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

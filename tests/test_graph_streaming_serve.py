@@ -512,3 +512,54 @@ def test_streaming_debounce_event_time_timers(spark, tmp_path):
     assert got3.get(("x", 9)) == "timeout"
     assert got3.get(("k", 3)) == "timeout"
     assert ("k", 1) not in got3  # superseded burst record never emits
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """The O(1)-state streaming EWMA replays the batch in-row fold
+    bit-for-bit (same multiply-multiply-add sequence), across TWO
+    checkpointed availableNow runs (state carries the recursion over the
+    restart boundary)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from makinage_spark import pipe, smath
+    from makinage_spark.streaming import streaming_ewma
+
+    d, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    outd = str(tmp_path / "out")
+    os.makedirs(d)
+    schema = "k long, i long, value double"
+    # i-major order so the half split lands MID-recursion for both keys
+    rows = [(k, i, float((i * 37 + k * 11) % 100) + 0.25)
+            for i in range(20) for k in (1, 2)]
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            streaming_ewma(src, "k", "value", "i", alpha=0.3)
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", outd)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    run_once()
+    got = {(r.k, r.i): r.ewma for r in spark.read.parquet(outd).collect()}
+
+    batch = pipe(
+        spark.createDataFrame(rows, schema),
+        smath.ewma("value", 0.3, by=["k"], order_by=[F.col("i")]),
+    )
+    want = {(r.k, r.i): r.ewma for r in batch.collect()}
+    assert got == want  # bit-exact, including across the restart
