@@ -7232,9 +7232,9 @@ _SHOWCASE_50 = [
     "rollup_sales",
     "pivot_status",
     "window_rank_top3",
-    "window_lag_lead",
     "scalar_string_date",
-    "scalar_json",
+    "error_channel_dead_letter",  # A20 data-plane error channel
+    "bpe_learn_merges",         # iterative BPE training vs unrolled oracle
     "pandas_udf_scalar",        # Arrow UDF surface
     "pandas_udaf_grouped",      # grouped-agg UDAF surface
     "dedup_exact",
