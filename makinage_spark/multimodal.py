@@ -72,28 +72,148 @@ def _fake_decode(payload: bytes, out_dim: int = 8) -> np.ndarray:
     return np.frombuffer(h[: out_dim * 2], dtype=np.uint16).astype(np.float32) / 65535.0
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode, dependency-free: binary PPM (P6) → ``(h, w, 3)``
+    uint8 array. PPM is the uncompressed interchange format every codec
+    tool emits (``ffmpeg -f image2 -c:v ppm``, ImageMagick ``convert``), so
+    a 100 TB pipeline can standardize on it upstream and the engine-side
+    decode needs no native libraries at all."""
+    data = bytes(payload)
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        toks.append(data[i:j])
+        i = j
+    if toks[0] != b"P6":
+        raise ValueError(f"not a binary PPM (P6) payload: magic {toks[0]!r}")
+    w, h, maxval = int(toks[1]), int(toks[2]), int(toks[3])
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    i += 1  # exactly one whitespace byte after maxval, then the raster
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i).reshape(
+        h, w, 3
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode via the stdlib ``wave`` module: 16-bit PCM WAV →
+    (mono float64 samples in [-1, 1), sample_rate). Multi-channel input is
+    averaged to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload))) as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM WAV supported")
+        sr, ch = wf.getframerate(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    arr = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, sr
+
+
+def _image_features(img: np.ndarray, out_dim: int) -> list[float]:
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    lum = rgb.mean(axis=2)
+    feats = [
+        float(w),
+        float(h),
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        float(lum.min()),
+        float(lum.max()),
+        float(lum.mean()),
+    ]
+    return feats[:out_dim] + [0.0] * max(0, out_dim - len(feats))
+
+
+def _audio_features(samples: np.ndarray, sr: int, out_dim: int) -> list[float]:
+    n = len(samples)
+    zc = int(np.sum(np.abs(np.diff(np.signbit(samples.astype(np.float64)))))) if n > 1 else 0
+    feats = [
+        float(sr),
+        float(n),
+        float(n / sr) if sr else 0.0,
+        float(np.sqrt(np.mean(samples**2))) if n else 0.0,
+        float(np.abs(samples).max()) if n else 0.0,
+        float(samples.mean()) if n else 0.0,
+        float(zc),
+        float(zc / n) if n else 0.0,
+    ]
+    return feats[:out_dim] + [0.0] * max(0, out_dim - len(feats))
+
+
+#: media_type → real decoder producing (feature_list, width, height).
+_REAL_DECODERS = {
+    "image/x-portable-pixmap": lambda p, d: (
+        lambda img: (_image_features(img, d), img.shape[1], img.shape[0])
+    )(decode_ppm(p)),
+    "image/ppm": lambda p, d: (
+        lambda img: (_image_features(img, d), img.shape[1], img.shape[0])
+    )(decode_ppm(p)),
+    "audio/wav": lambda p, d: (
+        lambda sa: (_audio_features(sa[0], sa[1], d), None, None)
+    )(decode_wav(p)),
+}
+
+
 def decode_features(fake: bool = True, out_dim: int = 8):
     """Operator: decode each asset payload and emit a feature vector
     (``mapInPandas`` — Arrow batches of binary payloads in, typed rows out).
-    Plug a real model/codec by replacing the per-batch body."""
+
+    ``fake=False`` performs REAL decoding for the dependency-free formats —
+    binary PPM images (pure parser) and 16-bit PCM WAV audio (stdlib
+    ``wave``) — producing physical features (dimensions, channel means,
+    luminance range; sample rate, RMS, zero-crossing rate). Compressed
+    formats (JPEG/MP4/…) still raise ``NotImplementedError`` until a codec
+    library is present; at 100 TB the standard play is transcoding to the
+    uncompressed interchange formats upstream anyway."""
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image/audio decode requires codec libs not present in "
-                    "this container; use fake=True for plumbing tests"
-                )
-            feats = [
-                _fake_decode(p, out_dim).tolist() if p is not None else None
-                for p in pdf["payload"]
-            ]
+            feats, widths, heights = [], [], []
+            for _, r in pdf.iterrows():
+                p = r["payload"]
+                meta = r["meta"]
+                if p is None:
+                    feats.append(None)
+                    widths.append(meta["width"] if meta is not None else None)
+                    heights.append(meta["height"] if meta is not None else None)
+                    continue
+                if fake:
+                    feats.append(_fake_decode(p, out_dim).tolist())
+                    widths.append(meta["width"] if meta is not None else None)
+                    heights.append(meta["height"] if meta is not None else None)
+                    continue
+                dec = _REAL_DECODERS.get(r["media_type"])
+                if dec is None:
+                    raise NotImplementedError(
+                        f"real decode of {r['media_type']!r} requires codec libs"
+                        " not present in this container (PPM/WAV decode IS"
+                        " implemented dependency-free)"
+                    )
+                f, w, h = dec(p, out_dim)
+                feats.append([float(x) for x in f])
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "media_type": pdf["media_type"],
-                    "width": pdf["meta"].map(lambda m: m["width"] if m else None),
-                    "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                     "feature": feats,
                 }
             )

@@ -1973,6 +1973,46 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_real_decode",
+    """
+    SELECT CAST(i AS BIGINT) AS asset_id,
+           CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+           ROUND(CAST(i % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((i * 7) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((i * 13) % 256 AS DOUBLE), 6) AS mean_b
+    FROM range(0, 64) t(i)
+    """,
+)
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image decode, hash-verified: 64 constant-color binary PPM images
+    (color a closed function of asset_id) are decoded by the dependency-free
+    PPM parser (multimodal.decode_ppm) inside the Arrow mapInPandas
+    pipeline; the recovered dimensions and channel means must equal the
+    oracle's closed form exactly — the decode path is real bytes → real
+    pixels, not the fake codec."""
+    from makinage_spark import multimodal
+
+    def ppm(i: int) -> bytes:
+        px = bytes([i % 256, (i * 7) % 256, (i * 13) % 256]) * 8  # 4x2 pixels
+        return b"P6\n4 2\n255\n" + px
+
+    rows = [
+        (i, "image/x-portable-pixmap", ppm(i), (4, 2, 0, "ppm"))
+        for i in range(64)
+    ]
+    assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA).repartition(8)
+    feats = pipe(assets, multimodal.decode_features(fake=False))
+    return feats.select(
+        "asset_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.round(F.element_at("feature", 3).cast("double"), 6).alias("mean_r"),
+        F.round(F.element_at("feature", 4).cast("double"), 6).alias("mean_g"),
+        F.round(F.element_at("feature", 5).cast("double"), 6).alias("mean_b"),
+    )
+
+
 @register("multimodal_frame_sample")
 def q_multimodal_frames(spark, sf_dir):
     """Video frame sampling plumbing (rows-only): 1→N expansion per asset via

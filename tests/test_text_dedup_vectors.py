@@ -347,3 +347,71 @@ def test_prefix_filter_pairs_is_lossless(spark, docs_sets, threshold):
     out = dedup.prefix_filter_pairs(df, "items", "doc_id", threshold=threshold)
     got = {(r.a, r.b): r.inter for r in out.collect()}
     assert got == expect
+
+
+def test_multimodal_real_ppm_decode(spark):
+    """REAL image bytes through the real decoder: a hand-built 2x2 binary
+    PPM (red, green, blue, white pixels) must yield exact channel means and
+    luminance range — no codec library involved."""
+    raster = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    ppm = b"P6\n# test image\n2 2\n255\n" + raster
+    img = multimodal.decode_ppm(ppm)
+    assert img.shape == (2, 2, 3) and img[0, 0, 0] == 255 and img[1, 1, 1] == 255
+    df = spark.createDataFrame(
+        [(1, "image/x-portable-pixmap", ppm, (2, 2, 0, "ppm"))],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    row = pipe(df, multimodal.decode_features(fake=False)).collect()[0]
+    assert (row.width, row.height) == (2, 2)
+    f = row.feature
+    # mean R/G/B over {red, green, blue, white} = (255+255)/4 each = 127.5
+    assert f[0] == 2.0 and f[1] == 2.0
+    assert abs(f[2] - 127.5) < 1e-6 and abs(f[3] - 127.5) < 1e-6
+    assert abs(f[4] - 127.5) < 1e-6
+    assert abs(f[5] - 85.0) < 1e-6      # min luminance: single-channel pixel
+    assert abs(f[6] - 255.0) < 1e-6     # max luminance: white
+
+
+def test_multimodal_real_wav_decode(spark):
+    """REAL audio bytes via the stdlib wave writer → real decoder: a 1 kHz
+    16-bit square wave's RMS, peak, duration and zero-crossing rate are
+    physically exact."""
+    import io
+    import wave
+
+    import numpy as np
+
+    sr, n = 8000, 8000  # one second
+    # square wave, period 8 samples (1 kHz at 8 kHz)
+    samples = (np.where(np.arange(n) % 8 < 4, 16384, -16384)).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    payload = buf.getvalue()
+    df = spark.createDataFrame(
+        [(7, "audio/wav", payload, (0, 0, 1000, "pcm16"))],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    row = pipe(df, multimodal.decode_features(fake=False)).collect()[0]
+    f = row.feature
+    assert f[0] == 8000.0 and f[1] == 8000.0      # sample rate, n samples
+    assert abs(f[2] - 1.0) < 1e-9                  # duration 1s
+    assert abs(f[3] - 0.5) < 1e-6                  # RMS of +-0.5 square
+    assert abs(f[4] - 0.5) < 1e-6                  # peak
+    # zero crossings: 2 per 8-sample period, minus the one that would land
+    # past the final sample -> 2*1000 - 1
+    assert f[6] == 1999.0
+
+
+def test_multimodal_real_decode_unsupported_format_raises(spark):
+    df = spark.createDataFrame(
+        [(1, "image/jpeg", b"\xff\xd8\xff", (1, 1, 0, "jpeg"))],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec libs|NotImplemented"):
+        pipe(df, multimodal.decode_features(fake=False)).collect()
