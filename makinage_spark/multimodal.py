@@ -3,15 +3,19 @@ typed metadata (north-star extension, BASELINE.json).
 
 Design. A multimodal asset is a row ``(asset_id, media_type, payload: binary,
 meta: struct)``. All Spark-side plumbing — schema, partitioning, Arrow batch
-shape, UDF signatures — is real and tested; the actual codec step (image
-decode, audio resample, video frame extraction) is stubbed because the codec
-libraries (Pillow/ffmpeg/librosa) are not in this container. Two stub modes:
+shape, UDF signatures — is real and tested, and REAL decoding is implemented
+dependency-free for the uncompressed interchange formats: binary PPM images
+(:func:`decode_ppm`, pure parser) and 16-bit PCM WAV audio
+(:func:`decode_wav`, stdlib ``wave``) — oracle-verified end-to-end
+(``multimodal_real_decode``). Modes of :func:`decode_features`:
 
-- ``fake=True`` (default in tests) — a deterministic pure-Python transform of
-  the payload bytes stands in for the codec, so batch shapes, schemas and
-  partition behavior are exercised end-to-end with verifiable outputs.
-- ``fake=False`` — raises ``NotImplementedError`` at the decode call site,
-  marking exactly where a real codec plugs in.
+- ``fake=True`` — a deterministic pure-Python transform of the payload bytes
+  stands in for a codec, exercising batch shapes/schemas/partitioning with
+  verifiable outputs regardless of format.
+- ``fake=False`` — real decode: PPM/WAV through the decoders above;
+  compressed formats (JPEG/MP4/…) raise ``NotImplementedError`` until a
+  codec library (Pillow/ffmpeg) is present — at corpus scale the standard
+  play is upstream transcode to the uncompressed formats anyway.
 
 Scale notes: payloads stay columnar (Arrow binary) through ``mapInPandas``;
 batches are bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` — for
