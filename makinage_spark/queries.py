@@ -3168,6 +3168,138 @@ def q_pandas_udf(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+        AND CAST(l_shipdate AS TIMESTAMP)
+            > CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4(spark, sf_dir):
+    """TPC-H Q4 shape (commit/receipt dates adapted to available columns):
+    priority counts over orders with a late-shipping line — EXISTS
+    decorrelates to a LEFT SEMI join, so lineitem is touched once and never
+    multiplies order rows."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    return (
+        o.join(late.select("l_orderkey").distinct(),
+               o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_q13(spark, sf_dir):
+    """TPC-H Q13 shape — customer order-count distribution: LEFT join keeps
+    zero-order customers (COUNT of the nullable key counts only matches),
+    then a second tiny aggregate over the per-customer counts."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             0.5 * (CAST(SUM(CAST(ROUND(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*)) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT {DSUM('l_extendedprice')} AS small_qty_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN pa ON l_partkey = pa.pk
+    WHERE l_quantity < pa.half_avg
+    """,
+)
+def q_q17(spark, sf_dir):
+    """TPC-H Q17 shape — revenue from below-half-average-quantity lines per
+    part: the correlated AVG subquery decorrelates to one part-keyed
+    aggregate joined back to the fact (exact-decimal mean so the threshold
+    compares identical doubles on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.5) * (dsum("l_quantity") / F.count(F.lit(1)))).alias("half_avg")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            dsum("l_extendedprice").alias("small_qty_revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150)
+    SELECT o_custkey, o_orderkey,
+           {FMT_TS('o_orderdate')} AS orderdate,
+           {DSUM('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY o_custkey, o_orderkey, o_orderdate
+    """,
+)
+def q_q18(spark, sf_dir):
+    """TPC-H Q18 shape — large-volume orders: the HAVING subquery becomes a
+    pre-aggregated semi-join key set, so the detail join only rebuilds rows
+    for qualifying orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "bk"),
+              F.col("o_orderkey") == F.col("bk"), "left_semi")
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "o_custkey", "o_orderkey",
+            fmt_ts("o_orderdate").alias("orderdate"), "total_qty",
+        )
+    )
+
+
+@register(
     "q12_late_shipping",
     """
     SELECT o_orderpriority,
