@@ -8,6 +8,10 @@
   ``makinage-model-publisher`` (makinage/model_publisher/model_publisher.py:
   101-111, setup.py:63): read model artifact files and produce each onto its
   configured topic.
+- ``python -m makinage_spark query <name> [--sf-dir DIR] [--limit N]`` —
+  run any registered query from the operator showcase against a testdata
+  directory and print the result (the quickest way to drive a single
+  operator end-to-end; ``query --list`` enumerates all names).
 
 A bare ``--config`` (no subcommand) is accepted as ``run`` for CLI parity
 with the reference. On a cluster, leave ``--master`` unset and use
@@ -37,6 +41,14 @@ def _build_parser() -> argparse.ArgumentParser:
             action="store_true",
             help="run: do not block on streaming queries",
         )
+    qp = sub.add_parser("query", help="run a registered showcase query")
+    qp.add_argument("name", nargs="?", help="query name (see --list)")
+    qp.add_argument("--list", action="store_true", help="list query names")
+    qp.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01", help="testdata directory"
+    )
+    qp.add_argument("--limit", type=int, default=20, help="rows to show")
+    qp.add_argument("--master", default=None, help="Spark master override")
     return p
 
 
@@ -48,6 +60,20 @@ def main(argv: list[str] | None = None) -> int:
     if not args.command:
         _build_parser().print_help()
         return 2
+
+    if args.command == "query":
+        from makinage_spark.queries import QUERIES
+
+        if args.list or not args.name:
+            for n in QUERIES:
+                print(n)
+            return 0
+        if args.name not in QUERIES:
+            print(f"unknown query {args.name!r}; try --list", file=sys.stderr)
+            return 2
+        spark = get_spark(app_name="makinage_spark_query", master=args.master)
+        QUERIES[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
 
     spark = get_spark(app_name=f"makinage_spark_{args.command}", master=args.master)
     if args.command == "run":

@@ -563,3 +563,16 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
     )
     want = {(r.k, r.i): r.ewma for r in batch.collect()}
     assert got == want  # bit-exact, including across the restart
+
+
+def test_cli_query_list_and_run(spark, capsys):
+    from makinage_spark.cli import main
+
+    assert main(["query", "--list"]) == 0
+    listed = capsys.readouterr().out.splitlines()
+    assert "q1_pricing_summary" in listed and len(listed) > 150
+    assert main(["query", "nope_not_a_query"]) == 2
+    assert (
+        main(["query", "group_by_agg", "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    )
+    assert "event_type" in capsys.readouterr().out
