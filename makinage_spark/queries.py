@@ -2095,6 +2095,93 @@ def q_stream_hourly(spark, sf_dir):
     return _drain(agg, "complete")
 
 
+@register(
+    "stream_debounce",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             lead(CAST(ts AS TIMESTAMP))
+               OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS next_t
+      FROM events)
+    SELECT user_id, event_id
+    FROM w
+    WHERE next_t IS NULL OR next_t > t + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_debounce(spark, sf_dir):
+    """Streaming event-time debounce hash-matching the BATCH oracle — the
+    batch/stream unification contract extended to a TIMER-based operator:
+    burst-interior records flush when a late-enough follower arrives;
+    burst-FINAL records (incl. every user's last event) can only flush via
+    GroupStateTimeout.EventTimeTimeout once the watermark passes their quiet
+    period, so the query advances the watermark past every timeout with two
+    far-future sentinel batches (filtered from the output) across three
+    checkpointed availableNow cycles. Deterministic because every emission
+    is driven by event time / the watermark, never wall clock."""
+    import os
+    import tempfile
+
+    from makinage_spark.streaming import streaming_debounce
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    src_schema = spark.read.parquet(path).schema
+    max_ts = spark.read.parquet(path).agg(F.max("ts")).collect()[0][0]
+    in_dir = tempfile.mkdtemp(prefix="mk_debounce_in_")
+    out_dir = tempfile.mkdtemp(prefix="mk_debounce_out_")
+    ck = tempfile.mkdtemp(prefix="mk_debounce_ck_")
+    os.symlink(path, os.path.join(in_dir, "events.parquet"))
+
+    def run_cycle():
+        df = spark.readStream.schema(src_schema).parquet(in_dir)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        src = df.select("user_id", "event_id", "ts").withWatermark(
+            "ts", "0 seconds"
+        )
+        out = streaming_debounce(
+            src, "user_id", "ts", "event_id", gap_seconds=600, key_type="long"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_cycle()
+    # sentinel batches advance the watermark past every user's quiet period;
+    # their own (negative-id) records are filtered from the result
+    import pandas as pd  # noqa: F401  (schema-aligned row construction)
+
+    ts_is_long = isinstance(src_schema["ts"].dataType, LongType)
+    for i, days in enumerate((30, 60)):
+        if ts_is_long:  # nano-ts fixture vintage
+            sentinel_ts = int(max_ts) + days * 86_400 * 10**9
+            ts_ddl = "ts long"
+        else:
+            sentinel_ts = max_ts + pd.Timedelta(days=days)
+            ts_ddl = "ts timestamp"
+        row = [(-(10**9) - i, sentinel_ts, -1 - i, "sentinel", 0.0, "{}")]
+        spark.createDataFrame(
+            row, f"event_id long, {ts_ddl}, user_id long, event_type string,"
+            " value double, props string"
+        ).select([f.name for f in src_schema]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        run_cycle()
+
+    res = spark.read.parquet(out_dir)
+    return res.filter(F.col("user_id") >= 0).select(
+        "user_id", F.col("order").alias("event_id")
+    )
+
+
 @register("stream_dedup_keys", "SELECT DISTINCT user_id, event_type FROM events")
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (rs.ops.distinct): dropDuplicates carries key

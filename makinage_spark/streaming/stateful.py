@@ -241,7 +241,8 @@ def streaming_funnel(
     )
 
 
-def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_seconds: int):
+def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_seconds: int,
+                       key_type: str = "string"):
     """Streaming event-time debounce (the stateful twin of ``ops.debounce``):
     per key, hold only the LATEST record; a newcomer more than ``gap`` after
     the held record flushes it (reason='follow'), a newcomer inside the gap
@@ -291,7 +292,7 @@ def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_second
 
     return df.groupBy(key_col).applyInPandasWithState(
         _proc,
-        outputStructType=f"{key_col} string, order long, ts_us long, reason string",
+        outputStructType=f"{key_col} {key_type}, order long, ts_us long, reason string",
         stateStructType="held_ts long, held_order long",
         outputMode="append",
         timeoutConf="EventTimeTimeout",
