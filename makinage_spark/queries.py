@@ -2182,6 +2182,42 @@ def q_stream_debounce(spark, sf_dir):
     )
 
 
+@register(
+    "stream_ewma",
+    """
+    WITH ord AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY CAST(ts AS TIMESTAMP)) AS rn
+      FROM events),
+    arrs AS (
+      SELECT user_id, list(value ORDER BY rn) AS vals FROM ord GROUP BY user_id)
+    SELECT o.user_id, CAST(o.ts_us AS BIGINT) AS ts_us,
+           ROUND(list_reduce(a.vals[1:o.rn],
+                             (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+    FROM ord o JOIN arrs a USING (user_id)
+    """,
+)
+def q_stream_ewma(spark, sf_dir):
+    """Streaming EWMA hash-matching the batch-fold oracle: the O(1)-state
+    recursive twin (streaming_ewma) applies the identical
+    multiply-multiply-add sequence per record, so the real readStream run
+    reproduces the batch prefix-fold bit-for-bit ((user_id, ts) is unique —
+    verified — so event-time order is unambiguous)."""
+    from makinage_spark.streaming import streaming_ewma
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    out = streaming_ewma(ev, "user_id", "value", "ts_us", alpha=0.3)
+    drained = _drain(out)
+    return drained.select(
+        "user_id",
+        F.col("ts_us").cast("bigint").alias("ts_us"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
 @register("stream_dedup_keys", "SELECT DISTINCT user_id, event_type FROM events")
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (rs.ops.distinct): dropDuplicates carries key
