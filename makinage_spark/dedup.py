@@ -240,6 +240,7 @@ def prefix_filter_pairs(
     items_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    broadcast_freq: bool = True,
 ) -> DataFrame:
     """PPJoin-style LOSSLESS set-similarity join over an array column.
 
@@ -271,13 +272,15 @@ def prefix_filter_pairs(
         .agg(F.count(F.lit(1)).alias("dfr"))
     )
     # rarest-first canonical order: sort (df, item) structs, project back.
-    # dfreq is vocabulary-sized (zipf-bounded) — broadcast; at extreme vocab
-    # sizes AQE falls back to a shuffle hash join on the same plan.
+    # dfreq is vocabulary-sized (zipf-bounded); broadcast_freq=True forces
+    # the map-side join, False leaves the strategy to Catalyst/AQE for
+    # vocabularies beyond executor memory.
     # ordered feeds three branches (prefix explode + both sides of the array
     # attach) — persist so the sort-by-rarity aggregation runs once
+    maybe_bc = F.broadcast if broadcast_freq else (lambda d: d)
     ordered = (
         sets.select("doc_id", F.explode("items").alias("it"))
-        .join(F.broadcast(dfreq), "it")
+        .join(maybe_bc(dfreq), "it")
         .groupBy("doc_id")
         .agg(
             F.expr(

@@ -5155,6 +5155,57 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def _hits_sql(iters: int = 3) -> str:
+    ctes = ["""e AS (
+      SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+                      CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT id, CAST(1 AS BIGINT) AS h FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k} AS (
+      SELECT dst AS id, CAST(SUM(h) AS BIGINT) AS a
+      FROM e JOIN h{k - 1} ON h{k - 1}.id = e.src GROUP BY dst),
+    h{k} AS (
+      SELECT src AS id, CAST(SUM(a) AS BIGINT) AS h
+      FROM e JOIN a{k} ON a{k}.id = e.dst GROUP BY src)""")
+    return ("WITH " + ",\n    ".join(ctes) + f""",
+    scores AS (
+      SELECT nodes.id,
+             CAST(COALESCE(h{iters}.h, 0) AS BIGINT) AS hub_score_raw,
+             CAST(COALESCE(a{iters}.a, 0) AS BIGINT) AS auth_score_raw
+      FROM nodes LEFT JOIN h{iters} ON nodes.id = h{iters}.id
+                 LEFT JOIN a{iters} ON nodes.id = a{iters}.id),
+    mx AS (SELECT CAST(MAX(hub_score_raw) AS DOUBLE) AS mh,
+                  CAST(MAX(auth_score_raw) AS DOUBLE) AS ma FROM scores)
+    SELECT id, hub_score_raw, auth_score_raw,
+           ROUND(hub_score_raw / mh, 9) AS hub,
+           ROUND(auth_score_raw / ma, 9) AS auth
+    FROM scores CROSS JOIN mx""")
+
+
+@register("graph_hits", _hits_sql(3))
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (3 iterations) over the DIRECTED
+    customer→supplier fulfillment graph — the bipartite centrality pair
+    (hub = customer whose purchases concentrate on authoritative suppliers,
+    authority = supplier bought by strong hubs). graphs.hits runs the
+    mutual recursion on exact BIGINT mass (partitioning-invariant, matching
+    the unrolled-CTE oracle bit-for-bit); the only float ops are the two
+    final max-normalizations on identical IEEE inputs."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).cast("bigint").alias("src"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return graphs.hits(e, iterations=3, assume_distinct=True)
+
+
 @register(
     "bpe_pair_counts",
     f"""

@@ -42,3 +42,21 @@ def test_dangling_mass_dropped_not_redistributed(spark):
     r = _ranks(spark, [("a", "b")], iterations=1)
     assert r["a"] == 75_000_000  # 0.15 * 1e9 / 2 (teleport only)
     assert r["b"] == 500_000_000  # 75e6 teleport + 0.85 * a's initial 5e8
+
+
+def test_hits_tiny_graph(spark):
+    from makinage_spark import graphs
+
+    # star: hub 1 -> {10, 11}; hub 2 -> {10}; node 10 is the strongest
+    # authority, node 1 the strongest hub
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "src long, dst long"
+    )
+    out = {r.id: (r.hub_score_raw, r.auth_score_raw, r.hub, r.auth)
+           for r in graphs.hits(e, iterations=2).collect()}
+    # iter1: a(10)=2, a(11)=1; h(1)=3, h(2)=2
+    # iter2: a(10)=h1+h2=5, a(11)=h1=3; h(1)=8, h(2)=5
+    assert out[1][0] == 8 and out[2][0] == 5
+    assert out[10][1] == 5 and out[11][1] == 3
+    assert out[1][2] == 1.0 and out[10][3] == 1.0
+    assert out[10][0] == 0  # pure authority has zero hub mass
