@@ -264,3 +264,22 @@ def test_model_publisher_hot_swap_over_emulated_topic(spark, broker, tmp_path):
     rows = last.collect()
     assert len(rows) == 1
     assert bytes(rows[0].value) == b"model-v2-bytes"
+
+
+def test_empty_and_missing_topics(spark, broker):
+    # subscribing a topic that was never produced: empty log, not an error
+    assert emu.emu_source(spark, broker, ["ghost"]).count() == 0
+    assert emu.emu_source(spark, broker, ["ghost"], start_from="last").count() == 0
+    # streaming only supports replay-from-beginning (checkpoints own the rest)
+    with pytest.raises(ValueError, match="beginning"):
+        emu.emu_source(spark, broker, ["t"], start_from="end", streaming=True)
+    with pytest.raises(ValueError, match="beginning|end|last"):
+        emu.emu_source(spark, broker, ["t"], start_from="nope")
+
+
+def test_multi_topic_subscribe(spark, broker):
+    _produce_strings(spark, broker, "a", ["1", "2"])
+    _produce_strings(spark, broker, "b", ["3"])
+    out = emu.emu_source(spark, broker, ["a", "b"], start_from="beginning")
+    assert sorted(r.value for r in out.collect()) == ["1", "2", "3"]
+    assert sorted(set(r.topic for r in out.collect())) == ["a", "b"]
