@@ -22,6 +22,7 @@ from makinage_spark.streaming.stateful import (
     streaming_pack,
     streaming_roll,
     streaming_scan,
+    streaming_zip,
 )
 from makinage_spark.streaming._topk import (
     has_transform_with_state,
@@ -39,6 +40,7 @@ __all__ = [
     "streaming_pack",
     "streaming_roll",
     "streaming_scan",
+    "streaming_zip",
     "streaming_topk",
     "streaming_topk_tws",
     "has_transform_with_state",

@@ -339,3 +339,63 @@ def streaming_ewma(df, key_col: str, value_col: str, order_col: str, alpha: floa
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_zip(df, key_col: str, side_col: str, order_col: str, value_col: str):
+    """Streaming ``rx.zip``: pair the i-th left record with the i-th right
+    record per key, across micro-batches. Input is the TAGGED UNION of both
+    streams (``side_col`` ∈ {0=left, 1=right}); per-key state holds only the
+    UNMATCHED tail of whichever side is ahead, so state is bounded by
+    inter-stream skew (zero when the sides advance together), never stream
+    length. Emits ``(key, pair_seq, left_order, left_value, right_order,
+    right_value)`` in append mode.
+
+    Ordering: intra-batch sort on ``order_col``; cross-batch pairing follows
+    arrival order — the reference's per-partition ordering model. With
+    in-order feeds this reproduces the batch ordinal zip
+    (``joins.zip_streams``) exactly (tested)."""
+
+    def _proc(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            lo, lv, ro, rv, seq = state.get
+            lo, lv, ro, rv = list(lo), list(lv), list(ro), list(rv)
+        else:
+            lo, lv, ro, rv, seq = [], [], [], [], 0
+        out = {"pair_seq": [], "left_order": [], "left_value": [],
+               "right_order": [], "right_value": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for side, o, v in zip(
+                pdf[side_col], pdf[order_col], pdf[value_col]
+            ):
+                if int(side) == 0:
+                    lo.append(int(o)), lv.append(float(v))
+                else:
+                    ro.append(int(o)), rv.append(float(v))
+                while lo and ro:
+                    out["pair_seq"].append(seq)
+                    out["left_order"].append(lo.pop(0))
+                    out["left_value"].append(lv.pop(0))
+                    out["right_order"].append(ro.pop(0))
+                    out["right_value"].append(rv.pop(0))
+                    seq += 1
+        state.update((lo, lv, ro, rv, seq))
+        if out["pair_seq"]:
+            res = pd.DataFrame(out)
+            res[key_col] = key[0]
+            yield res[[key_col, "pair_seq", "left_order", "left_value",
+                       "right_order", "right_value"]]
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        _proc,
+        outputStructType=(
+            f"{key_col} long, pair_seq long, left_order long, left_value double,"
+            " right_order long, right_value double"
+        ),
+        stateStructType=(
+            "lo array<long>, lv array<double>, ro array<long>,"
+            " rv array<double>, seq long"
+        ),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

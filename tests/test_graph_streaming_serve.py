@@ -576,3 +576,58 @@ def test_cli_query_list_and_run(spark, capsys):
         main(["query", "group_by_agg", "--sf-dir", "/root/testdata/sf0.001"]) == 0
     )
     assert "event_type" in capsys.readouterr().out
+
+
+def test_streaming_zip_matches_batch_ordinal_zip(spark, tmp_path):
+    """Streaming rx.zip (tagged-union stateful pairing) reproduces the batch
+    ordinal zip with in-order feeds, across a checkpointed restart that
+    leaves one side AHEAD (unmatched tail carried in state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from makinage_spark import joins
+    from makinage_spark.streaming import streaming_zip
+
+    d, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    outd = str(tmp_path / "out")
+    os.makedirs(d)
+    schema = "k long, side int, o long, v double"
+    # key 1: left has 3 records, right has 2 -> 2 pairs, left tail of 1 held
+    rows1 = [(1, 0, 10, 1.0), (1, 0, 11, 2.0), (1, 1, 20, 9.0)]
+    rows2 = [(1, 1, 21, 8.0), (1, 0, 12, 3.0), (2, 0, 1, 5.0), (2, 1, 2, 6.0)]
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            streaming_zip(src, "k", "side", "o", "v")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", ck)
+            .option("path", outd)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for rows in (rows1, rows2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        run_once()
+    got = sorted(
+        (r.k, r.pair_seq, r.left_order, r.right_order)
+        for r in spark.read.parquet(outd).collect()
+    )
+    assert got == [(1, 0, 10, 20), (1, 1, 11, 21), (2, 0, 1, 2)]
+
+    # batch twin parity on the same (in-order) data
+    all_rows = rows1 + rows2
+    df = spark.createDataFrame(all_rows, schema)
+    left = df.filter("side = 0").select("k", F.col("o").alias("lo"),
+                                        F.col("v").alias("lv"))
+    right = df.filter("side = 1").select("k", F.col("o").alias("ro"),
+                                         F.col("v").alias("rv"))
+    z = joins.zip_streams(left, right, by=["k"], left_order="lo",
+                          right_order="ro")
+    batch = sorted((r.k, r.lo, r.ro) for r in z.collect())
+    assert batch == [(k, l, r) for (k, _s, l, r) in got]
