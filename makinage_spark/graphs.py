@@ -128,6 +128,8 @@ def hits(
     Returns ``(id, hub_score_raw, auth_score_raw, hub, auth)`` for every
     node (non-hubs/non-authorities carry 0, not null).
     """
+    if iterations < 1:
+        raise ValueError("hits needs at least 1 iteration")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
