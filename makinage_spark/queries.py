@@ -7568,31 +7568,33 @@ _SHOWCASE_50 = [
     "kmeans_lloyd_clusters",    # distributed Lloyd's k-means (iterative ML)
     "chunk_documents",          # overlapping token windows (RAG/packing)
     "first_last_event",         # rs.ops.first/last
-    "q3_shipping_priority",     # join+agg+topk
-    "q5_region_revenue",        # 6-way join
-    "q6_forecast_revenue",      # selective scan
-    "correlated_scalar_subquery",
-    "join_semi",
-    "left_join_count_dist",
-    "full_outer_join",
-    "rollup_sales",
-    "pivot_status",
-    "window_rank_top3",
-    "scalar_string_date",
+    "q3_shipping_priority",     # join+agg+topk (TPC-H representative)
     "error_channel_dead_letter",  # A20 data-plane error channel
     "bpe_learn_merges",         # iterative BPE training vs unrolled oracle
-    "pandas_udf_scalar",        # Arrow UDF surface
-    "pandas_udaf_grouped",      # grouped-agg UDAF surface
     "dedup_exact",
-    "dedup_minhash_signature",
     "dedup_minhash_pairs",      # LSH banding vs exact banding oracle
     "dedup_jaccard_pairs",
-    "dedup_simhash",
     "dedup_clusters",           # connected components vs RECURSIVE oracle
     "embedding_topk",
     "text_quality",
     "text_language_id",         # n-gram language ID heuristic
     "graph_pagerank",           # fixed-point iteration vs unrolled-CTE oracle
+    # --- round-4 rotation: flagships that had only local-oracle evidence ---
+    "graph_hits",               # exact BIGINT mutual-recursion HITS
+    "stream_debounce",          # readStream stateful debounce
+    "stream_ewma",              # readStream bit-exact EWMA twin
+    "stream_funnel_conversion", # readStream restart-safe funnel
+    "stream_topk_state",        # readStream bounded top-k state
+    "jaccard_prefix_filter_pairs",  # lossless PPJoin prefix filter
+    "quality_ensemble",         # single-pass multi-signal quality gate
+    "pack_sequences",           # token sequence packing (windowed cumsum)
+    "funnel_conversion",        # batch funnel (single-shuffle window chain)
+    "cohort_retention",         # cohort analysis
+    "unigram_logprob_score",    # unigram-LM scoring
+    "segment_dup_fraction",     # intra-doc segment duplication
+    "ivf_topk_search",          # IVF ANN (approximate: rows-only check)
+    "multimodal_real_decode",   # real PPM/WAV decode via Arrow mapInPandas
+    "tfidf_top_terms",          # TF-IDF ranking
 ]
 
 
