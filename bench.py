@@ -74,8 +74,15 @@ HEADLINE = [
 ]
 
 
+#: Queries whose runtime is dominated by unrolled fixed-point iterations —
+#: run-to-run variance is the largest in the set (BASELINE.md), so they get
+#: min-of-3 instead of min-of-2.
+ITERATIVE_TAIL = {"graph_pagerank"}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_start = os.getloadavg()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = mk.get_spark(
         app_name="makinage_spark_bench",
@@ -95,16 +102,19 @@ def main():
         except Exception:
             pass
 
-    # timed: cold data (no reused cache/persist), warm JVM; min-of-2 absorbs
-    # scheduler noise on a shared box. A failing query never aborts the run
-    # or poisons the headline total: if one attempt succeeded its timing
-    # stands, and queries with NO successful attempt are excluded from the
-    # summed "value" and listed under "failed" instead.
+    # timed: cold data (no reused cache/persist), warm JVM; min-of-N absorbs
+    # scheduler noise on a shared box (N=3 for the high-variance iterative
+    # tail, N=2 elsewhere). A failing query never aborts the run: if one
+    # attempt succeeded its timing stands. A query with NO successful attempt
+    # INVALIDATES the headline "value" (null) — a broken heavy query must not
+    # make the total look faster; the surviving sum is still reported as
+    # "partial_total" for diagnosis.
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        attempts = 3 if name in ITERATIVE_TAIL else 2
+        for _ in range(attempts):
             spark.catalog.clearCache()
             t0 = time.time()
             try:
@@ -121,17 +131,24 @@ def main():
             timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    partial = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": partial if not failed else None,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(HEADLINE),
         "n_timed": len(timings),
+        # 1/5/15-min load BEFORE the run started and at the end: totals are
+        # only comparable across quiet-box runs (BASELINE.md documents ~35%
+        # swing under residual load), so record the evidence inline.
+        "load_avg_start": [round(x, 2) for x in load_start],
+        "load_avg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if failed:
         out["failed"] = failed
+        out["partial_total"] = partial
     print(json.dumps(out))
     spark.stop()
 

@@ -276,7 +276,13 @@ def prefix_filter_pairs(
     # the map-side join, False leaves the strategy to Catalyst/AQE for
     # vocabularies beyond executor memory.
     # ordered feeds three branches (prefix explode + both sides of the array
-    # attach) — persist so the sort-by-rarity aggregation runs once
+    # attach) — persist so the sort-by-rarity aggregation runs once.
+    # CLEANUP CONTRACT: plan builders in this module persist loop invariants
+    # and never unpersist (the returned DataFrame is lazy — unpersisting
+    # here would drop the cache before consumption). Callers that invoke
+    # these builders repeatedly in one session (bench warm-up + timed
+    # passes) must call spark.catalog.clearCache() between invocations,
+    # as bench.py does, or storage accumulates until LRU eviction.
     maybe_bc = F.broadcast if broadcast_freq else (lambda d: d)
     ordered = (
         sets.select("doc_id", F.explode("items").alias("it"))

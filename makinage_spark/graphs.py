@@ -133,6 +133,10 @@ def hits(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
+    # loop invariants persist for the unrolled iterations and are NOT
+    # unpersisted here (the result is lazy); repeated invocations in one
+    # session require spark.catalog.clearCache() between rounds — see the
+    # cleanup contract note in dedup.py:prefix_filter_pairs
     e = e.persist()
     nodes = (
         e.select(F.col("src").alias("id"))

@@ -363,6 +363,7 @@ def materialize(
     kind_col: str = "kind",
     value_col: str = "value",
     error_col: str = "error",
+    failed: ColumnLike | None = None,
 ):
     """Fold per-record failures into the data channel (``rx.materialize``,
     reference error-channel handoff makinage/driver/app_sink.py:69-73):
@@ -376,11 +377,19 @@ def materialize(
     carrying ``diagnostic``. This keeps the error channel fully data-plane
     (one narrow projection, no Python, streams unchanged), the distributed
     analogue of Rx's OnError-as-data. Demux with :func:`dematerialize` or a
-    plain filter; route the error branch to a dead-letter sink."""
+    plain filter; route the error branch to a dead-letter sink.
+
+    By default failure is detected as ``attempt IS NULL`` — which means a
+    legitimately-NULL OnNext value (e.g. ``try_element_at`` over a source
+    column that is genuinely null) is indistinguishable from a parse
+    failure. When NULL is a valid value, pass an explicit ``failed``
+    predicate column (e.g. ``src.isNotNull() & att.isNull()``) to
+    distinguish null-as-value from null-as-failure."""
     att = _col(attempt)
 
     def _op(df: DataFrame) -> DataFrame:
-        kind = F.when(att.isNotNull(), F.lit("next")).otherwise(F.lit("error"))
+        is_err = _col(failed) if failed is not None else att.isNull()
+        kind = F.when(is_err, F.lit("error")).otherwise(F.lit("next"))
         out = df.withColumn(value_col, att).withColumn(kind_col, kind)
         diag = _col(diagnostic) if diagnostic is not None else F.lit(None)
         return out.withColumn(

@@ -182,12 +182,14 @@ def emu_sink_stream(df: DataFrame, topic: dict[str, Any]):
             partitions=int(topic.get("partitions", 2)),
         )
 
+    # default checkpoint lives INSIDE broker_dir so its lifetime is tied to
+    # the emulated broker instance — a global /tmp path would let two
+    # independent graphs (or a rerun after a broker_dir wipe) reusing a
+    # topic name silently resume from a stale checkpoint
+    default_ck = os.path.join(topic["broker_dir"], "_ck", name)
     return (
         df.writeStream.foreachBatch(_write)
-        .option(
-            "checkpointLocation",
-            topic.get("checkpoint", f"/tmp/ck_emu_{name}"),
-        )
+        .option("checkpointLocation", topic.get("checkpoint", default_ck))
         .trigger(availableNow=True)
         .start()
     )

@@ -275,12 +275,19 @@ def streaming_debounce(df, key_col: str, ts_col: str, order_col: str, gap_second
                 pdf = pdf.sort_values([ts_col, order_col])
                 ts_us = pdf[ts_col].astype("int64") // 1000
                 for t, oid in zip(ts_us, pdf[order_col]):
-                    t = int(t)
+                    t, oid = int(t), int(oid)
                     if held is not None and t > held[0] + gap_us:
                         out["order"].append(int(held[1]))
                         out["ts_us"].append(int(held[0]))
                         out["reason"].append("follow")
-                    held = (t, int(oid))
+                        held = (t, oid)
+                    elif held is None or (t, oid) > held:
+                        # supersede only when the newcomer sorts strictly
+                        # after the held record on (ts, order) — an
+                        # equal-timestamp record arriving in a later
+                        # micro-batch with a smaller order id must not
+                        # replace it (batch oracle tie-break is (ts, id))
+                        held = (t, oid)
                 if held is not None:
                     state.update((held[0], held[1]))
                     # flush when the watermark passes the quiet period
