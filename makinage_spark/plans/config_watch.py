@@ -56,23 +56,53 @@ class ConsulKV:
     """Consul KV over the HTTP API (stdlib only; reference endpoint shape
     config.sample.redirect.yaml). ``get`` returns the raw value and the
     ``X-Consul-Index`` modify index as the version — the same signal the
-    reference's watch_key long-poll uses."""
+    reference's watch_key long-poll uses (makinage/config.py:57-64).
 
-    def __init__(self, endpoint: str):
+    ``get(key, index=N)`` issues a Consul *blocking query*
+    (``?index=N&wait=...``): the server holds the request open until the
+    key's modify index exceeds N or the wait elapses — the long-poll
+    primitive under ``watch_key``. Exercised end-to-end against a live
+    stdlib ``http.server`` stub in tests/test_config_watch.py."""
+
+    def __init__(self, endpoint: str, wait: str = "10s", timeout: float = 30.0):
         self.endpoint = endpoint.rstrip("/")
+        self.wait = wait
+        self.timeout = float(timeout)
 
-    def get(self, key: str) -> tuple[bytes | None, Any]:
+    def get(
+        self, key: str, index: int | None = None
+    ) -> tuple[bytes | None, Any]:
         import urllib.error
         import urllib.request
 
         url = f"{self.endpoint}/v1/kv/{key}?raw"
+        if index is not None:
+            url += f"&index={int(index)}&wait={self.wait}"
         try:
-            with urllib.request.urlopen(url, timeout=10) as resp:
-                return resp.read(), resp.headers.get("X-Consul-Index")
+            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                idx = resp.headers.get("X-Consul-Index")
+                return resp.read(), int(idx) if idx is not None else None
         except urllib.error.HTTPError as e:
             if e.code == 404:
                 return None, None
             raise
+
+    def watch_key(self, key: str):
+        """Long-poll watch: yield ``(raw_value, index)`` on every change of
+        the key — the reference's ``kv_adapter.api.watch_key`` observable
+        (makinage/config.py:57-64) as a generator. The first yield is the
+        current value; each subsequent ``next()`` blocks in a Consul
+        blocking query until the modify index advances."""
+        raw, idx = self.get(key)
+        if raw is not None:
+            yield raw, idx
+        while True:
+            nraw, nidx = self.get(key, index=idx or 0)
+            if nraw is None:
+                continue
+            if nidx != idx:
+                idx = nidx
+                yield nraw, nidx
 
 
 CONNECTORS: dict[str, Callable[[str], Any]] = {
