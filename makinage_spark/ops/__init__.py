@@ -8,6 +8,7 @@ while compiling to a single Catalyst plan.
 
 from makinage_spark.ops.core import (
     assert_,
+    buffer_with_count,
     debounce,
     dematerialize,
     distinct,
@@ -17,6 +18,7 @@ from makinage_spark.ops.core import (
     flat_map,
     group_by,
     last,
+    last_or_default,
     map,
     materialize,
     multiplex,
@@ -25,7 +27,9 @@ from makinage_spark.ops.core import (
     scan,
     skip,
     starmap,
+    start_with,
     take,
+    take_last,
     tee_map,
     with_latest_from,
 )
@@ -39,7 +43,11 @@ __all__ = [
     "distinct",
     "distinct_until_changed",
     "take",
+    "take_last",
     "skip",
+    "start_with",
+    "buffer_with_count",
+    "last_or_default",
     "first",
     "last",
     "group_by",

@@ -199,6 +199,123 @@ def sample(fraction: float, seed: int | None = None):
     return _op
 
 
+def take_last(n: int, order_by: list[ColumnLike], by: list[str] | None = None):
+    """Final ``n`` records (per key) in event order — rx ``take_last``
+    (public rxsci/Rx API, SURVEY §2.2). The dual of :func:`take` with an
+    ``order_by``: top-n on the REVERSED order, so globally Spark plans
+    TakeOrderedAndProject (per-partition heap, never a full sort) and the
+    per-key form is one row_number shuffle on the key."""
+    rev = [_col(c).desc() for c in order_by]
+    return take(n, order_by=rev, by=by)
+
+
+def start_with(rows: list[tuple], schema: str):
+    """Prepend literal seed records to the stream — rx ``start_with``
+    (the config-stream bootstrap pattern, makinage/config.py). A
+    driver-literal union: the seed side is a LocalTableScan, no shuffle."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        seed = df.sparkSession.createDataFrame(rows, schema)
+        return seed.unionByName(df.select(*seed.columns))
+
+    return _op
+
+
+def last_or_default(
+    order_by: list[ColumnLike], default: dict[str, Any]
+):
+    """Final record of the stream, or a literal default when the stream is
+    empty — rx ``last_or_default`` (public Rx API, SURVEY §2.2).
+
+    Spark-native shape: a single ``max_by(struct(*), struct(order))``
+    aggregate — one map-side-combined reduction to ONE row, never a sort —
+    which is NULL over empty input and is coalesced with the default
+    struct. ``default`` must provide a value for every column; each value
+    is cast to the column's type."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        cols = df.columns
+        missing = [c for c in cols if c not in default]
+        if missing:
+            raise ValueError(f"last_or_default missing defaults for {missing}")
+        order_struct = F.struct(*[_col(c) for c in order_by])
+        dstruct = F.struct(
+            *[
+                F.lit(default[c]).cast(df.schema[c].dataType).alias(c)
+                for c in cols
+            ]
+        )
+        agged = df.agg(
+            F.max_by(F.struct(*cols), order_struct).alias("__s")
+        )
+        return agged.select(
+            F.coalesce(F.col("__s"), dstruct).alias("__s")
+        ).select("__s.*")
+
+    return _op
+
+
+def buffer_with_count(
+    count: int,
+    order_by: list[ColumnLike],
+    by: list[str] | None = None,
+    skip: int | None = None,
+    items_from: list[str] | None = None,
+):
+    """Group consecutive records into count-sized buffers — rx
+    ``buffer_with_count(count, skip)`` (public rxsci/Rx API, SURVEY §2.2).
+
+    ``skip=None`` (or ``skip == count``) gives tumbling buffers: record
+    ``rn`` (1-based in ``order_by`` order, per ``by`` key) lands in bucket
+    ``(rn-1) / count``. ``skip < count`` gives overlapping buffers starting
+    every ``skip`` records; membership is expanded with an in-row
+    ``sequence()`` + ``explode`` (each record belongs to at most
+    ``ceil(count/skip)`` buffers — bounded fan-out, no self-join).
+
+    Emits ``(by..., buffer_id, items, n_items)`` where ``items`` preserves
+    event order. One shuffle (row_number on the key) + one aggregation.
+    ``items_from`` selects which columns go into the item structs (default:
+    all non-key columns); with a single item column, ``items`` is a flat
+    array of its values (the rx scalar-buffer shape)."""
+    step = count if skip is None else int(skip)
+    if step <= 0 or count <= 0:
+        raise ValueError("buffer_with_count needs count > 0 and skip > 0")
+
+    def _op(df: DataFrame) -> DataFrame:
+        keys = by or []
+        item_cols = items_from or [c for c in df.columns if c not in keys]
+        w = _window(by, order_by)
+        numbered = df.withColumn("__rn", F.row_number().over(w))
+        if step == count:
+            expanded = numbered.withColumn(
+                "__b", ((F.col("__rn") - 1) / count).cast("bigint")
+            )
+        else:
+            # buffers s cover rn in [s*step+1, s*step+count]:
+            # s from ceil((rn-count)/step) (clamped at 0) to (rn-1)/step
+            s_min = F.greatest(
+                F.lit(0).cast("bigint"),
+                F.ceil((F.col("__rn") - count) / F.lit(step)).cast("bigint"),
+            )
+            s_max = F.floor((F.col("__rn") - 1) / F.lit(step)).cast("bigint")
+            expanded = numbered.withColumn(
+                "__b", F.explode(F.sequence(s_min, s_max))
+            )
+        ordered = F.array_sort(
+            F.collect_list(F.struct(F.col("__rn").alias("rn"), *item_cols))
+        )
+        if len(item_cols) == 1:
+            items = F.transform(ordered, lambda s: s[item_cols[0]])
+        else:
+            items = F.transform(ordered, lambda s: s.dropFields("rn"))
+        return expanded.groupBy(*keys, F.col("__b").alias("buffer_id")).agg(
+            items.alias("items"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+
+    return _op
+
+
 # ---------------------------------------------------------------------------
 # Expansion
 # ---------------------------------------------------------------------------

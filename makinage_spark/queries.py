@@ -3563,12 +3563,11 @@ def q_zip_by_index(spark, sf_dir):
 def q_start_with(spark, sf_dir):
     """rx start_with: prepend a seed record to the stream (the bootstrap
     record pattern of config streams, makinage/config.py) — a literal-row
-    union."""
+    union via ``ops.start_with``."""
     ev = load_table(spark, sf_dir, "events").filter("event_id < 100")
-    seed = spark.createDataFrame(
+    return ops.start_with(
         [(-1, "seed", 0.0)], "event_id bigint, event_type string, value double"
-    )
-    return seed.unionByName(ev.select("event_id", "event_type", "value"))
+    )(ev)
 
 
 @register(
@@ -7526,6 +7525,99 @@ def q_zipf_slope(spark, sf_dir):
             6,
         ).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rxsci small-op parity: buffer_with_count / take_last / last_or_default
+# (public rxsci/Rx API per SURVEY §2.2; start_with is proven by
+# start_with_seed above)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "buffer_with_count_hopping",
+    """
+    WITH numbered AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_id < 2000
+    ), expanded AS (
+      SELECT user_id, event_id, rn,
+             unnest(generate_series(
+               greatest(0, CAST(ceil((rn - 5) / 3.0) AS BIGINT)),
+               CAST(floor((rn - 1) / 3.0) AS BIGINT))) AS b
+      FROM numbered
+    )
+    SELECT user_id, b AS buffer_id,
+           list(event_id ORDER BY rn) AS items,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM expanded GROUP BY user_id, b
+    """,
+)
+def q_buffer_with_count(spark, sf_dir):
+    """rx buffer_with_count(5, skip=3): overlapping count buffers per user.
+    Membership expands with in-row sequence()+explode (bounded ceil(5/3)=2
+    fan-out per record — no self-join), then one keyed aggregation; at
+    100 TB the only shuffle is the row_number on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter("event_id < 2000")
+    return ops.buffer_with_count(
+        5,
+        ["ts", "event_id"],
+        by=["user_id"],
+        skip=3,
+        items_from=["event_id"],
+    )(ev.select("user_id", "ts", "event_id"))
+
+
+@register(
+    "take_last_events",
+    """
+    SELECT event_id, event_type, value FROM events
+    ORDER BY event_id DESC LIMIT 10
+    """,
+)
+def q_take_last(spark, sf_dir):
+    """rx take_last(10): final n records in event order — reversed-order
+    TakeOrderedAndProject (per-partition heap, no full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.take_last(10, ["event_id"])(
+        ev.select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "last_or_default_events",
+    """
+    SELECT coalesce(arg_max(event_id, event_id), -1) AS event_id,
+           coalesce(arg_max(event_type, event_id), 'none') AS event_type,
+           coalesce(round(arg_max(value, event_id), 2), 0.0) AS value,
+           'empty' AS tag
+    FROM events WHERE event_id < 0
+    UNION ALL
+    SELECT coalesce(arg_max(event_id, event_id), -1),
+           coalesce(arg_max(event_type, event_id), 'none'),
+           coalesce(round(arg_max(value, event_id), 2), 0.0),
+           'last' AS tag
+    FROM events WHERE event_id < 100
+    """,
+)
+def q_last_or_default(spark, sf_dir):
+    """rx last_or_default: terminal record or a literal default on an empty
+    stream — a single max_by(struct, order) reduction (map-side combined to
+    ONE row) coalesced with the default struct. Both branches proven: an
+    impossible filter (empty → default) and a real tail."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    d = {"event_id": -1, "event_type": "none", "value": 0.0}
+    empty = ops.last_or_default(["event_id"], d)(
+        base.filter("event_id < 0")
+    ).withColumn("tag", F.lit("empty"))
+    tail = ops.last_or_default(["event_id"], d)(
+        base.filter("event_id < 100")
+    ).withColumn("tag", F.lit("last"))
+    return empty.unionByName(tail)
 
 
 # ---------------------------------------------------------------------------

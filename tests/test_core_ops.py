@@ -209,3 +209,86 @@ def test_debounce_collapses_bursts(spark):
     out = pipe(df, ops.debounce("k", F.col("ts"), "10 minutes",
                                 order_by=[F.col("ts"), F.col("id")]))
     assert sorted(r.id for r in out.collect()) == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# rxsci small-op parity (round 4): buffer_with_count / take_last /
+# start_with / last_or_default
+# ---------------------------------------------------------------------------
+
+
+def test_buffer_with_count_tumbling(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 8)], "x long")
+    out = pipe(df, ops.buffer_with_count(3, ["x"]))
+    got = {r.buffer_id: (list(r.items), r.n_items) for r in out.collect()}
+    assert got == {
+        0: ([1, 2, 3], 3),
+        1: ([4, 5, 6], 3),
+        2: ([7], 1),  # rx semantics: the final partial buffer still emits
+    }
+
+
+def test_buffer_with_count_hopping_overlap(spark):
+    # count=3, skip=2 over 1..6: buffers [1,2,3], [3,4,5], [5,6]
+    df = spark.createDataFrame([(i,) for i in range(1, 7)], "x long")
+    out = pipe(df, ops.buffer_with_count(3, ["x"], skip=2))
+    got = {r.buffer_id: list(r.items) for r in out.collect()}
+    assert got == {0: [1, 2, 3], 1: [3, 4, 5], 2: [5, 6]}
+
+
+def test_buffer_with_count_per_key_structs(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("b", 1, 9.0)],
+        "k string, seq long, v double",
+    )
+    out = pipe(df, ops.buffer_with_count(2, ["seq"], by=["k"]))
+    got = {
+        (r.k, r.buffer_id): [(s.seq, s.v) for s in r.items]
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", 0): [(1, 1.0), (2, 2.0)],
+        ("a", 1): [(3, 3.0)],
+        ("b", 0): [(1, 9.0)],
+    }
+
+
+def test_buffer_with_count_validates_args(spark):
+    with pytest.raises(ValueError):
+        ops.buffer_with_count(0, ["x"])
+    with pytest.raises(ValueError):
+        ops.buffer_with_count(3, ["x"], skip=0)
+
+
+def test_take_last_global_and_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", i) for i in range(5)] + [("b", 10)], "k string, x long"
+    )
+    out = pipe(df, ops.take_last(2, ["x"]))
+    assert rows(out, "k", "x") == [("a", 4), ("b", 10)]
+    per_key = pipe(df, ops.take_last(2, ["x"], by=["k"]))
+    assert rows(per_key, "k", "x") == [("a", 3), ("a", 4), ("b", 10)]
+
+
+def test_start_with_prepends_seed(spark):
+    df = spark.createDataFrame([(2, "b")], "id long, s string")
+    out = pipe(df, ops.start_with([(1, "a")], "id long, s string"))
+    assert rows(out, "id", "s") == [(1, "a"), (2, "b")]
+
+
+def test_last_or_default_nonempty(spark):
+    df = spark.createDataFrame([(1, 5.0), (9, 7.0), (3, 1.0)], "id long, v double")
+    out = pipe(df, ops.last_or_default(["id"], {"id": -1, "v": 0.0}))
+    assert rows(out, "id", "v") == [(9, 7.0)]
+
+
+def test_last_or_default_empty_emits_default(spark):
+    df = spark.createDataFrame([], "id long, v double")
+    out = pipe(df, ops.last_or_default(["id"], {"id": -1, "v": 0.0}))
+    assert rows(out, "id", "v") == [(-1, 0.0)]
+
+
+def test_last_or_default_missing_default_raises(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError, match="missing defaults"):
+        pipe(df, ops.last_or_default(["id"], {"id": -1}))
