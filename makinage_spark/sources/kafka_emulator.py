@@ -117,10 +117,19 @@ def emu_source(
     schema: str | None = None,
     start_from: str = "beginning",
     streaming: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Subscribe topics → decoded DataFrame: the A1 consumer contract with
     the reference's ``start_from`` semantics. Decoding is the SAME
-    ``decode_value`` the real connector path uses."""
+    ``decode_value`` the real connector path uses.
+
+    ``max_files_per_trigger`` bounds how much of the retained log each
+    micro-batch ingests — the emulator's pacing contract. The reference
+    paces consumption with a PID backpressure loop (makinage/operator.py:
+    98-130); Spark's engine-managed equivalent is a per-trigger admission
+    bound (``maxOffsetsPerTrigger`` on the real Kafka connector,
+    ``maxFilesPerTrigger`` on this file-backed log — each produce() append
+    is one log segment, so the record bound is segment-granular)."""
     if start_from not in ("beginning", "end", "last"):
         raise ValueError(f"start_from must be beginning|end|last, got {start_from!r}")
     if streaming:
@@ -129,9 +138,15 @@ def emu_source(
             # files — exactly Kafka startingOffsets=earliest. end/last need
             # checkpointed consumer groups, out of emulator scope.
             raise ValueError("streaming emulated topics support start_from: beginning")
+
+        def _reader():
+            r = spark.readStream.schema(WIRE_SCHEMA)
+            if max_files_per_trigger is not None:
+                r = r.option("maxFilesPerTrigger", int(max_files_per_trigger))
+            return r
+
         parts = [
-            spark.readStream.schema(WIRE_SCHEMA).parquet(topic_path(broker_dir, t))
-            for t in topics
+            _reader().parquet(topic_path(broker_dir, t)) for t in topics
         ]
     else:
         parts = [_existing(spark, broker_dir, t) for t in topics]

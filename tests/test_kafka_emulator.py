@@ -283,3 +283,50 @@ def test_multi_topic_subscribe(spark, broker):
     out = emu.emu_source(spark, broker, ["a", "b"], start_from="beginning")
     assert sorted(r.value for r in out.collect()) == ["1", "2", "3"]
     assert sorted(set(r.topic for r in out.collect())) == ["a", "b"]
+
+
+def test_max_files_per_trigger_bounds_micro_batches(spark, broker, tmp_path):
+    """Pacing contract (reference PID backpressure, makinage/operator.py:
+    98-130 → engine-managed admission bound, SURVEY §7.2): with
+    max_files_per_trigger=1, each micro-batch ingests at most one produced
+    log segment — the retained log drains over MULTIPLE bounded batches
+    instead of one unbounded gulp."""
+    # three separate produces = three log segments of known sizes
+    for batch in (["1", "2", "3"], ["4", "5"], ["6"]):
+        _produce_strings(spark, broker, "paced", batch, partitions=1)
+
+    src = emu.emu_source(
+        spark, broker, ["paced"], streaming=True, max_files_per_trigger=1
+    )
+    batch_sizes: list[int] = []
+
+    def _sink(batch_df, _bid):
+        n = batch_df.count()
+        if n:
+            batch_sizes.append(n)
+
+    q = (
+        src.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sum(batch_sizes) == 6  # nothing lost
+    assert len(batch_sizes) >= 3  # drained over multiple micro-batches
+    assert max(batch_sizes) <= 3  # every batch bounded by one segment
+
+    # unbounded control: the same log arrives in one availableNow batch
+    src_all = emu.emu_source(spark, broker, ["paced"], streaming=True)
+    sizes_all: list[int] = []
+    q2 = (
+        src_all.writeStream.foreachBatch(
+            lambda bdf, _b: sizes_all.append(bdf.count())
+        )
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    assert sum(sizes_all) == 6
