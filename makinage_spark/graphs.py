@@ -21,6 +21,7 @@ def pagerank(
     iterations: int = 3,
     broadcast_ranks: bool = False,
     assume_distinct: bool = False,
+    dangling: str = "drop",
 ) -> DataFrame:
     """Damped power-iteration PageRank over a directed edge list.
 
@@ -50,10 +51,17 @@ def pagerank(
     checkpoint the rank vector every few rounds to truncate lineage (same
     pattern as dedup.connected_components' pointer jumping).
 
-    Dangling nodes (no out-edges) simply contribute nothing; their mass is
-    dropped rather than redistributed, matching the common sparse
-    formulation. Nodes never referenced by any edge are absent.
+    Dangling nodes (no out-edges): ``dangling="drop"`` (default) lets their
+    mass vanish, matching the common sparse formulation;
+    ``dangling="redistribute"`` applies the textbook correction — each
+    iteration sums the exact fixed-point mass held by dangling nodes (one
+    anti-join + 1-row aggregate, broadcast back in-plan) and spreads the
+    per-node share ``half_up(dangling_nanos / n)`` uniformly inside the
+    damped term, so total mass is conserved up to rounding. Nodes never
+    referenced by any edge are absent.
     """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError(f"dangling must be drop|redistribute, got {dangling!r}")
     half_up = lambda x: F.floor(x + F.lit(0.5)).cast("bigint")  # noqa: E731
     # loop invariants: persist, or every unrolled round re-derives the edge
     # list from source lineage (measured 4× total-work blowup at 3 rounds)
@@ -87,12 +95,29 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("emit").alias("contrib"))
         )
-        ranks = base.join(maybe_bc(contrib), "id", "left").select(
+        updated = base.join(maybe_bc(contrib), "id", "left")
+        received = F.coalesce(F.col("contrib"), F.lit(0))
+        if dangling == "redistribute":
+            # exact bigint mass held by out-degree-0 nodes this round; the
+            # 1-row aggregate broadcasts back into the update in-plan
+            dang = (
+                ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("rank_nanos"), F.lit(0))
+                    .cast("bigint")
+                    .alias("dang_nanos")
+                )
+            )
+            updated = updated.crossJoin(F.broadcast(dang))
+            received = received + half_up(
+                F.col("dang_nanos").cast("double") / F.col("n")
+            )
+        ranks = updated.select(
             "id",
             "n",
             half_up(
                 (1.0 - damping) * 1.0e9 / F.col("n")
-                + damping * F.coalesce(F.col("contrib"), F.lit(0)).cast("double")
+                + damping * received.cast("double")
             ).alias("rank_nanos"),
         )
     return ranks.select(

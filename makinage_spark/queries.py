@@ -5154,6 +5154,77 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def _pagerank_dangling_sql(iters: int = 3) -> str:
+    """Unrolled fixed-point oracle for pagerank(dangling='redistribute'):
+    each round adds the exact bigint mass held by out-degree-0 nodes,
+    spread per-node as half_up(dang / n) inside the damped term."""
+    ctes = [
+        """e AS (
+      SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+                      CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (
+      SELECT id, CAST(FLOOR(1e9 / n + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""c{k} AS (
+      SELECT e.dst AS id,
+             SUM(CAST(FLOOR(CAST(r.rank_nanos AS DOUBLE) / d.outdeg + 0.5)
+                      AS BIGINT)) AS contrib
+      FROM r{k - 1} r JOIN outdeg d ON r.id = d.src JOIN e ON e.src = r.id
+      GROUP BY e.dst),
+    g{k} AS (
+      SELECT CAST(COALESCE(SUM(rank_nanos), 0) AS BIGINT) AS dang
+      FROM r{k - 1} r
+      WHERE NOT EXISTS (SELECT 1 FROM outdeg d WHERE d.src = r.id)),
+    r{k} AS (
+      SELECT nodes.id,
+             CAST(FLOOR((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / nn.n
+                  + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c{k}.contrib, 0)
+                      + CAST(FLOOR(CAST(g{k}.dang AS DOUBLE) / nn.n + 0.5)
+                             AS BIGINT) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN nn CROSS JOIN g{k}
+      LEFT JOIN c{k} ON nodes.id = c{k}.id)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT id, rank_nanos, rank_nanos / 1e9 AS rank FROM r{iters}"
+    )
+
+
+@register("graph_pagerank_dangling", _pagerank_dangling_sql(3))
+def q_graph_pagerank_dangling(spark, sf_dir):
+    """PageRank with the textbook dangling-mass correction over the DIRECTED
+    customer→supplier graph — every supplier node is dangling (no
+    out-edges), so each round redistributes their exact fixed-point mass
+    uniformly (one anti-join + broadcast 1-row aggregate per iteration;
+    graphs.pagerank(dangling='redistribute')). Verified against the
+    unrolled 3-round CTE oracle, bit-for-bit like graph_pagerank."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).cast("bigint").alias("src"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    return graphs.pagerank(
+        e,
+        damping=0.85,
+        iterations=3,
+        broadcast_ranks=True,
+        assume_distinct=True,
+        dangling="redistribute",
+    )
+
+
 def _hits_sql(iters: int = 3) -> str:
     ctes = ["""e AS (
       SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,

@@ -60,3 +60,37 @@ def test_hits_tiny_graph(spark):
     assert out[10][1] == 5 and out[11][1] == 3
     assert out[1][2] == 1.0 and out[10][3] == 1.0
     assert out[10][0] == 0  # pure authority has zero hub mass
+
+
+def test_dangling_redistribute_conserves_mass(spark):
+    import pytest
+
+    # a -> b only, with redistribution: b's held mass returns each round,
+    # so total mass stays ~1.0 up to per-node rounding
+    r = _ranks(spark, [("a", "b")], iterations=1, dangling="redistribute")
+    # round 1: dangling b held 5e8 -> share 2.5e8/node inside the damped term
+    # a: 0.15*5e8 + 0.85*(0 + 2.5e8) = 287.5e6
+    # b: 0.15*5e8 + 0.85*(5e8 + 2.5e8) = 712.5e6
+    assert r == {"a": 287_500_000, "b": 712_500_000}
+    assert abs(sum(r.values()) - 1_000_000_000) <= len(r)
+
+    r3 = _ranks(spark, [("a", "b")], iterations=3, dangling="redistribute")
+    assert abs(sum(r3.values()) - 1_000_000_000) <= len(r3)
+    # drop-mode total decays instead
+    rd = _ranks(spark, [("a", "b")], iterations=3, dangling="drop")
+    assert sum(rd.values()) < 900_000_000
+
+    with pytest.raises(ValueError, match="drop|redistribute"):
+        _ranks(spark, [("a", "b")], dangling="nope")
+
+
+def test_dangling_redistribute_partitioning_invariance(spark):
+    # directed chain with a dangling tail; redistribute path must stay
+    # bitwise partitioning-invariant like the base fixed-point accounting
+    edges = [(f"n{i}", f"n{i + 1}") for i in range(20)]
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    df2 = df1.repartition(7, "src")
+    kw = dict(iterations=3, dangling="redistribute")
+    r1 = {r.id: r.rank_nanos for r in graphs.pagerank(df1, **kw).collect()}
+    r2 = {r.id: r.rank_nanos for r in graphs.pagerank(df2, **kw).collect()}
+    assert r1 == r2
