@@ -168,7 +168,17 @@ def run_graph(spark: SparkSession, config: dict[str, Any] | str, await_batch: bo
         fmt = topic.get("format", "parquet")
         if not meta["streaming"]:
             if fmt == "memory":
-                handles.append((name, df.collect()))
+                # test/debug sink ONLY: materializes on the driver. Guarded
+                # so a production graph misconfigured to memory can't OOM the
+                # driver — cap via topic {"max_rows": N} (default 100k).
+                cap = int(topic.get("max_rows", 100_000))
+                rows = df.limit(cap + 1).collect()
+                if len(rows) > cap:
+                    raise ValueError(
+                        f"memory sink {name!r} exceeds max_rows={cap}; "
+                        "use a file/kafka sink for large results"
+                    )
+                handles.append((name, rows))
             elif fmt == "kafka":
                 from makinage_spark.sources.kafka import kafka_sink_batch
 
