@@ -2041,8 +2041,14 @@ def _stream_events(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="mk_stream_src_")
-    os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    if os.path.isdir(path):
+        # fixture is already a parquet directory (e.g. the scale-probe's
+        # synthesized tables): stream it directly — a symlink to a dir would
+        # be invisible to the (non-recursive) file-source listing
+        stream_dir = path
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="mk_stream_src_")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
     schema = spark.read.parquet(path).schema
     df = spark.readStream.schema(schema).parquet(stream_dir)
     # normalize ts exactly like load_table: nano-ts fixtures surface as longs

@@ -62,6 +62,15 @@ def get_spark(
     if master:
         builder = builder.master(master)
     confs = dict(DEFAULT_CONFS)
+    if master and master.startswith("local"):
+        # local mode: driver heap IS the cluster (all executor threads share
+        # it), and Spark's 1g default starves 32 cores — GC pressure at
+        # sf0.1, OOM at 5x. Sized from env (cluster submits set their own
+        # --driver-memory/--executor-memory and never hit this branch).
+        confs.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
