@@ -42,7 +42,12 @@ def pagerank(
 
     Scale shape: each iteration is one hash join of the |V|-row rank vector
     to the edge list on ``src`` plus one shuffle-aggregate on ``dst`` — the
-    textbook distributed formulation. With ``broadcast_ranks=True`` the rank
+    textbook distributed formulation. Out-degrees are pre-joined into the
+    edge list ONCE as a persisted loop invariant ``(src, dst, outdeg)``, so
+    no iteration ever re-joins the degree table; the per-edge contribution
+    ``half_up(rank_nanos / outdeg)`` depends only on src-level values, so
+    computing it per edge row is bit-identical to the per-source
+    formulation. With ``broadcast_ranks=True`` the rank
     vector is broadcast instead, so the edge list moves ONCE per iteration
     (the map-side-combined ``dst`` aggregate) rather than twice — the right
     choice whenever |V| fits in executor memory (up to tens of millions of
@@ -77,6 +82,10 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # loop invariant: edges annotated with their source's out-degree, so the
+    # iteration body is a single join (rank vector → weighted edges) instead
+    # of rank⋈outdeg followed by edges⋈emitting
+    ew = e.join(outdeg, "src").persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     base = nodes.crossJoin(F.broadcast(n_df)).persist()
     ranks = base.select(
@@ -84,16 +93,15 @@ def pagerank(
     )
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
-        emitting = ranks.join(outdeg, ranks.id == outdeg.src).select(
-            F.col("src"),
-            half_up(F.col("rank_nanos").cast("double") / F.col("outdeg")).alias(
-                "emit"
-            ),
-        )
+        emitting = ranks.select(F.col("id").alias("src"), "rank_nanos")
         contrib = (
-            e.join(maybe_bc(emitting), "src")
+            ew.join(maybe_bc(emitting), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("emit").alias("contrib"))
+            .agg(
+                F.sum(
+                    half_up(F.col("rank_nanos").cast("double") / F.col("outdeg"))
+                ).alias("contrib")
+            )
         )
         updated = base.join(maybe_bc(contrib), "id", "left")
         received = F.coalesce(F.col("contrib"), F.lit(0))

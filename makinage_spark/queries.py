@@ -5013,6 +5013,113 @@ def q_segment_dup_fraction(spark, sf_dir):
     )
 
 
+_REP_SPAN_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    rep AS (
+      SELECT doc_id, pos AS span_s, pos + 7 AS span_e
+      FROM grams SEMI JOIN hot USING (h)),
+    isl AS (
+      SELECT doc_id, span_s, span_e,
+             CASE WHEN span_s > COALESCE(MAX(span_e) OVER (
+               PARTITION BY doc_id ORDER BY span_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS is_new
+      FROM rep),
+    grp AS (
+      SELECT doc_id, span_s, span_e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY span_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(span_s) AS BIGINT) AS span_start,
+             CAST(MAX(span_e) AS BIGINT) AS span_end,
+             CAST(MAX(span_e) - MIN(span_s) + 1 AS BIGINT) AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM grp GROUP BY doc_id, island)
+"""
+
+
+@register(
+    "repeated_ngram_spans",
+    _REP_SPAN_CTE
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, n_grams FROM spans
+    """,
+)
+def q_repeated_ngram_spans(spark, sf_dir):
+    """Exact-substring duplicate-span LOCALIZATION (north-star: sub-document
+    dedup, the token-level approximation of suffix-array training-data dedup
+    — Lee et al. 2021's "deduplicating training data" primitive): every
+    maximal token span covered by sliding 8-gram windows occurring >= 2 times
+    corpus-wide, islands merged via running-max windows. Complements
+    segment_dup_fraction (which scores docs) by saying WHERE the duplicated
+    text lives, so a cleaner can cut spans instead of dropping whole docs.
+
+    Spark shape: tokenize once; only (doc_id, pos, 60-bit hash) triples ever
+    shuffle. Repeat detection is a map-side-combined groupBy(h) + semi-join —
+    deliberately NOT a count-window over h, which would pin all occurrences
+    of a boilerplate gram on one reducer at 100 TB. Island merge windows per
+    doc_id, bounded by document length."""
+    docs = load_wide(spark, sf_dir, "documents")
+    return text.repeated_ngram_spans(docs, n=8, min_count=2)
+
+
+@register(
+    "repeated_span_coverage",
+    _REP_SPAN_CTE
+    + """
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(s.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(s.dup_tokens, 0) / CAST(len(t.toks) AS DOUBLE), 6)
+             AS dup_frac,
+           (COALESCE(s.dup_tokens, 0) / CAST(len(t.toks) AS DOUBLE) <= 0.5)
+             AS keep
+    FROM toks t
+    LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_spans, SUM(span_tokens) AS dup_tokens
+      FROM spans GROUP BY doc_id) s USING (doc_id)
+    WHERE len(t.toks) > 0
+    """,
+)
+def q_repeated_span_coverage(spark, sf_dir):
+    """Per-document rollup of repeated_ngram_spans: how much of each doc sits
+    inside corpus-repeated 8-gram spans, with a keep/drop gate at 50% — the
+    doc-level decision layer over the span localizer (docs whose text is
+    mostly boilerplate get dropped; lightly-contaminated docs survive for
+    span cutting). Same skew-proof gram pipeline; one extra broadcast-sized
+    left join against per-doc token counts."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    spans = text.repeated_ngram_spans(docs, n=8, min_count=2)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"), F.sum("span_tokens").alias("dup_tokens")
+    )
+    joined = toks.join(per_doc, "doc_id", "left")
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    frac = dup.cast("double") / F.size("toks").cast("double")
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        dup.cast("bigint").alias("dup_tokens"),
+        F.round(frac, 6).alias("dup_frac"),
+        (frac <= 0.5).alias("keep"),
+    )
+
+
 @register(
     "unigram_logprob_score",
     f"""

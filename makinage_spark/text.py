@@ -306,3 +306,75 @@ def bpe_learn_merges(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def repeated_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate-span localization: maximal token spans covered
+    by sliding ``n``-gram windows that occur at least ``min_count`` times
+    anywhere in the corpus (the token-level approximation of suffix-array
+    training-data dedup — find WHERE the duplicated text lives, not just that
+    a document contains some).
+
+    Returns one row per maximal merged span:
+    ``(doc_id, span_start, span_end, span_tokens, n_grams)`` with 1-based
+    inclusive token indices. Overlapping/adjacent repeated windows chain into
+    a single span via a classic island merge (running-max window), so the
+    output is canonical regardless of how many windows witnessed the repeat.
+
+    Scale shape: after tokenize, only ``(doc_id, pos, hash)`` triples move —
+    never text. Repeat detection is a map-side-combined ``groupBy(hash)``
+    count followed by a semi-join of the gram stream against the (tiny)
+    repeated-hash set — NOT a count-window over the hash, which would pin
+    every occurrence of a boilerplate gram on one reducer at corpus scale.
+    The island merge windows per ``doc_id``: bounded by document length.
+    Extends SURVEY §2 north-star dedup rows below document/segment
+    granularity (reference scope: makinage has no dedup operators).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(_col(text_col))).alias("toks")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+                f" i -> struct(i AS pos, array_join(slice(toks, i, {n}), ' ') AS g))"
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), md5_hash64(F.col("w.g")).alias("h"))
+    # map-side partial combine makes this skew-proof: a 1e9-occurrence
+    # boilerplate gram reduces to per-partition partial counts, never one key
+    # on one task (a COUNT window partitioned by h would)
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("gc"))
+        .filter(F.col("gc") >= min_count)
+        .select("h")
+    )
+    rep = grams.join(hot, "h", "left_semi").select(
+        "doc_id", F.col("pos").alias("span_s"), (F.col("pos") + (n - 1)).alias("span_e")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("span_s")
+    prev_max = F.max("span_e").over(w_doc.rowsBetween(Window.unboundedPreceding, -1))
+    marked = rep.withColumn(
+        "is_new",
+        F.when(F.col("span_s") > F.coalesce(prev_max, F.lit(-1)), 1).otherwise(0),
+    )
+    grp = marked.withColumn(
+        "island",
+        F.sum("is_new").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("span_s").cast("bigint").alias("span_start"),
+        F.max("span_e").cast("bigint").alias("span_end"),
+        (F.max("span_e") - F.min("span_s") + 1).cast("bigint").alias("span_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+    ).drop("island")

@@ -415,3 +415,31 @@ def test_multimodal_real_decode_unsupported_format_raises(spark):
 
     with _pytest.raises(Exception, match="codec libs|NotImplemented"):
         pipe(df, multimodal.decode_features(fake=False)).collect()
+
+
+def test_repeated_ngram_spans_merge_and_localize(spark):
+    # doc a and doc b share the 10-token run w1..w10 -> with n=3 the sliding
+    # windows chain into ONE maximal span [start, start+9] in each doc;
+    # doc c is all-unique and must produce no span.
+    shared = " ".join(f"w{i}" for i in range(1, 11))
+    rows = [
+        ("a", f"{shared} apple banana cherry"),
+        ("b", f"alpha beta {shared}"),
+        ("c", " ".join(f"u{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = text.repeated_ngram_spans(docs, n=3, min_count=2)
+    got = {r.doc_id: (r.span_start, r.span_end, r.span_tokens, r.n_grams)
+           for r in out.collect()}
+    # 10 shared tokens, n=3 -> 8 witnessing windows merged into one island
+    assert got == {"a": (1, 10, 10, 8), "b": (3, 12, 10, 8)}
+
+
+def test_repeated_ngram_spans_within_doc_repeat_splits_islands(spark):
+    # the same trigram repeated twice inside ONE doc, separated by unique
+    # filler -> two disjoint spans (islands don't bridge the gap)
+    doc = "x y z q1 q2 q3 q4 x y z"
+    docs = spark.createDataFrame([("d", doc)], "doc_id string, text string")
+    out = text.repeated_ngram_spans(docs, n=3, min_count=2)
+    spans = sorted((r.span_start, r.span_end) for r in out.collect())
+    assert spans == [(1, 3), (8, 10)]
