@@ -24,7 +24,9 @@ from makinage_spark.queries import QUERIES
 #: ALL testdata tables scale with SF, including documents (500 → 5000 rows
 #: sf0.01 → sf0.1) and embeddings (500 → 2000) — see FIXTURES.md.
 #: Composition history (keep totals comparable across rounds): r1–r2 first
-#: run = 39 queries; r2 final = 40 (added chunk_documents, BENCH_r02); r3 = 40.
+#: run = 39 queries; r2 final = 40 (added chunk_documents, BENCH_r02); r3 = 40;
+#: r4 = 41 (added repeated_ngram_spans — subtract it from "value" to compare
+#: against the r2/r3 40-query totals; per-query timings are always comparable).
 HEADLINE = [
     # relational: scan/filter/agg/join/subquery
     "q1_pricing_summary",
@@ -59,6 +61,7 @@ HEADLINE = [
     "pii_redaction",
     "domain_mixture_weights",
     "segment_dup_fraction",
+    "repeated_ngram_spans",
     "unigram_logprob_score",
     "training_corpus_pipeline",
     "quality_ensemble",
@@ -78,6 +81,42 @@ HEADLINE = [
 #: run-to-run variance is the largest in the set (BASELINE.md), so they get
 #: min-of-3 instead of min-of-2.
 ITERATIVE_TAIL = {"graph_pagerank"}
+
+
+def cpu_probe() -> float:
+    """Deterministic single-core CPU speed probe: seconds to md5 64 MiB in
+    1 MiB chunks. Boxes differ ACROSS rounds (round 4 measured every untouched
+    query uniformly ~1.3× slower than round 3 on an idle machine — different
+    VM, not different code), so each bench emits this constant-work number;
+    cross-round totals should be read as value/cpu_probe-normalized."""
+    import hashlib
+
+    chunk = b"\xa5" * (1 << 20)
+    t0 = time.time()
+    h = hashlib.md5()
+    for _ in range(64):
+        h.update(chunk)
+    return round(time.time() - t0, 4)
+
+
+def spark_probe(spark) -> float:
+    """Constant-work JVM-side probe: seconds to hash-aggregate a fixed
+    512M-row range across all cores (whole-stage codegen, no IO, no shuffle
+    beyond the final 1-row agg). The python md5 probe measured HEALTHY on the
+    round-4 box while every Spark query ran uniformly ~1.3× slower than
+    round 3 — the gap lives in JVM-effective throughput (hypervisor/SMT), so
+    the normalizer must itself be a Spark workload. Compare rounds as
+    value / spark_probe_sec."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    # shiftright(32) bounds each term to ±2^31 so the 512M-row sum stays far
+    # below 2^63 — ANSI mode (Spark 4 default) makes a raw sum(xxhash64)
+    # overflow-error; the hash must stay consumed or Catalyst prunes it
+    spark.range(512 * 1024 * 1024).select(
+        F.shiftright(F.xxhash64("id"), 32).alias("h")
+    ).agg(F.sum("h")).collect()
+    return round(time.time() - t0, 3)
 
 
 def main():
@@ -145,6 +184,10 @@ def main():
         # swing under residual load), so record the evidence inline.
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # constant-work probes (min of 3): divide totals by spark_probe_sec
+        # when comparing across rounds — boxes differ per round
+        "cpu_probe_sec": min(cpu_probe() for _ in range(3)),
+        "spark_probe_sec": min(spark_probe(spark) for _ in range(3)),
     }
     if failed:
         out["failed"] = failed

@@ -7824,7 +7824,6 @@ _SHOWCASE_50 = [
     "filter_predicate",         # A22 filter
     "flat_map_tokens",          # A23 flat_map / UDTF shape
     "scan_running_sum",         # A24 scan (batch fold)
-    "distinct_event_types",     # rs.ops.distinct
     "take_topk",                # A28 take / top-k
     "group_by_agg",             # rs.ops.group_by
     "conditional_agg",          # rs.ops.tee_map (multi-agg one pass)
@@ -7849,7 +7848,6 @@ _SHOWCASE_50 = [
     "bpe_learn_merges",         # iterative BPE training vs unrolled oracle
     "dedup_exact",
     "dedup_minhash_pairs",      # LSH banding vs exact banding oracle
-    "dedup_jaccard_pairs",
     "dedup_clusters",           # connected components vs RECURSIVE oracle
     "embedding_topk",
     "text_quality",
@@ -7868,6 +7866,7 @@ _SHOWCASE_50 = [
     "cohort_retention",         # cohort analysis
     "unigram_logprob_score",    # unigram-LM scoring
     "segment_dup_fraction",     # intra-doc segment duplication
+    "repeated_ngram_spans",     # exact-substring duplicate-span localization
     "ivf_topk_search",          # IVF ANN (approximate: rows-only check)
     "multimodal_real_decode",   # real PPM/WAV decode via Arrow mapInPandas
     "tfidf_top_terms",          # TF-IDF ranking
