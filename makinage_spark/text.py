@@ -340,12 +340,16 @@ def repeated_ngram_spans(
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.lower(_col(text_col))).alias("toks")
-    )
+    ).filter(F.size("toks") >= n)
+    # the >= n filter above is load-bearing: sequence(1, size-n+1) with
+    # size < n would be sequence(1, <=0), which Spark evaluates DESCENDING
+    # ([1, 0]) — emitting empty-string grams that collide across every short
+    # doc and fabricate spans
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),"
+                f"transform(sequence(1, size(toks) - {n - 1}),"
                 f" i -> struct(i AS pos, array_join(slice(toks, i, {n}), ' ') AS g))"
             )
         ).alias("w"),

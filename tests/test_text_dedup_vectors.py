@@ -443,3 +443,55 @@ def test_repeated_ngram_spans_within_doc_repeat_splits_islands(spark):
     out = text.repeated_ngram_spans(docs, n=3, min_count=2)
     spans = sorted((r.span_start, r.span_end) for r in out.collect())
     assert spans == [(1, 3), (8, 10)]
+
+
+def _ref_repeated_spans(docs, n, min_count):
+    """Pure-python oracle for repeated_ngram_spans: dict doc_id -> token list."""
+    from collections import Counter
+
+    grams = []
+    for d, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            grams.append((d, i + 1, tuple(toks[i : i + n])))
+    counts = Counter(g for _, _, g in grams)
+    spans = {}
+    for d, pos, g in grams:
+        if counts[g] >= min_count:
+            spans.setdefault(d, []).append((pos, pos + n - 1))
+    out = []
+    for d, ivs in spans.items():
+        ivs.sort()
+        cur_s, cur_e, k = ivs[0][0], ivs[0][1], 1
+        for s, e in ivs[1:]:
+            if s <= cur_e:  # overlap/adjacent window chains the island
+                cur_e = max(cur_e, e)
+                k += 1
+            else:
+                out.append((d, cur_s, cur_e, cur_e - cur_s + 1, k))
+                cur_s, cur_e, k = s, e, 1
+        out.append((d, cur_s, cur_e, cur_e - cur_s + 1, k))
+    return sorted(out)
+
+
+def test_repeated_ngram_spans_property_vs_python_oracle(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c", "d"])  # tiny alphabet forces repeats
+
+    @given(
+        st.lists(st.lists(tok, min_size=0, max_size=24), min_size=1, max_size=6),
+        st.integers(min_value=2, max_value=4),
+    )
+    @settings(max_examples=12, deadline=None)
+    def _case(docs_toks, n):
+        docs = {f"d{i}": t for i, t in enumerate(docs_toks)}
+        rows = [(d, " ".join(t)) for d, t in docs.items()]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+            for r in text.repeated_ngram_spans(df, n=n, min_count=2).collect()
+        )
+        assert got == _ref_repeated_spans(docs, n, 2)
+
+    _case()
