@@ -5121,6 +5121,45 @@ def q_repeated_span_coverage(spark, sf_dir):
 
 
 @register(
+    "strip_repeated_spans",
+    _REP_SPAN_CTE
+    + """
+    , sp AS (
+      SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sp
+      FROM spans GROUP BY doc_id),
+    j AS (
+      SELECT t.doc_id, t.toks, sp.sp
+      FROM toks t LEFT JOIN sp USING (doc_id)
+      WHERE len(t.toks) > 0),
+    k AS (
+      SELECT doc_id, toks,
+             list_filter(generate_series(1, len(toks)),
+               i -> sp IS NULL OR
+                    len(list_filter(sp, s -> i >= s.s AND i <= s.e)) = 0)
+               AS kept
+      FROM j)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS kept_tokens,
+           COALESCE(array_to_string(list_transform(kept, i -> toks[i]), ' '),
+                    '') AS clean_text
+    FROM k
+    """,
+)
+def q_strip_repeated_spans(spark, sf_dir):
+    """The cleaner the span localizer feeds: cut every corpus-repeated 8-gram
+    span out of every document (aggressive symmetric policy — removing all
+    occurrences is deterministic and order-free; "keep the first" would
+    depend on a global doc ordering no distributed cleaner should assume) and
+    return the cleaned token text. Spans group to an in-row array per doc;
+    the cut is a pure higher-order filter over token positions — no Python,
+    no token-stream explode, one doc_id-keyed shuffle beyond the gram
+    pipeline."""
+    docs = load_wide(spark, sf_dir, "documents")
+    return text.strip_repeated_spans(docs, n=8, min_count=2)
+
+
+@register(
     "unigram_logprob_score",
     f"""
     WITH toks AS (

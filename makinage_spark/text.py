@@ -382,3 +382,54 @@ def repeated_ngram_spans(
         (F.max("span_e") - F.min("span_s") + 1).cast("bigint").alias("span_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_grams"),
     ).drop("island")
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut every corpus-repeated span (see :func:`repeated_ngram_spans`) out
+    of each document and return the cleaned token text — the "remove
+    duplicated substrings" cleaner the span localizer exists to feed.
+
+    Policy: aggressive symmetric cut — ALL occurrences of a repeated span are
+    removed in every document (deterministic, order-free; keeping "the first"
+    occurrence would make output depend on a global document ordering, which
+    a distributed cleaner should not). Returns
+    ``(doc_id, n_tokens, kept_tokens, clean_text)`` for every doc with at
+    least one token (lower-cased tokenized form; docs without repeats pass
+    through with all tokens kept).
+
+    Scale shape: spans per doc are grouped to an in-row array (one extra
+    shuffle keyed by doc_id — skew-bounded by document length), then the cut
+    is a pure higher-order-function filter over token positions: no Python,
+    no explode of the token stream.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.lower(_col(text_col))).alias("toks")
+    ).filter(F.size("toks") > 0)
+    spans = repeated_ngram_spans(
+        docs, n=n, min_count=min_count, id_col=id_col, text_col=text_col
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    j = toks.join(per_doc, "doc_id", "left").withColumn(
+        "__kept",
+        F.expr(
+            "filter(sequence(1, size(toks)),"
+            " i -> sp IS NULL OR NOT exists(sp,"
+            "   s -> i >= s.span_start AND i <= s.span_end))"
+        ),
+    )
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size("__kept").cast("bigint").alias("kept_tokens"),
+        F.array_join(
+            F.expr("transform(__kept, i -> toks[i - 1])"), " "
+        ).alias("clean_text"),
+    )

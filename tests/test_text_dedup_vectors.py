@@ -495,3 +495,18 @@ def test_repeated_ngram_spans_property_vs_python_oracle(spark):
         assert got == _ref_repeated_spans(docs, n, 2)
 
     _case()
+
+
+def test_strip_repeated_spans_cuts_shared_run(spark):
+    shared = " ".join(f"w{i}" for i in range(1, 11))
+    rows = [
+        ("a", f"{shared} apple banana cherry"),
+        ("b", f"alpha beta {shared}"),
+        ("c", " ".join(f"u{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r.doc_id: r for r in text.strip_repeated_spans(docs, n=3, min_count=2).collect()}
+    assert out["a"].clean_text == "apple banana cherry"
+    assert (out["a"].n_tokens, out["a"].kept_tokens) == (13, 3)
+    assert out["b"].clean_text == "alpha beta"
+    assert out["c"].kept_tokens == 30  # untouched doc passes through whole

@@ -49,7 +49,13 @@ def df_multiset(cols, rows):
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -67,6 +73,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     failures = []
+    results = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -77,11 +84,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "spark_error", "err": f"{type(e).__name__}: {e}"}
             print(f"✗ {name}: SPARK ERROR {type(e).__name__}: {e}")
             continue
         if name not in oracles:
             print(f"~ {name}: rows-only check, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "spark_rows": len(srows)}
             if len(srows) == 0:
                 print(f"  WARNING: 0 rows from rows-only query")
             continue
@@ -91,6 +100,7 @@ def main():
             drows = cur.fetchall()
         except Exception as e:
             failures.append(name)
+            results[name] = {"status": "oracle_error", "err": f"{type(e).__name__}: {e}"}
             print(f"✗ {name}: ORACLE ERROR {type(e).__name__}: {e}")
             continue
         problems = []
@@ -106,9 +116,26 @@ def main():
                 problems.append(f"values spark-only={extra_s} duck-only={extra_d}")
         if problems:
             failures.append(name)
+            results[name] = {"status": "mismatch", "detail": "; ".join(problems)}
             print(f"✗ {name}: " + "; ".join(problems))
         else:
+            results[name] = {"status": "match", "rows": len(srows)}
             print(f"✓ {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    if json_out:
+        import json as _json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(results),
+            "n_match": sum(1 for r in results.values() if r["status"] == "match"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_failed": len(failures),
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            _json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
 
     print()
     if failures:
