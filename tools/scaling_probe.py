@@ -10,9 +10,12 @@ perturbed per replica so similarity structure scales LINEARLY instead of
 creating artificial cross-replica near-duplicates (which would make every
 pair-generating query look quadratic for data reasons, not plan reasons):
 
-- documents.text: every token gets a replica suffix (replica 0 unchanged) —
-  within-replica shingle/token relationships are isomorphic to the original,
-  cross-replica Jaccard/MinHash overlap is ~0;
+- documents.text: per-replica bijective character map — the alphabet rotated
+  by a replica-distinct shift (replica 0 unchanged) — so within-replica
+  shingle/token relationships are exactly isomorphic to the original while
+  cross-replica overlap is destroyed at EVERY granularity (word shingles and
+  char n-grams alike; distinct shifts exist for mult <= 26 — beyond that,
+  swap in an affine char permutation family);
 - embeddings.embedding: element rotation by r positions (replica 0
   unchanged) — within-replica cosine structure preserved, cross-replica
   cosine decorrelated.
@@ -79,8 +82,28 @@ def make(spark, dest: str, mult: int) -> None:
                 for k in keys:
                     rep = rep.withColumn(k, (F.col(k) + r * OFFSET).cast("bigint"))
                 if table == "documents" and r > 0:
+                    # bijective per-replica character map (alphabet rotated by
+                    # r): destroys CROSS-replica overlap at every granularity —
+                    # word shingles AND char n-grams — while keeping
+                    # within-replica similarity structure exactly isomorphic.
+                    # The previous token-suffix scheme (`$1x{r}`) left interior
+                    # char 5-grams of long tokens intact, so char-shingle
+                    # MinHash kept every doc LSH-close to its mult-1 replica
+                    # twins: at 25x that manufactured 158M TRUE near-dup pairs
+                    # (vs 15k at base) — quadratic duplicate density in the
+                    # DATA, misread as superlinear plan behavior.
+                    lo = "abcdefghijklmnopqrstuvwxyz"
+                    up = lo.upper()
+                    dg = "0123456789"
+                    sh = (r - 1) % 25 + 1  # 1..25: never the identity map
+                    sd = (r - 1) % 9 + 1
+                    rot = (
+                        lo[sh:] + lo[:sh]
+                        + up[sh:] + up[:sh]
+                        + dg[sd:] + dg[:sd]
+                    )
                     rep = rep.withColumn(
-                        "text", F.regexp_replace("text", r"(\S+)", f"$1x{r}")
+                        "text", F.translate("text", lo + up + dg, rot)
                     )
                 if table == "embeddings" and r > 0:
                     n = F.size("embedding")
