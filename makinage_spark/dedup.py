@@ -174,6 +174,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -186,6 +187,18 @@ def minhash_lsh_pairs(
     concatenated minima (constant width regardless of r); one shuffle per the
     exploded (band, bucket) key; pairs form by equi-join *within* buckets only.
     Returns distinct ``(a, b)`` pairs with ``a < b``.
+
+    ``bucket_cap`` (off by default, so results are exactly the banding
+    semantics): drop (band, bucket) groups holding more than this many docs
+    before the self-join. A bucket of size s contributes s² candidate pairs —
+    on boilerplate-heavy corpora a single template bucket can reach 10⁶+ docs
+    = 10¹² pairs from one reducer key (the 25× scaling probe manufactured
+    exactly this shape: 158M true pairs from replica-correlated shingles,
+    SCALING.md round-4 section). Industrial dedup pipelines cap or sample
+    such mega-buckets: members that numerous are mutual near-dups of a
+    template; pair enumeration adds nothing a cluster label doesn't. The size
+    scan is one map-side-combined groupBy + a semi-join — output unchanged
+    whenever no bucket exceeds the cap.
     """
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
@@ -207,6 +220,14 @@ def minhash_lsh_pairs(
     stacked = sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        small = (
+            stacked.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= bucket_cap)
+            .select("band", "bucket")
+        )
+        stacked = stacked.join(small, ["band", "bucket"], "left_semi")
     # Persist before the self-join: both join branches would otherwise
     # recompute the whole shingle→minhash pipeline (a broadcast join has no
     # shuffle exchange for Catalyst to reuse). Same move as materializing the
@@ -450,12 +471,18 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     blocks: int = 4,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole blocking: split the hash into
     ``blocks`` blocks; any pair within Hamming distance < ``blocks`` agrees on
     ≥1 whole block, so candidates come from equi-joins on block values (no
     cross product). Verify stage computes the true Hamming distance via
-    ``bit_count(xor)``."""
+    ``bit_count(xor)``.
+
+    ``block_cap`` (off by default): drop (blk, val) groups larger than this
+    before the self-join — the same mega-bucket guard as
+    :func:`minhash_lsh_pairs` ``bucket_cap`` (a template block of s docs is
+    s² candidate pairs on one reducer key; see SCALING.md round-4)."""
     block_bits = bits // blocks
     sh = simhash_df(df, text_col, id_col, bits)
     stacked = sh.select(
@@ -473,6 +500,14 @@ def simhash_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "sh", "bb.blk", "bb.val")
+    if block_cap is not None:
+        small = (
+            stacked.groupBy("blk", "val")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") <= block_cap)
+            .select("blk", "val")
+        )
+        stacked = stacked.join(small, ["blk", "val"], "left_semi")
     # persist before the self-join — same rationale as minhash_lsh_pairs: a
     # broadcast join would otherwise recompute the token→simhash pipeline on
     # both branches; the (id, sh, blk, val) table is tiny relative to the text

@@ -510,3 +510,37 @@ def test_strip_repeated_spans_cuts_shared_run(spark):
     assert (out["a"].n_tokens, out["a"].kept_tokens) == (13, 3)
     assert out["b"].clean_text == "alpha beta"
     assert out["c"].kept_tokens == 30  # untouched doc passes through whole
+
+
+def test_minhash_bucket_cap_drops_mega_bucket(spark):
+    # 12 identical template docs form one mega-bucket in every band (12*11/2
+    # = 66 pairs); two genuine near-dups differ by one char. A cap below 12
+    # kills the template pairs but keeps the near-dup pair; a loose cap is a
+    # no-op vs the uncapped result.
+    rows = [(f"t{i:02d}", "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(12)]
+    rows += [("x1", "the quick brown fox jumps over the lazy dog tonight"),
+             ("x2", "the quick brown fox jumps over the lazy dog tonite")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    capped = {(r.a, r.b) for r in
+              dedup.minhash_lsh_pairs(df, bucket_cap=8).collect()}
+    loose = {(r.a, r.b) for r in
+             dedup.minhash_lsh_pairs(df, bucket_cap=1000).collect()}
+    assert ("x1", "x2") in uncapped and ("x1", "x2") in capped
+    assert not any(a.startswith("t") for a, _ in capped)
+    assert len(uncapped - capped) == 66
+    assert loose == uncapped
+
+
+def test_simhash_block_cap_drops_mega_block(spark):
+    rows = [(f"t{i:02d}", "lorem ipsum dolor sit amet consectetur adipiscing elit")
+            for i in range(12)]
+    rows += [("x1", "the quick brown fox jumps over the lazy dog tonight"),
+             ("x2", "the quick brown fox jumps over the lazy dog tonite")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    uncapped = {(r.a, r.b) for r in dedup.simhash_pairs(df).collect()}
+    capped = {(r.a, r.b) for r in dedup.simhash_pairs(df, block_cap=8).collect()}
+    loose = {(r.a, r.b) for r in dedup.simhash_pairs(df, block_cap=1000).collect()}
+    assert not any(a.startswith("t") for a, _ in capped)
+    assert loose == uncapped
