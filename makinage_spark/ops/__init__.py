@@ -11,11 +11,13 @@ from makinage_spark.ops.core import (
     buffer_with_count,
     debounce,
     dematerialize,
+    do_action,
     distinct,
     distinct_until_changed,
     filter,
     first,
     flat_map,
+    ignore_elements,
     group_by,
     last,
     last_or_default,
@@ -60,4 +62,6 @@ __all__ = [
     "sample",
     "with_latest_from",
     "assert_",
+    "do_action",
+    "ignore_elements",
 ]

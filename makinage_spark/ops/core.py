@@ -627,3 +627,41 @@ def pairwise(key: str | list[str], order_by: str, value_col: str):
         return df.withColumn(f"prev_{value_col}", F.lag(value_col).over(w))
 
     return _op
+
+
+def do_action(observation, *metrics: ColumnLike):
+    """Side-effect tap (``rx.ops.do_action``; the reference taps streams for
+    logging/queue-depth feedback, makinage/driver/app_sink.py:53-67).
+
+    Spark-first reinterpretation: a per-record Python callback would put a
+    Python boundary in the hot path just to LOOK at rows, so the tap is
+    ``df.observe`` — named aggregate metrics collected as a zero-cost side
+    effect of whatever action executes the plan, rows passed through
+    untouched. ``observation`` is a ``pyspark.sql.Observation`` (batch:
+    read ``observation.get`` after the action) or a string name (streaming:
+    metrics arrive on the ``QueryProgressEvent.observedMetrics`` map —
+    exactly where the reference's queue-depth feedback lived).
+
+    >>> obs = Observation("tap")
+    >>> out = pipe(df, ops.do_action(obs, F.count(F.lit(1)).alias("n")))
+    >>> out.collect(); obs.get["n"]
+    """
+    cols = [_col(m) for m in metrics]
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.observe(observation, *cols)
+
+    return _op
+
+
+def ignore_elements():
+    """Drop every record, keep schema and completion semantics
+    (``rx.ops.ignore_elements``; the reference's sink driver uses it to turn
+    a tapped stream into a pure lifecycle signal,
+    tests/driver/test_app_sink.py:28-30). ``filter(False)`` prunes to an
+    empty scan at plan time — the cheapest possible "complete only"."""
+
+    def _op(df: DataFrame) -> DataFrame:
+        return df.filter(F.lit(False))
+
+    return _op

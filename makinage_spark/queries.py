@@ -2370,6 +2370,32 @@ def q_multiplex(spark, sf_dir):
 
 
 @register(
+    "tap_observe_passthrough",
+    """
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_tap_observe(spark, sf_dir):
+    """rx.ops.do_action as a Spark-first metrics tap (reference taps streams
+    for logging/queue-depth feedback, makinage/driver/app_sink.py:53-67):
+    df.observe collects named aggregates as a side effect of the same job —
+    no second scan, no Python in the hot path — and rows pass through
+    bit-identical (the oracle is the un-tapped projection; a hash match
+    proves zero perturbation). Streaming twin: the same observe() surfaces
+    per-batch metrics on QueryProgressEvent.observedMetrics."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation()
+    return pipe(
+        ev,
+        ops.do_action(obs, F.count(F.lit(1)).alias("rows_seen")),
+        ops.filter(F.col("event_type") == "purchase"),
+        ops.tee_map(event_id="event_id", user_id="user_id", value="value"),
+    )
+
+
+@register(
     "split_on_change",
     f"""
     WITH flagged AS (

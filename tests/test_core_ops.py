@@ -292,3 +292,27 @@ def test_last_or_default_missing_default_raises(spark):
     df = spark.createDataFrame([(1, 2.0)], "id long, v double")
     with pytest.raises(ValueError, match="missing defaults"):
         pipe(df, ops.last_or_default(["id"], {"id": -1}))
+
+
+def test_do_action_observe_tap(spark):
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame([(i, i * 2) for i in range(10)], "id long, v long")
+    obs = Observation("tap")
+    out = pipe(
+        df,
+        ops.do_action(obs, F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")),
+        ops.filter(F.col("id") < 5),
+    )
+    rows = out.collect()
+    # tap observes the PRE-filter stream (it sits before the filter in the
+    # pipe) and never perturbs the rows that flow through
+    assert len(rows) == 5
+    assert obs.get == {"n": 10, "sv": 90}
+
+
+def test_ignore_elements_keeps_schema_drops_rows(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    out = pipe(df, ops.ignore_elements())
+    assert out.count() == 0
+    assert out.schema == df.schema
