@@ -631,3 +631,41 @@ def test_streaming_zip_matches_batch_ordinal_zip(spark, tmp_path):
                           right_order="ro")
     batch = sorted((r.k, r.lo, r.ro) for r in z.collect())
     assert batch == [(k, l, r) for (k, _s, l, r) in got]
+
+
+def test_streaming_do_action_observed_metrics(spark):
+    """ops.do_action on a real readStream: per-micro-batch metrics arrive on
+    the progress events' observedMetrics — the Spark-side home of the
+    reference's queue-depth feedback (makinage/driver/app_sink.py:57-67)."""
+    from makinage_spark import ops, pipe
+
+    d = tmpdir()
+    stream = _stream_files(
+        spark,
+        [[(i, i * 10) for i in range(5)], [(i, i * 10) for i in range(5, 8)]],
+        "id long, v long",
+        d,
+    )
+    tapped = pipe(
+        stream,
+        ops.do_action("tap", F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")),
+    )
+    q = (
+        tapped.writeStream.format("memory")
+        .queryName("tap_obs")
+        .outputMode("append")
+        .option("checkpointLocation", f"{d}/_ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        seen = [
+            p["observedMetrics"]["tap"]
+            for p in (q.recentProgress or [])
+            if p.get("observedMetrics", {}).get("tap")
+        ]
+    finally:
+        q.stop()
+    # two files -> two micro-batches, each tapped with its own counts
+    assert sorted((m["n"], m["sv"]) for m in seen) == [(3, 180), (5, 100)]
+    assert spark.sql("SELECT COUNT(*) c FROM tap_obs").first().c == 8

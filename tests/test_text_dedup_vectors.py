@@ -544,3 +544,40 @@ def test_simhash_block_cap_drops_mega_block(spark):
     loose = {(r.a, r.b) for r in dedup.simhash_pairs(df, block_cap=1000).collect()}
     assert not any(a.startswith("t") for a, _ in capped)
     assert loose == uncapped
+
+
+def test_strip_repeated_spans_property_vs_python_oracle(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "c"])
+
+    def _ref_strip(docs, n):
+        spans = {}
+        for d, s, e, _, _ in _ref_repeated_spans(docs, n, 2):
+            spans.setdefault(d, []).append((s, e))
+        out = {}
+        for d, toks in docs.items():
+            if not toks:
+                continue
+            sp = spans.get(d, [])
+            kept = [t for i, t in enumerate(toks, 1)
+                    if not any(s <= i <= e for s, e in sp)]
+            out[d] = (len(toks), len(kept), " ".join(kept))
+        return out
+
+    @given(
+        st.lists(st.lists(tok, min_size=0, max_size=18), min_size=1, max_size=5),
+        st.integers(min_value=2, max_value=3),
+    )
+    @settings(max_examples=10, deadline=None)
+    def _case(docs_toks, n):
+        docs = {f"d{i}": t for i, t in enumerate(docs_toks)}
+        df = spark.createDataFrame(
+            [(d, " ".join(t)) for d, t in docs.items()], "doc_id string, text string"
+        )
+        got = {r.doc_id: (r.n_tokens, r.kept_tokens, r.clean_text)
+               for r in text.strip_repeated_spans(df, n=n, min_count=2).collect()}
+        assert got == _ref_strip(docs, n)
+
+    _case()
