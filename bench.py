@@ -188,6 +188,13 @@ def main():
         # when comparing across rounds — boxes differ per round
         "cpu_probe_sec": min(cpu_probe() for _ in range(3)),
         "spark_probe_sec": min(spark_probe(spark) for _ in range(3)),
+        # environment fingerprint: boxes differ per round (BASELINE.md r4)
+        "env": {
+            "pyspark": __import__("pyspark").__version__,
+            "java": spark.sparkContext._jvm.System.getProperty("java.version"),
+            "kernel": os.uname().release,
+            "cpus_avail": os.cpu_count(),
+        },
     }
     if failed:
         out["failed"] = failed
