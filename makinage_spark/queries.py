@@ -2485,6 +2485,29 @@ def q_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ivf_topk_full_probe",
+    f"""
+    SELECT b.vec_id, round({COSINE_SQL}, 4) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+    ORDER BY {COSINE_SQL} DESC, b.vec_id LIMIT 10
+    """,
+)
+def q_ivf_topk_full(spark, sf_dir):
+    """IVF search with EVERY cell probed (nprobe = n_cells): the pruned path
+    is approximate by construction and carries a rows-only check
+    (`ivf_topk_search`), but probing all cells must reduce IVF to exact
+    brute-force — so this variant pins the whole IVF machinery (sampled
+    k-means training, expression-only cell assignment, probe filter, scoring,
+    tie-break) against the same hard SQL oracle as `embedding_topk`. Any
+    assignment/probe bug that silently drops vectors breaks the hash."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = vectors.ivf_topk(emb, centroids, qv, k=10, nprobe=len(centroids))
+    return out.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+@register(
     "graph_multiply_sample",
     "SELECT CAST(event_id * 3 AS VARCHAR) AS value FROM events",
 )
