@@ -167,6 +167,57 @@ def minhash_signature_df(
     )
 
 
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    stateless: bool = False,
+) -> DataFrame:
+    """The shareable LSH index: one ``(id, band, bucket)`` row per document
+    per band (bucket = md5 of the band's concatenated minima). This is the
+    table a production pipeline MATERIALIZES once per corpus snapshot and
+    reuses — self-joined for full-corpus pair mining
+    (:func:`minhash_lsh_pairs`) or stream-static-joined to screen newly
+    arriving documents against the historical corpus without recomputing
+    anything on the static side.
+
+    ``stateless=True`` computes the signature with the single-expression
+    in-row fold (:func:`minhash_array`) instead of the explode→groupBy
+    throughput formulation — bit-identical minima, but NO aggregation in the
+    plan, so it runs on a STREAMING DataFrame in append mode (a streaming
+    groupBy would demand watermarked state). Use it for the per-micro-batch
+    side of a stream-static screen; keep the default for corpus-scale batch
+    builds (the fold is ~50× slower per shingle)."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    if stateless:
+        sig = df.select(
+            F.col(id_col), *minhash_signature(text_col, num_hashes, ngram)
+        )
+    else:
+        sig = minhash_signature_df(df, text_col, id_col, num_hashes, ngram)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                      for r in range(rows_per_band)],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -200,26 +251,7 @@ def minhash_lsh_pairs(
     scan is one map-side-combined groupBy + a semi-join — output unchanged
     whenever no bucket exceeds the cap.
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("bands must divide num_hashes")
-    sig = minhash_signature_df(df, text_col, id_col, num_hashes, ngram)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                      for r in range(rows_per_band)],
-                )
-            ).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    stacked = sig.select(
-        id_col, F.explode(F.array(*band_structs)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    stacked = minhash_band_table(df, text_col, id_col, num_hashes, bands, ngram)
     if bucket_cap is not None:
         small = (
             stacked.groupBy("band", "bucket")

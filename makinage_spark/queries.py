@@ -1172,7 +1172,12 @@ def q_lsh_topk(spark, sf_dir):
     return vectors.lsh_topk(emb, qv, k=10, planes=4)
 
 
-def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 5) -> str:
+def _minhash_pairs_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    pair_cond: str = "l.doc_id < r.doc_id",
+) -> str:
     """Exact SQL twin of dedup.minhash_lsh_pairs: the banding is md5-derived
     and fully deterministic, so the 'approximate' op still has an exact
     oracle — approximation is a property of WHICH pairs LSH surfaces, not of
@@ -1205,7 +1210,7 @@ def _minhash_pairs_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 5) -> 
     bnd AS ({band_rows})
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
-                         AND l.doc_id < r.doc_id
+                         AND {pair_cond}
     """
 
 
@@ -1217,6 +1222,51 @@ def q_minhash_pairs(spark, sf_dir):
     hash-matches an exact SQL unroll of the same banding."""
     docs = load_wide(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+@register(
+    "stream_neardup_screen",
+    _minhash_pairs_sql(pair_cond="l.doc_id < 250 AND r.doc_id >= 250"),
+)
+def q_stream_neardup_screen(spark, sf_dir):
+    """Streaming near-dup SCREENING against a historical corpus — the shape
+    every production training pipeline actually runs: the historical LSH band
+    table (doc_id < 250) is materialized ONCE and held static; newly arriving
+    documents stream in micro-batches, band-hash with the same narrow
+    expressions, and stream-static join against the index — no recompute of
+    the historical side, state bounded to the emitted (a, b) dedup keys.
+    Hash-matches the batch banding oracle restricted to historical×new pairs:
+    the streaming path emits EXACTLY the pairs a batch run over the union
+    would. Complements stream_dedup_keys (exact streaming dedup) with the
+    near-dup analog."""
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_bands = dedup.minhash_band_table(
+        docs.filter(F.col("doc_id") < 250)
+    ).select(
+        F.col("doc_id").alias("a"), "band", "bucket"
+    ).persist()
+    # new docs stream in two micro-batches (split on id parity)
+    d = tempfile.mkdtemp(prefix="mk_neardup_stream_")
+    new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+    for i, half in enumerate((new.filter("doc_id % 2 = 0"), new.filter("doc_id % 2 = 1"))):
+        half.coalesce(1).write.parquet(os.path.join(d, f"b{i}"), mode="overwrite")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    new_bands = dedup.minhash_band_table(stream, stateless=True).select(
+        F.col("doc_id").alias("b"), "band", "bucket"
+    )
+    pairs = (
+        new_bands.join(hist_bands, ["band", "bucket"])
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    return _drain(pairs).select("a", "b")
 
 
 # ---------------------------------------------------------------------------

@@ -581,3 +581,10 @@ def test_strip_repeated_spans_property_vs_python_oracle(spark):
         assert got == _ref_strip(docs, n)
 
     _case()
+
+
+def test_minhash_band_table_stateless_matches_grouped(spark, docs):
+    grouped = {tuple(r) for r in dedup.minhash_band_table(docs).collect()}
+    stateless = {tuple(r) for r in
+                 dedup.minhash_band_table(docs, stateless=True).collect()}
+    assert grouped == stateless and len(grouped) > 0
