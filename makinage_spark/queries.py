@@ -7984,7 +7984,7 @@ _SHOWCASE_50 = [
     "q3_shipping_priority",     # join+agg+topk (TPC-H representative)
     "error_channel_dead_letter",  # A20 data-plane error channel
     "bpe_learn_merges",         # iterative BPE training vs unrolled oracle
-    "dedup_exact",
+    "stream_neardup_screen",    # stream-static LSH screen vs banding oracle
     "dedup_minhash_pairs",      # LSH banding vs exact banding oracle
     "dedup_clusters",           # connected components vs RECURSIVE oracle
     "embedding_topk",
