@@ -398,3 +398,59 @@ def test_streaming_funnel_state_across_batches(spark):
     import shutil
 
     shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
+
+
+def test_stream_neardup_screen_checkpoint_recovery(spark):
+    """Stream-static LSH screen across a checkpoint restart: the historical
+    band table stays static; new docs arriving while the query is down are
+    screened on restart without reprocessing committed batches (exactly-once
+    parquet sink), and the pair-dedup state carries over."""
+    from makinage_spark import dedup
+    from pyspark.sql import functions as F
+
+    d, ckpt, outdir = tmpdir(), tmpdir(), tmpdir()
+    schema = "doc_id long, text string"
+    shared = "the quick brown fox jumps over the lazy dog again and again tonight"
+    hist = spark.createDataFrame(
+        [(1, shared), (2, "completely different historical content here entirely")],
+        schema,
+    )
+    hist_bands = dedup.minhash_band_table(hist).select(
+        F.col("doc_id").alias("a"), "band", "bucket"
+    ).persist()
+
+    def run(path_glob):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path_glob)
+        )
+        bands = dedup.minhash_band_table(stream, stateless=True).select(
+            F.col("doc_id").alias("b"), "band", "bucket"
+        )
+        pairs = (
+            bands.join(hist_bands, ["band", "bucket"])
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+        q = (
+            pairs.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", outdir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted((r.a, r.b) for r in spark.read.parquet(outdir).collect())
+
+    # batch 1: doc 10 duplicates historical doc 1
+    spark.createDataFrame([(10, shared)], schema).coalesce(1).write.parquet(f"{d}/b0")
+    assert run(f"{d}/b*") == [(1, 10)]
+    # query goes down; a new duplicate (of the SAME historical doc) lands
+    spark.createDataFrame(
+        [(11, shared), (12, "novel unseen text with no duplicate anywhere")], schema
+    ).coalesce(1).write.parquet(f"{d}/b1")
+    # restart from checkpoint: batch 1's pair is not re-emitted; the new doc
+    # matches the static index
+    assert run(f"{d}/b*") == [(1, 10), (1, 11)]
+    shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
