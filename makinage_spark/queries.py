@@ -5318,6 +5318,94 @@ def q_unigram_logprob_score(spark, sf_dir):
 
 
 @register(
+    "bigram_logprob_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS gc
+      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS total FROM uni),
+    db AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, COUNT(*) AS c
+      FROM toks, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+      GROUP BY doc_id, w1, w2),
+    bc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS bcnt FROM db GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS ctxc FROM bc GROUP BY w1),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+             CAST(ROUND(-ln(0.9 * (CAST(bcnt AS DOUBLE) / ctxc)
+                          + 0.1 * (CAST(gc AS DOUBLE) / total)), 6)
+                  AS DECIMAL(18,6)) AS nll
+      FROM bc JOIN ctx USING (w1) JOIN uni ON uni.tok = bc.w2, tot)
+    SELECT db.doc_id,
+           CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.c * lp.nll) AS DOUBLE) AS sum_nll,
+           ROUND(CAST(SUM(db.c * lp.nll) AS DOUBLE) / SUM(db.c), 6) AS avg_nll
+    FROM db JOIN lp ON db.w1 = lp.w1 AND db.w2 = lp.w2
+    GROUP BY db.doc_id
+    """,
+)
+def q_bigram_logprob_score(spark, sf_dir):
+    """Self-trained BIGRAM language-model scoring with unigram interpolation
+    (0.9·P(w2|w1) + 0.1·P(w2)) — the next rung above unigram_logprob_score
+    on the CCNet-style quality ladder: bigram context separates fluent text
+    from rare-token soup AND from locally-plausible-but-incoherent token
+    salad that unigram frequencies cannot see.
+
+    Spark shape: one in-row bigram expansion (no positional self-join), one
+    (doc, w1, w2) count that serves both as the per-doc term vector and
+    (re-aggregated) the global bigram table; context totals are a second
+    map-side-combined rollup of the bigram table — the corpus is scanned
+    once. The conditional is interpolated with the unigram distribution, so
+    the formula is total-vocabulary-smooth without Laplace constants. Each
+    bigram's nll is rounded at 6 dp into DECIMAL(18,6) BEFORE the weighted
+    per-doc sum (exact-decimal, order-independent — engine-portable across
+    shuffles, same contract as unigram). The bigram LM table joins by
+    shuffle, NOT broadcast: bigram vocabulary grows with corpus size and AQE
+    picks broadcast at runtime only when it actually fits."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 1)),"
+                " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).filter(F.col("bg.w2").isNotNull()).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("bcnt"))
+    ctx = bc.groupBy("w1").agg(F.sum("bcnt").cast("bigint").alias("ctxc"))
+    uni = toks.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("gc")
+    )
+    tot = uni.agg(F.sum("gc").cast("double").alias("total"))
+    p = F.lit(0.9) * (F.col("bcnt").cast("double") / F.col("ctxc")) + F.lit(
+        0.1
+    ) * (F.col("gc").cast("double") / F.col("total"))
+    lp = (
+        bc.join(ctx, "w1")
+        .join(uni, bc.w2 == uni.tok)
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", F.round(-F.log(p), 6).cast("decimal(18,6)").alias("nll"))
+    )
+    joined = db.join(lp, ["w1", "w2"])
+    sum_nll = F.sum(F.col("c") * F.col("nll"))
+    return joined.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_bigrams"),
+        sum_nll.cast("double").alias("sum_nll"),
+        F.round(sum_nll.cast("double") / F.sum("c"), 6).alias("avg_nll"),
+    )
+
+
+@register(
     "graph_pagerank",
     """
     WITH e0 AS (
