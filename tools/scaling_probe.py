@@ -23,7 +23,7 @@ pair-generating query look quadratic for data reasons, not plan reasons):
 Timing (``run``): bench.py's HEADLINE set, noop-sink, min-of-2 per scale, on
 the same session/conf at both scales; prints one JSON line per query with
 t_base, t_big, and ratio. Queries are billed superlinear when
-ratio > mult * SLACK.
+ratio > mult * 1.3 (30% headroom).
 
 Caveat (documented in SCALING.md): the synthesized tables are multi-file
 parquet while the sf0.1 fixtures are single-file/single-row-group, so the
