@@ -190,10 +190,19 @@ def minhash_band_table(
     plan, so it runs on a STREAMING DataFrame in append mode (a streaming
     groupBy would demand watermarked state). Use it for the per-micro-batch
     side of a stream-static screen; keep the default for corpus-scale batch
-    builds (the fold is ~50× slower per shingle)."""
+    builds (the fold is ~50× slower per shingle).
+
+    NULL-text docs are dropped by an explicit ``IS NOT NULL`` guard shared
+    by BOTH paths (they cannot be near-duplicates of anything). Without it
+    the paths diverge on degenerate docs — grouped would bucket them at
+    md5('') via a NULL-shingle minima row while stateless folds them to the
+    sentinel-minima bucket — and either way all null-text docs collide into
+    ONE shared bucket per band, so a stream-static screen would flag every
+    degenerate doc as a near-dup candidate of every other."""
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
+    df = df.filter(F.col(text_col).isNotNull())
     if stateless:
         sig = df.select(
             F.col(id_col), *minhash_signature(text_col, num_hashes, ngram)

@@ -56,6 +56,12 @@ def pagerank(
     checkpoint the rank vector every few rounds to truncate lineage (same
     pattern as dedup.connected_components' pointer jumping).
 
+    Caching contract: the loop-invariant relations (``e``, ``ew``, ``base``)
+    are persisted lazily and materialize when the caller first evaluates the
+    returned plan — they CANNOT be unpersisted here without defeating the
+    cache. Callers running many pagerank calls in one session should
+    ``spark.catalog.clearCache()`` between evaluations (bench.py does).
+
     Dangling nodes (no out-edges): ``dangling="drop"`` (default) lets their
     mass vanish, matching the common sparse formulation;
     ``dangling="redistribute"`` applies the textbook correction — each
@@ -81,7 +87,13 @@ def pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # outdeg is consumed once to build ew; only the redistribute path re-reads
+    # it (per-iteration dangling anti-join), so only that path caches it —
+    # persisting on the drop path would hold edge-scale state for the whole
+    # session with zero reuse
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    if dangling == "redistribute":
+        outdeg = outdeg.persist()
     # loop invariant: edges annotated with their source's out-degree, so the
     # iteration body is a single join (rank vector → weighted edges) instead
     # of rank⋈outdeg followed by edges⋈emitting

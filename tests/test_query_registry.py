@@ -43,3 +43,21 @@ def test_registry_size_floor():
     # coverage must never silently shrink across rounds
     assert len(QUERIES) >= 180
     assert len(ORACLES) >= 172
+
+
+def test_bigram_logprob_short_docs_do_not_crash(spark, tmp_path):
+    """ADVICE r4 (high): docs with 0/1 tokens must not trip Spark 4 ANSI
+    INVALID_ARRAY_INDEX in the bigram expansion — they simply contribute no
+    bigrams (matching the oracle's empty generate_series)."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "sfmini"
+    d.mkdir()
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, None), (3, "two tokens here and more")],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    out = QUERIES["bigram_logprob_score"](spark, str(d)).collect()
+    assert {r.doc_id for r in out} == {3}
+    assert all(r.n_bigrams >= 1 for r in out)

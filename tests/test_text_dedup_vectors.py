@@ -588,3 +588,19 @@ def test_minhash_band_table_stateless_matches_grouped(spark, docs):
     stateless = {tuple(r) for r in
                  dedup.minhash_band_table(docs, stateless=True).collect()}
     assert grouped == stateless and len(grouped) > 0
+
+
+def test_minhash_band_table_stateless_drops_null_text(spark):
+    """ADVICE r4: NULL-text docs must drop out of BOTH band-table paths —
+    without the stateless guard every degenerate doc folds to one shared
+    sentinel bucket and a stream-static screen flags each as a near-dup of
+    every other."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over the dog")],
+        "doc_id long, text string",
+    )
+    grouped = {tuple(r) for r in dedup.minhash_band_table(df).collect()}
+    stateless = {tuple(r) for r in
+                 dedup.minhash_band_table(df, stateless=True).collect()}
+    assert grouped == stateless
+    assert {r[0] for r in stateless} == {2}
