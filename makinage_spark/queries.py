@@ -1166,10 +1166,14 @@ def q_emb_neardup(spark, sf_dir):
 
 @register("embedding_lsh_topk", None)
 def q_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path; approximate → no exact SQL oracle)."""
+    """LSH-bucketed ANN (scale path; approximate → no exact SQL oracle).
+    8 hash tables × 2 probes: single-table recall for ~60° neighbors is only
+    ~0.2 by the S-curve, OR-amplification across tables is what makes
+    hyperplane LSH usable (measured ≥0.8 recall@10 at sf0.1 —
+    lsh_recall_audit pins the floor in-plan)."""
     emb = load_wide(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    return vectors.lsh_topk(emb, qv, k=10, planes=4)
+    return vectors.lsh_topk(emb, qv, k=10, planes=4, probes=2, tables=8)
 
 
 def _minhash_pairs_sql(
@@ -1177,6 +1181,7 @@ def _minhash_pairs_sql(
     bands: int = 4,
     ngram: int = 5,
     pair_cond: str = "l.doc_id < r.doc_id",
+    bucket_cap: int | None = None,
 ) -> str:
     """Exact SQL twin of dedup.minhash_lsh_pairs: the banding is md5-derived
     and fully deterministic, so the 'approximate' op still has an exact
@@ -1204,12 +1209,21 @@ def _minhash_pairs_sql(
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
+    cap_ctes = ""
+    bnd_src = "bnd"
+    if bucket_cap is not None:
+        cap_ctes = f""",
+    bsz AS (SELECT band, bucket, COUNT(*) AS c FROM bnd GROUP BY band, bucket),
+    bndc AS (
+      SELECT bnd.doc_id, bnd.band, bnd.bucket
+      FROM bnd JOIN bsz USING (band, bucket) WHERE bsz.c <= {bucket_cap})"""
+        bnd_src = "bndc"
     return f"""
     WITH t AS (SELECT doc_id, {hashes} AS hs FROM documents),
     sig AS (SELECT doc_id, {mins} FROM t),
-    bnd AS ({band_rows})
+    bnd AS ({band_rows}){cap_ctes}
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bnd l JOIN bnd r ON l.band = r.band AND l.bucket = r.bucket
+    FROM {bnd_src} l JOIN {bnd_src} r ON l.band = r.band AND l.bucket = r.bucket
                          AND {pair_cond}
     """
 
@@ -2571,6 +2585,144 @@ def q_ivf_topk_full(spark, sf_dir):
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     out = vectors.ivf_topk(emb, centroids, qv, k=10, nprobe=len(centroids))
     return out.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+@register(
+    "ivf_recall_audit",
+    """
+    SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_approx,
+           0.5 AS recall_floor, TRUE AS recall_ok
+    """,
+)
+def q_ivf_recall_audit(spark, sf_dir):
+    """Quantitative error bound for the SHIPPING IVF configuration (pruned
+    probe, nprobe=3 of 8 cells — the path `ivf_topk_search` exercises):
+    recall@10 against the in-plan brute-force oracle, reduced to one
+    assertion row. The approximate result set itself has no SQL twin (the
+    k-means sample lives in this engine), but the CLAIM — recall ≥ floor,
+    exactly k candidates returned — is engine-checkable: if pruning ever
+    costs more recall than the floor allows, recall_ok flips false and the
+    driver hash goes red. Measured: 0.6 @ sf0.01, 0.7 @ sf0.1 (floor 0.5).
+    The overlap join is a semi-join of two k-row TakeOrdered results — all
+    heavy lifting (scan, scoring) stays distributed; only 2k ids meet."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
+    query = [0.1] * 64
+    approx = vectors.ivf_topk(emb, centroids, query, k=10, nprobe=3).select(
+        "vec_id"
+    )
+    exact = vectors.brute_force_topk(emb, query, k=10).select("vec_id")
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    napx = approx.agg(F.count(F.lit(1)).cast("bigint").alias("n_approx"))
+    return hits.crossJoin(F.broadcast(napx)).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_approx",
+        F.lit(0.5).alias("recall_floor"),
+        ((F.col("n_hits").cast("double") / 10.0) >= 0.5).alias("recall_ok"),
+    )
+
+
+@register(
+    "lsh_recall_audit",
+    """
+    SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_approx,
+           0.6 AS recall_floor, TRUE AS recall_ok
+    """,
+)
+def q_lsh_recall_audit(spark, sf_dir):
+    """Quantitative error bound for the amplified LSH configuration (4
+    planes × 8 tables × 2 probes — the path `embedding_lsh_topk` ships):
+    recall@10 vs in-plan brute force as one assertion row, same contract as
+    ivf_recall_audit. Single-table recall is ~0.2 for this query by the
+    hyperplane S-curve — the audit pins that OR-amplification actually
+    repairs it (measured 1.0 @ sf0.01, 0.8 @ sf0.1; floor 0.6)."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    query = [0.1] * 64
+    approx = vectors.lsh_topk(
+        emb, query, k=10, planes=4, probes=2, tables=8
+    ).select("vec_id")
+    exact = vectors.brute_force_topk(emb, query, k=10).select("vec_id")
+    hits = approx.join(F.broadcast(exact), "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    napx = approx.agg(F.count(F.lit(1)).cast("bigint").alias("n_approx"))
+    return hits.crossJoin(F.broadcast(napx)).select(
+        F.lit(10).cast("bigint").alias("k"),
+        "n_approx",
+        F.lit(0.6).alias("recall_floor"),
+        ((F.col("n_hits").cast("double") / 10.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+@register(
+    "sketch_error_audit",
+    """
+    SELECT event_type, TRUE AS rel_err_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_sketch_error_audit(spark, sf_dir):
+    """Quantitative error bound for the HLL++ path (`sketch_cardinality`):
+    per-key relative error of approx_count_distinct(rsd=0.01) vs the exact
+    distinct, asserted ≤ 5% in-plan. The estimate itself is engine-specific
+    (register layout), but the BOUND is the portable contract — DuckDB
+    supplies the key set and the expected all-true column; any HLL
+    regression past 5% flips a row and breaks the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(
+        F.col("approx_users").cast("double") - F.col("exact_users")
+    ) / F.col("exact_users")
+    return agg.select("event_type", (rel_err <= 0.05).alias("rel_err_ok"))
+
+
+@register(
+    "tdigest_error_audit",
+    """
+    SELECT event_type, TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_tdigest_error_audit(spark, sf_dir):
+    """Quantitative error bound for the t-digest path (`tdigest_quantiles`):
+    t-digest guarantees accuracy in RANK space, so the audit computes the
+    empirical rank of each per-key estimate (fraction of that key's values
+    ≤ q̂) and asserts |rank(q̂) − q| ≤ 0.02 — the δ=100 digest's documented
+    envelope, tightest at the tails by construction. One extra pass over
+    events (map-side-combined conditional counts against the broadcast
+    k-row estimate table); the digest pipeline itself is untouched."""
+    from makinage_spark import tdigest
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    est = tdigest.digest_quantiles_df(
+        ev, "value", ["event_type"], qs=[0.5, 0.9, 0.99]
+    )
+    j = ev.join(F.broadcast(est), "event_type")
+    ranked = j.groupBy("event_type").agg(
+        *[
+            (
+                F.sum((F.col("value") <= F.col(f"q_{p}")).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias(f"r_{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    return ranked.select(
+        "event_type",
+        *[
+            (F.abs(F.col(f"r_{p}") - F.lit(p / 100.0)) <= 0.02).alias(
+                f"q{p}_ok"
+            )
+            for p in (50, 90, 99)
+        ],
+    )
 
 
 @register(
@@ -4789,14 +4941,65 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+_REP_SPAN_CTE = f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substring(md5(
+               array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)),
+    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+    rep AS (
+      SELECT doc_id, pos AS span_s, pos + 7 AS span_e
+      FROM grams SEMI JOIN hot USING (h)),
+    isl AS (
+      SELECT doc_id, span_s, span_e,
+             CASE WHEN span_s > COALESCE(MAX(span_e) OVER (
+               PARTITION BY doc_id ORDER BY span_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             THEN 1 ELSE 0 END AS is_new
+      FROM rep),
+    grp AS (
+      SELECT doc_id, span_s, span_e,
+             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY span_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM isl),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(span_s) AS BIGINT) AS span_start,
+             CAST(MAX(span_e) AS BIGINT) AS span_end,
+             CAST(MAX(span_e) - MIN(span_s) + 1 AS BIGINT) AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM grp GROUP BY doc_id, island)
+"""
+
+
 @register(
     "training_corpus_pipeline",
-    rf"""
-    WITH feat AS (
-      SELECT doc_id, source,
-             len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n_tok,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-      FROM documents),
+    _REP_SPAN_CTE
+    + """
+    , sp AS (
+      SELECT doc_id, list({'s': span_start, 'e': span_end}) AS sp
+      FROM spans GROUP BY doc_id),
+    j AS (
+      SELECT t.doc_id, t.toks, sp.sp
+      FROM toks t LEFT JOIN sp USING (doc_id)
+      WHERE len(t.toks) > 0),
+    ktoks AS (
+      SELECT doc_id, toks,
+             list_filter(generate_series(1, len(toks)),
+               i -> sp IS NULL OR
+                    len(list_filter(sp, s -> i >= s.s AND i <= s.e)) = 0)
+               AS kept_idx
+      FROM j),
+    feat AS (
+      SELECT k.doc_id, d.source,
+             len(k.kept_idx) AS n_tok,
+             md5(COALESCE(array_to_string(
+               list_transform(k.kept_idx, i -> k.toks[i]), ' '), '')) AS fp
+      FROM ktoks k JOIN documents d USING (doc_id)),
     kept AS (SELECT * FROM feat WHERE n_tok BETWEEN 30 AND 5000),
     reps AS (
       SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept),
@@ -4815,23 +5018,30 @@ def q_dedup_clusters(spark, sf_dir):
 )
 def q_training_corpus_pipeline(spark, sf_dir):
     """End-to-end training-corpus preparation as ONE declarative plan:
-    length-band quality filter → exact-dedup keep-one (min doc_id per
-    fingerprint) → per-source sequence packing → per-sequence rollup. The
-    composition the north-star asks for, showing the operator library chains
-    without materialization barriers.
+    repeated-span STRIP (text.strip_repeated_spans — cut every
+    corpus-repeated 8-gram span, the sub-document dedup cleaner) → re-score
+    on the CLEANED token count → length-band quality filter → exact-dedup
+    keep-one on the cleaned-text fingerprint (min doc_id per fp) →
+    per-source sequence packing → per-sequence rollup. The span family is
+    load-bearing here, not leaf: boilerplate removal changes both the
+    quality gate (docs shrink below the band) and the dedup key (docs that
+    differ only in shared boilerplate collapse to one fingerprint).
 
-    Scale shape: the text column is consumed in the first narrow projection
-    (token count + md5 fingerprint) and DROPPED before any shuffle — the
-    wide-column hazard at 100 TB. Three shuffles remain, each on a key the
-    semantics require: fingerprint (dedup window), source (packing cumsum;
-    rollup reuses it via ClusteredDistribution), and nothing else. The quality
-    filter runs before the first exchange, so dropped documents never move."""
+    Scale shape: raw text is consumed by the gram pipeline's first narrow
+    projections and never shuffles (only (doc_id, pos, hash) triples and the
+    in-row token arrays move); the cleaned fingerprint is md5'd in-row
+    before the dedup exchange. Shuffles: the gram groupBy+semi-join, the
+    per-doc span rollup, fingerprint (dedup window), and source (packing
+    cumsum; the rollup reuses it via ClusteredDistribution). The quality
+    filter runs before the dedup exchange, so dropped documents never
+    move."""
     docs = load_wide(spark, sf_dir, "documents")
-    feat = docs.select(
+    cleaned = text.strip_repeated_spans(docs, n=8, min_count=2)
+    feat = cleaned.join(docs.select("doc_id", "source"), "doc_id").select(
         "doc_id",
         "source",
-        text.token_count(F.lower(F.col("text"))).alias("n_tok"),
-        text.fingerprint("text").alias("fp"),
+        F.col("kept_tokens").alias("n_tok"),
+        F.md5("clean_text").alias("fp"),
     )
     kept = feat.filter(F.col("n_tok").between(30, 5000))
     reps = (
@@ -4845,6 +5055,55 @@ def q_training_corpus_pipeline(spark, sf_dir):
     return packed.groupBy("source", "seq_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("seq_tokens"),
+    )
+
+
+@register(
+    "dedup_pipeline_e2e",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_pairs_sql(bucket_cap=50)}),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION ALL SELECT b AS u, a AS v FROM pairs),
+    pnodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk(id, reach) AS (
+      SELECT id, id FROM pnodes
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+    cc AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+    drop_list AS (SELECT id FROM cc WHERE id <> cluster_id)
+    SELECT d.doc_id, d.source,
+           CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM documents d ANTI JOIN drop_list ON d.doc_id = drop_list.id
+    """,
+)
+def q_dedup_pipeline_e2e(spark, sf_dir):
+    """The WHOLE near-dup dedup pipeline as ONE declarative plan — the
+    composition a 100 TB corpus snapshot actually runs end-to-end: MinHash
+    band-table build → LSH pair mining with the mega-bucket guard ON
+    (bucket_cap=50, the shipping configuration after the 25× probe exposed
+    the template-bucket failure mode) → connected components over the pair
+    graph (keep-one-per-CLUSTER, Lee et al. 2021 — pairwise keep-one
+    over-deletes chains) → drop-list ANTI-JOIN back against the corpus,
+    emitting the surviving documents. Every stage chains without a
+    materialization barrier except the band table's documented
+    persist-before-self-join and CC's per-round localCheckpoint.
+
+    Scale shape: text leaves the plan after the first narrow projection
+    (shingle→minhash); pairs form only within capped buckets (never
+    all-pairs); CC shuffles the pair graph (≪ corpus); the final anti-join
+    keys on doc_id — AQE broadcasts the drop list when it fits, which at
+    production dup rates (~10-30%) it does per-partition. Hash-matched
+    against the composed DuckDB oracle: exact banding unroll + capped
+    buckets + RECURSIVE transitive closure + anti-join."""
+    docs = load_wide(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4, bucket_cap=50)
+    cc = dedup.connected_components(pairs)
+    drop_list = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = docs.join(drop_list, "doc_id", "left_anti")
+    return kept.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
     )
 
 
@@ -5130,41 +5389,6 @@ def q_segment_dup_fraction(spark, sf_dir):
         (dup.cast("double") / n).alias("dup_frac"),
         ((dup.cast("double") / n) <= 0.3).alias("keep"),
     )
-
-
-_REP_SPAN_CTE = f"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
-      FROM documents),
-    grams AS (
-      SELECT doc_id, i AS pos,
-             CAST(concat('0x', substring(md5(
-               array_to_string(toks[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
-      FROM toks, unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS t(i)),
-    hot AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
-    rep AS (
-      SELECT doc_id, pos AS span_s, pos + 7 AS span_e
-      FROM grams SEMI JOIN hot USING (h)),
-    isl AS (
-      SELECT doc_id, span_s, span_e,
-             CASE WHEN span_s > COALESCE(MAX(span_e) OVER (
-               PARTITION BY doc_id ORDER BY span_s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-             THEN 1 ELSE 0 END AS is_new
-      FROM rep),
-    grp AS (
-      SELECT doc_id, span_s, span_e,
-             SUM(is_new) OVER (PARTITION BY doc_id ORDER BY span_s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-      FROM isl),
-    spans AS (
-      SELECT doc_id,
-             CAST(MIN(span_s) AS BIGINT) AS span_start,
-             CAST(MAX(span_e) AS BIGINT) AS span_end,
-             CAST(MAX(span_e) - MIN(span_s) + 1 AS BIGINT) AS span_tokens,
-             CAST(COUNT(*) AS BIGINT) AS n_grams
-      FROM grp GROUP BY doc_id, island)
-"""
 
 
 @register(

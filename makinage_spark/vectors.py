@@ -94,20 +94,48 @@ def lsh_topk(
     id_col: str = "vec_id",
     planes: int = 8,
     seed: int = 42,
+    probes: int = 1,
+    tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only the query's LSH bucket. Recall is tuned by
-    ``planes`` (fewer planes → bigger buckets → higher recall); multi-probe =
-    union over neighboring buckets (flip one bit) — left to the caller."""
+    """Approximate top-k: score only the query's LSH bucket(s).
+
+    Recall knobs, in the order a production index tunes them:
+
+    - ``tables`` — OR-amplification (the classic L-hash-table scheme): each
+      table draws independent hyperplanes (seed + t); a row is scanned if it
+      collides with the query in ANY table. Single-table collision for
+      cosine-θ neighbors is ``(1 - θ/π)^planes`` — with 4 planes and 60°
+      neighbors that is ~0.2, so one table misses most of the top-k *by
+      construction*; L tables lift recall to ``1-(1-p^planes)^L``.
+    - ``probes`` — multi-probe within each table (Lv et al., VLDB'07): also
+      probe the buckets reached by flipping the ``probes - 1`` bits whose
+      margin ``|q·h_i|`` is smallest (the flips most likely to hold true
+      neighbors). Trades scan width for tables.
+    - ``planes`` — bucket granularity (fewer planes → bigger buckets).
+
+    All probed bucket ids are plan literals, so the filter is a narrow
+    boolean OR over per-table ``isin`` — on an index materialized with L
+    bucket columns this is L semi-scans of probes/2^planes of the data
+    each, never a shuffle."""
     dim = len(query_vec)
-    bucket_col = hyperplane_bucket(vec_col, dim, planes, seed)
-    hps = _hyperplanes(dim, planes, seed)
-    qb = 0
-    for i, h in enumerate(hps):
-        if float(np.dot(query_vec, h)) > 0:
-            qb |= 1 << i
-    return brute_force_topk(
-        df.filter(bucket_col == F.lit(qb)), query_vec, k, vec_col, id_col
-    )
+    v = F.col(vec_col)
+    cond = F.lit(False)
+    for t in range(tables):
+        tseed = seed + t
+        bucket_col = hyperplane_bucket(vec_col, dim, planes, tseed)
+        hps = _hyperplanes(dim, planes, tseed)
+        margins = [float(np.dot(query_vec, h)) for h in hps]
+        qb = 0
+        for i, m in enumerate(margins):
+            if m > 0:
+                qb |= 1 << i
+        # flip order: smallest |margin| first — the multi-probe sequence
+        flip_order = sorted(range(planes), key=lambda i: abs(margins[i]))
+        buckets = [qb] + [
+            qb ^ (1 << i) for i in flip_order[: max(0, probes - 1)]
+        ]
+        cond = cond | bucket_col.isin(*buckets)
+    return brute_force_topk(df.filter(cond), query_vec, k, vec_col, id_col)
 
 
 def ivf_centroids(
