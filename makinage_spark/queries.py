@@ -8374,57 +8374,67 @@ def q_last_or_default(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SHOWCASE_50 = [
-    "q1_pricing_summary",       # flagship: TPC-H Q1 via operator library
-    "map_project",              # A21 map/starmap
-    "filter_predicate",         # A22 filter
-    "flat_map_tokens",          # A23 flat_map / UDTF shape
-    "scan_running_sum",         # A24 scan (batch fold)
-    "take_topk",                # A28 take / top-k
-    "group_by_agg",             # rs.ops.group_by
-    "conditional_agg",          # rs.ops.tee_map (multi-agg one pass)
-    "roll_count_windows",       # rs.data.roll (count windows)
-    "time_window_hourly",       # tumbling time window
-    "sessionize",               # rs.data.split (gap sessionization)
-    "split_on_change",          # rs.data.split (predicate islands)
-    "merge_streams",            # A17 merge / UNION ALL
-    "asof_enrich",              # A27 with_latest_from (as-of)
-    "asof_tolerance",           # A16 bounded-lookback as-of
-    "stream_hourly_counts",     # real readStream → window agg
-    "stream_scan_running",      # real readStream → stateful scan
-    "stream_dedup_keys",        # real readStream → keyed dedup state
-    "variance_stddev",          # rs.math.variance/stddev
-    "quantiles_exact",          # rs.math.dist quantiles
-    "kafka_emu_roundtrip",      # A1/A2/A11 wire roundtrip (emulated broker)
-    "kmeans_lloyd_clusters",    # distributed Lloyd's k-means (iterative ML)
-    "chunk_documents",          # overlapping token windows (RAG/packing)
-    "first_last_event",         # rs.ops.first/last
-    "q3_shipping_priority",     # join+agg+topk (TPC-H representative)
-    "error_channel_dead_letter",  # A20 data-plane error channel
-    "bpe_learn_merges",         # iterative BPE training vs unrolled oracle
-    "stream_neardup_screen",    # stream-static LSH screen vs banding oracle
-    "dedup_minhash_pairs",      # LSH banding vs exact banding oracle
-    "dedup_clusters",           # connected components vs RECURSIVE oracle
-    "embedding_topk",
-    "text_quality",
-    "text_language_id",         # n-gram language ID heuristic
-    "graph_pagerank",           # fixed-point iteration vs unrolled-CTE oracle
-    # --- round-4 rotation: flagships that had only local-oracle evidence ---
-    "graph_hits",               # exact BIGINT mutual-recursion HITS
-    "stream_debounce",          # readStream stateful debounce
-    "stream_ewma",              # readStream bit-exact EWMA twin
-    "stream_funnel_conversion", # readStream restart-safe funnel
-    "stream_topk_state",        # readStream bounded top-k state
-    "jaccard_prefix_filter_pairs",  # lossless PPJoin prefix filter
-    "quality_ensemble",         # single-pass multi-signal quality gate
-    "pack_sequences",           # token sequence packing (windowed cumsum)
-    "funnel_conversion",        # batch funnel (single-shuffle window chain)
-    "cohort_retention",         # cohort analysis
-    "unigram_logprob_score",    # unigram-LM scoring
-    "segment_dup_fraction",     # intra-doc segment duplication
-    "repeated_ngram_spans",     # exact-substring duplicate-span localization
-    "ivf_topk_search",          # IVF ANN (approximate: rows-only check)
-    "multimodal_real_decode",   # real PPM/WAV decode via Arrow mapInPandas
-    "tfidf_top_terms",          # TF-IDF ranking
+    # --- round-5 rotation: >=80% of this window has NEVER been driver-hashed
+    # (VERDICT r4 task 3). 7 previously-hashed rows remain: the flagship
+    # anchor, the kafka wire anchor, and the five queries whose code CHANGED
+    # this round (skew fix / broadcast drop / bigram signal / null guard /
+    # fixture staging) and therefore need a fresh driver hash.
+    "q1_pricing_summary",       # anchor: flagship TPC-H Q1 via operator library
+    "kafka_emu_roundtrip",      # anchor: A1/A2/A11 wire roundtrip
+    "quality_ensemble",         # CHANGED r5: +bigram signal, skew fix, AQE join
+    "segment_dup_fraction",     # CHANGED r5: groupBy+join replaces count-window
+    "unigram_logprob_score",    # CHANGED r5: forced LM broadcast dropped
+    "stream_neardup_screen",    # CHANGED r5: cached fixture staging, unpersist
+    "dedup_minhash_pairs",      # CHANGED r5: shared null-text guard
+    # --- never-driver-hashed: judge-named flagships ---
+    "dedup_simhash_pairs",      # pigeonhole blocks + bit_count verify
+    "ivf_topk_full_probe",      # all-cells probe == exact (pins IVF machinery)
+    "stream_stream_join",       # watermarked stream-stream interval join
+    "stream_dedup_watermarked", # bounded-state streaming dedup
+    "stream_roll_windows",      # readStream count-window twin
+    "bigram_logprob_score",     # interpolated bigram LM (+ANSI guard r5)
+    "graph_pagerank_dangling",  # mass-conserving dangling redistribution
+    "q7_nation_volume",         # TPC-H Q7 cross-nation volume
+    "buffer_with_count_hopping",  # hopping count windows
+    "multiplex_demux",          # stream multiplex/demux
+    # --- never-driver-hashed: new r5 audits + pipelines ---
+    "ivf_recall_audit",         # recall@10 floor for the pruned IVF path
+    "lsh_recall_audit",         # recall@10 floor for amplified LSH
+    "sketch_error_audit",       # HLL rel-err <= 5% per key
+    "tdigest_error_audit",      # rank-space quantile error <= 0.02
+    "dedup_pipeline_e2e",       # band->pairs(cap)->CC->anti-join, one plan
+    "training_corpus_pipeline", # CHANGED r5: now leads with span strip
+    # --- never-driver-hashed: span family / text / embeddings ---
+    "strip_repeated_spans",     # sub-doc dedup cleaner
+    "repeated_span_coverage",   # doc-level span rollup gate
+    "text_repetition_signals",  # repetition/boilerplate signals
+    "pii_redaction",            # portable-regex PII scrub
+    "embedding_quantize_sq8",   # SQ8 quantization fidelity rollup
+    "embedding_centroids",      # decimal-exact centroid aggregation
+    "embedding_neardup_lsh",    # planted near-dup LSH screen (rows-only)
+    "tdigest_quantiles",        # t-digest sketch (rows-only; audited above)
+    "sketch_cardinality",       # HLL sketch (rows-only; audited above)
+    # --- never-driver-hashed: streaming family ---
+    "stream_session_window",    # native session windows
+    "stream_sliding_window",    # sliding windows
+    "stream_pack_sequences",    # stateful streaming sequence packer
+    "graph_multiply_streaming", # YAML graph over readStream
+    # --- never-driver-hashed: framework / sources ---
+    "app_source_batch",         # Spark 4 Python DataSource (A5)
+    "serve_batch_inference",    # ML serve batch path (A29)
+    "source_format_roundtrip",  # CSV/ORC/JSON six-path roundtrip
+    "graph_multiply_sample",    # YAML dataflow graph lifecycle (A3/A7)
+    # --- never-driver-hashed: joins / combinators / relational ---
+    "zip_streams",              # rx zip by index
+    "asof_forward_enrich",      # forward as-of join
+    "asof_nearest_enrich",      # nearest as-of join
+    "q2_min_cost_supplier",     # TPC-H Q2 correlated subquery
+    "q9_product_profit",        # TPC-H Q9 multi-join profit
+    "q21_waiting_suppliers",    # TPC-H Q21 exists/not-exists
+    "salted_join_skew",         # skew-salted join pattern
+    "hash_sample",              # deterministic hash sampling
+    "distinct_until_changed",   # rx distinct_until_changed
+    "pairwise_deltas",          # rx pairwise
 ]
 
 

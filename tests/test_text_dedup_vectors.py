@@ -604,3 +604,57 @@ def test_minhash_band_table_stateless_drops_null_text(spark):
                  dedup.minhash_band_table(df, stateless=True).collect()}
     assert grouped == stateless
     assert {r[0] for r in stateless} == {2}
+
+
+def _planted_corpus():
+    """30 planted near-dup pairs (distinct topics, 1-char variants) + a
+    20-doc identical-template mega-bucket."""
+    import random
+
+    rng = random.Random(7)
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+             "kilo lima mike november oscar papa quebec romeo sierra tango "
+             "uniform victor whiskey xray yankee zulu").split()
+    rows = []
+    planted = set()
+    for p in range(30):
+        base = " ".join(rng.sample(words, 9)) + f" topic{p:02d}"
+        a, b = f"p{p:02d}a", f"p{p:02d}b"
+        rows.append((a, base))
+        rows.append((b, base[:-1] + "x"))  # 1-char variant
+        planted.add((a, b))
+    rows += [(f"t{i:02d}", "lorem ipsum dolor sit amet consectetur elit")
+             for i in range(20)]
+    return rows, planted
+
+
+def test_minhash_bucket_cap_zero_recall_delta_on_planted(spark):
+    """VERDICT r4 task 10: the capped pair path loses ZERO recall on planted
+    duplicates outside mega-buckets — capped output restricted to non-template
+    pairs equals the uncapped output exactly (the cap's contract: output
+    unchanged whenever no bucket exceeds it)."""
+    rows, planted = _planted_corpus()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    unc = {(r.a, r.b) for r in dedup.minhash_lsh_pairs(df).collect()}
+    cap = {(r.a, r.b) for r in
+           dedup.minhash_lsh_pairs(df, bucket_cap=10).collect()}
+    tmpl = lambda p: p[0].startswith("t") or p[1].startswith("t")  # noqa: E731
+    assert {p for p in cap if not tmpl(p)} == {p for p in unc if not tmpl(p)}
+    assert not any(tmpl(p) for p in cap)          # mega-bucket killed
+    assert planted <= unc and planted <= cap      # every planted pair found
+
+
+def test_simhash_block_cap_zero_recall_delta_on_planted(spark):
+    rows, planted = _planted_corpus()
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    unc = {(r.a, r.b) for r in dedup.simhash_pairs(df).collect()}
+    cap = {(r.a, r.b) for r in dedup.simhash_pairs(df, block_cap=10).collect()}
+    tmpl = lambda p: p[0].startswith("t") or p[1].startswith("t")  # noqa: E731
+    assert {p for p in cap if not tmpl(p)} == {p for p in unc if not tmpl(p)}
+    assert not any(tmpl(p) for p in cap)
+    # simhash's hamming threshold legitimately misses many short-doc 1-char
+    # variants (few features → big per-bit swings); what this test pins is
+    # that the CAP costs zero of the pairs the uncapped path finds, while
+    # still recalling some planted pairs
+    assert planted & cap == planted & unc
+    assert len(planted & cap) >= 5

@@ -173,9 +173,118 @@ def run(spark, dest: str, mult: int, only: list[str]) -> None:
     )
 
 
+#: streaming family probed by ``stream``: the queries that hold real
+#: Structured Streaming state (VERDICT r4 task 5). Each runs to completion
+#: via its internal _drain; a StreamingQueryListener captures the last
+#: progress event's stateOperators so state SIZE is measured, not argued.
+STREAM_PROBE = [
+    "stream_scan_running",
+    "stream_neardup_screen",
+    "stream_topk_state",
+    "stream_dedup_keys",
+]
+
+
+def probe_stream(spark, dest: str, mult: int, only: list[str]) -> None:
+    """Streaming curvature + state-size probe: run each streaming query at
+    base and at ~mult× with a listener recording per-run state rows
+    (sum over stateOperators of numRowsTotal, last progress per query).
+    State is 'flat' when state-rows growth tracks KEY growth (the synthesis
+    offsets user/doc ids per replica, so keys grow ~mult×) rather than
+    ROW-count × batches — per-key state staying O(1)/O(window) is exactly
+    the claim streaming/stateful.py makes."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from makinage_spark.queries import QUERIES
+
+    state = {"rows": 0, "batches": 0}
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            ops = event.progress.stateOperators
+            if ops:
+                state["rows"] = sum(op.numRowsTotal for op in ops)
+            state["batches"] += 1
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    results = {}
+    try:
+        for name in only or STREAM_PROBE:
+            row = {}
+            for tag, sf_dir in (("base", SRC), ("big", dest)):
+                best, brows = float("inf"), 0
+                ok = True
+                for attempt in range(2):  # attempt 0 = warm-up, uncounted
+                    spark.catalog.clearCache()
+                    state["rows"] = 0
+                    state["batches"] = 0
+                    t0 = time.time()
+                    try:
+                        QUERIES[name](spark, sf_dir).count()
+                    except Exception as e:
+                        print(f"{name}@{tag} FAILED: {e}", file=sys.stderr)
+                        ok = False
+                        break
+                    if attempt:
+                        dt = time.time() - t0
+                        if dt < best:
+                            best, brows = dt, state["rows"]
+                if ok:
+                    row[tag] = round(best, 3)
+                    row[f"state_rows_{tag}"] = brows
+            ratio = (
+                round(row["big"] / row["base"], 2)
+                if row.get("base") and row.get("big")
+                else None
+            )
+            srows_ratio = (
+                round(row["state_rows_big"] / row["state_rows_base"], 2)
+                if row.get("state_rows_base")
+                else None
+            )
+            results[name] = {**row, "ratio": ratio, "state_ratio": srows_ratio}
+            print(
+                json.dumps({"query": name, **results[name], "mult": mult}),
+                flush=True,
+            )
+    finally:
+        spark.streams.removeListener(listener)
+    sup = {n: r for n, r in results.items() if r["ratio"] and r["ratio"] > mult * 1.3}
+    # state grows superlinearly when state rows outgrow the key multiplier
+    # (keys scale ~mult× by synthesis construction)
+    bloat = {
+        n: r
+        for n, r in results.items()
+        if r["state_ratio"] and r["state_ratio"] > mult * 1.3
+    }
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "n": len(results),
+                    "mult": mult,
+                    "superlinear_time": sup,
+                    "superlinear_state": bloat,
+                    "load_avg": [round(x, 2) for x in os.getloadavg()],
+                }
+            }
+        )
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["make", "run"])
+    ap.add_argument("cmd", choices=["make", "run", "stream"])
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--mult", type=int, default=5)
     ap.add_argument("--dest", default="/tmp/scale_x5")
@@ -191,6 +300,8 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     if args.cmd == "make":
         make(spark, args.dest, args.mult)
+    elif args.cmd == "stream":
+        probe_stream(spark, args.dest, args.mult, args.queries)
     else:
         run(spark, args.dest, args.mult, args.queries)
     spark.stop()
