@@ -27,6 +27,10 @@ from makinage_spark.queries import QUERIES
 #: run = 39 queries; r2 final = 40 (added chunk_documents, BENCH_r02); r3 = 40;
 #: r4 = 41 (added repeated_ngram_spans — subtract it from "value" to compare
 #: against the r2/r3 40-query totals; per-query timings are always comparable).
+#: r5 = 42 (added dedup_pipeline_e2e). Two r5 queries also got HEAVIER by
+#: design: training_corpus_pipeline now leads with the repeated-span strip,
+#: and quality_ensemble gained the bigram-LM signal — their per-query r4→r5
+#: deltas are composition changes, not regressions (see VERDICT r4 tasks 8/9).
 HEADLINE = [
     # relational: scan/filter/agg/join/subquery
     "q1_pricing_summary",
@@ -65,6 +69,7 @@ HEADLINE = [
     "unigram_logprob_score",
     "training_corpus_pipeline",
     "quality_ensemble",
+    "dedup_pipeline_e2e",
     # event analytics + iterative graph (scale with SF)
     "funnel_conversion",
     "cohort_retention",

@@ -1286,7 +1286,14 @@ def q_stream_neardup_screen(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{d}/b*")
     )
-    new_bands = dedup.minhash_band_table(stream, stateless=True).select(
+    # repartition INSIDE the micro-batch before the stateless fold: a
+    # single-file trigger arrives as ONE partition, which would run the
+    # CPU-heavy in-row minhash fold on one core regardless of cluster width
+    # (the streaming analog of load_wide's up-front exchange; the r5
+    # streaming probe measured 6.3× at 5× data before this, 1-partition
+    # serial — see SCALING.md streaming section)
+    wide = stream.repartition(spark.sparkContext.defaultParallelism)
+    new_bands = dedup.minhash_band_table(wide, stateless=True).select(
         F.col("doc_id").alias("b"), "band", "bucket"
     )
     pairs = (

@@ -282,9 +282,123 @@ def probe_stream(spark, dest: str, mult: int, only: list[str]) -> None:
     )
 
 
+def probe_pairs(spark, dest: str, mult: int) -> None:
+    """Capped-vs-uncapped curvature for the pair generators (VERDICT r4 task
+    10): r4 probed caps-OFF semantics at 25×; this measures the SHIPPING
+    capped path (minhash bucket_cap=50, simhash block_cap=50) side by side
+    with the uncapped one at base and mult×, plus the pair-count delta the
+    caps cost (0 when no bucket exceeds the cap — the planted-recall tests
+    pin that the delta only ever removes mega-bucket template pairs)."""
+    from makinage_spark import dedup
+    from makinage_spark.sources import load_table
+
+    variants = {
+        "minhash_uncapped": lambda d: dedup.minhash_lsh_pairs(d),
+        "minhash_cap50": lambda d: dedup.minhash_lsh_pairs(d, bucket_cap=50),
+        "simhash_uncapped": lambda d: dedup.simhash_pairs(d),
+        "simhash_cap50": lambda d: dedup.simhash_pairs(d, block_cap=50),
+    }
+    results = {}
+    for name, fn in variants.items():
+        row = {}
+        for tag, sf_dir in (("base", SRC), ("big", dest)):
+            docs = load_table(spark, sf_dir, "documents")
+            best, n = float("inf"), None
+            for attempt in range(2):  # attempt 0 = warm-up, uncounted
+                spark.catalog.clearCache()
+                t0 = time.time()
+                n = fn(docs).count()
+                if attempt:
+                    best = min(best, time.time() - t0)
+            row[tag] = round(best, 3)
+            row[f"pairs_{tag}"] = n
+        row["ratio"] = round(row["big"] / row["base"], 2)
+        results[name] = row
+        print(json.dumps({"variant": name, **row, "mult": mult}), flush=True)
+    sup = {n: r for n, r in results.items() if r["ratio"] > mult * 1.3}
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "mult": mult,
+                    "superlinear": sup,
+                    "load_avg": [round(x, 2) for x in os.getloadavg()],
+                }
+            }
+        )
+    )
+
+
+def probe_hot_segment(spark, copies: int) -> None:
+    """Manufactured-skew probe for segment_dup_fraction (VERDICT r4 task 1):
+    a corpus where ONE boilerplate 10-token segment occurs ``copies`` times
+    (one per doc) alongside uniform filler. Under the old COUNT()-window
+    formulation all ``copies`` rows of that segment hash land on one window
+    partition — a straggler task that scales with the hot count; the shipped
+    groupBy+join formulation map-side-combines the hot key, so runtime
+    tracks corpus SIZE, not segment concentration. The probe times the
+    shipped query on (a) the hot corpus and (b) an equal-size uniform corpus
+    — flat ratio = skew-proof."""
+    from pyspark.sql import functions as F
+
+    boiler = " ".join(f"boiler{i}" for i in range(10))
+    n = copies
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"w{j}u"),
+                        ((F.col("id") * 31 + j) % 99991).cast("string"),
+                    )
+                    for j in range(10)
+                ],
+            ),
+        ).alias("text"),
+    )
+    uniform = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"v{j}u"),
+                    ((F.col("id") * 37 + j) % 99991).cast("string"),
+                )
+                for j in range(20)
+            ],
+        ).alias("text"),
+    )
+    import tempfile
+
+    from makinage_spark.queries import QUERIES
+
+    out = {}
+    for tag, df in (("hot", base), ("uniform", uniform)):
+        d = tempfile.mkdtemp(prefix=f"mk_hotseg_{tag}_")
+        df.withColumn("source", F.lit("synth")).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        best = float("inf")
+        for attempt in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            QUERIES["segment_dup_fraction"](spark, d).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            if attempt:
+                best = min(best, time.time() - t0)
+        out[tag] = round(best, 3)
+    out["hot_over_uniform"] = round(out["hot"] / out["uniform"], 2)
+    print(json.dumps({"probe": "hot_segment", "copies": copies, **out}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["make", "run", "stream"])
+    ap.add_argument("cmd", choices=["make", "run", "stream", "pairs", "hotseg"])
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--mult", type=int, default=5)
     ap.add_argument("--dest", default="/tmp/scale_x5")
@@ -302,6 +416,10 @@ def main():
         make(spark, args.dest, args.mult)
     elif args.cmd == "stream":
         probe_stream(spark, args.dest, args.mult, args.queries)
+    elif args.cmd == "pairs":
+        probe_pairs(spark, args.dest, args.mult)
+    elif args.cmd == "hotseg":
+        probe_hot_segment(spark, args.mult)
     else:
         run(spark, args.dest, args.mult, args.queries)
     spark.stop()
