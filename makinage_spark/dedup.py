@@ -523,7 +523,17 @@ def simhash_pairs(
     ``block_cap`` (off by default): drop (blk, val) groups larger than this
     before the self-join — the same mega-bucket guard as
     :func:`minhash_lsh_pairs` ``bucket_cap`` (a template block of s docs is
-    s² candidate pairs on one reducer key; see SCALING.md round-4)."""
+    s² candidate pairs on one reducer key; see SCALING.md round-4).
+
+    Scale sizing (measured, SCALING.md round-5): block-value cardinality is
+    ``2^(bits/blocks)`` — with the 32-bit/4-block default that is only 256
+    values, so EVERY block bucket holds ~corpus/256 docs once the corpus is
+    large, and a fixed ``block_cap`` then drops nearly all buckets
+    (recall collapse: cap=50 kept 1,633 of 52M pairs at the 25× probe). The
+    correct scale lever is WIDER blocks — ``bits=60, blocks=4`` gives 15-bit
+    blocks (32k values; 60 bits = 15 hex chars keeps ``conv`` inside bigint)
+    with ``max_hamming`` scaled ~2× for the longer hash; keep ``block_cap``
+    as a template-bucket safety valve only, sized ≫ corpus/2^(bits/blocks)."""
     block_bits = bits // blocks
     sh = simhash_df(df, text_col, id_col, bits)
     stacked = sh.select(

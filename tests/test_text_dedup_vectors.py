@@ -658,3 +658,23 @@ def test_simhash_block_cap_zero_recall_delta_on_planted(spark):
     # still recalling some planted pairs
     assert planted & cap == planted & unc
     assert len(planted & cap) >= 5
+
+
+def test_simhash_60bit_scale_config(spark):
+    """SCALING.md r5: the 60-bit/4-block configuration (15-bit blocks, 32k
+    block values — the scale path once corpus >> 256*cap) produces identical
+    hashes from both formulations and still pairs the planted near-dup."""
+    rows = [("x1", "the quick brown fox jumps over the lazy dog tonight"),
+            ("x2", "the quick brown fox jumps over the lazy dog tonite"),
+            ("y1", "completely different text about maritime navigation")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    import pyspark.sql.functions as F
+
+    a = df.select("doc_id", dedup.simhash("text", bits=60).alias("sh"))
+    b = dedup.simhash_df(df, bits=60).withColumnRenamed("sh", "sh2")
+    j = a.join(b, "doc_id")
+    assert all(r.sh == r.sh2 for r in j.collect())
+    assert all(0 <= r.sh < (1 << 60) for r in a.collect())
+    pairs = {(r.a, r.b) for r in
+             dedup.simhash_pairs(df, bits=60, max_hamming=6).collect()}
+    assert pairs == {("x1", "x2")}
