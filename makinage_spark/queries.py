@@ -2595,6 +2595,47 @@ def q_ivf_topk_full(spark, sf_dir):
 
 
 @register(
+    "ivf_indexed_full_probe",
+    f"""
+    SELECT b.vec_id, round({COSINE_SQL}, 4) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id = 0
+    ORDER BY {COSINE_SQL} DESC, b.vec_id LIMIT 10
+    """,
+)
+def q_ivf_indexed_full_probe(spark, sf_dir):
+    """The MATERIALIZED-index IVF path (vectors.ivf_write_index →
+    ivf_topk_indexed), hash-pinned: the index is written as parquet
+    PARTITIONED BY the coarse cell id — the physical layout that turns an
+    nprobe search into a partition-pruned scan (PartitionFilters, asserted
+    in tests/test_partition_pruning.py) — and searched with every cell
+    probed, which must reduce to exact brute force against the same SQL
+    oracle as embedding_topk. This pins the whole index lifecycle (cell
+    assignment at write, partition layout, pruned read-back, scoring,
+    tie-break): any bug that drops or duplicates vectors across partition
+    files breaks the hash. The index is built once per sf_dir and reused
+    (index build is a corpus-snapshot cost, not a per-query cost — same
+    caching contract as the streaming fixture staging)."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_wide(spark, sf_dir, "embeddings")
+    centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"mk_ivf_index_{tag}")
+    done = os.path.join(path, "_INDEX_READY")
+    if not os.path.exists(done):
+        vectors.ivf_write_index(emb, path, centroids)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    out = vectors.ivf_topk_indexed(
+        spark, path, centroids, qv, k=10, nprobe=len(centroids)
+    )
+    return out.select("vec_id", F.round(F.col("score"), 4).alias("score"))
+
+
+@register(
     "ivf_recall_audit",
     """
     SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_approx,
