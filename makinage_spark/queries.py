@@ -1258,7 +1258,6 @@ def q_stream_neardup_screen(spark, sf_dir):
     per-sf_dir location and reused by later invocations (bench min-of-N,
     repeated checker runs) — input staging is not part of the measured query
     and must not leak a fresh temp dir per call."""
-    import hashlib
     import os
     import tempfile
 
@@ -1269,8 +1268,9 @@ def q_stream_neardup_screen(spark, sf_dir):
         F.col("doc_id").alias("a"), "band", "bucket"
     ).persist()
     # new docs stream in two micro-batches (split on id parity); fixture dir
-    # is keyed by sf_dir so each scale factor gets its own cached copy
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # is keyed by sf_dir + source-table fingerprint so each scale factor gets
+    # its own cached copy and a regenerated fixture tree invalidates it
+    tag = _fixture_tag(sf_dir, "documents")
     d = os.path.join(tempfile.gettempdir(), f"mk_neardup_stream_{tag}")
     done = os.path.join(d, "_FIXTURE_READY")
     if not os.path.exists(done):
@@ -2148,6 +2148,27 @@ def _stream_events(spark, sf_dir):
     return df
 
 
+def _fixture_tag(sf_dir: str, table: str) -> str:
+    """Cache key for per-sf_dir derived fixtures (streaming micro-batch
+    staging, materialized IVF index): md5 of the source table's path PLUS its
+    mtime/size fingerprint, so a regenerated fixture tree at the SAME path
+    (the driver rewrites /root/testdata between rounds) invalidates the cache
+    instead of silently serving stale derived data."""
+    import hashlib
+    import os
+
+    path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    parts = [path]
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+
+
 def _drain(df, mode: str = "append"):
     """Run a streaming DataFrame to completion (Trigger.AvailableNow) into a
     memory sink; return the drained result as a batch DataFrame."""
@@ -2615,13 +2636,12 @@ def q_ivf_indexed_full_probe(spark, sf_dir):
     files breaks the hash. The index is built once per sf_dir and reused
     (index build is a corpus-snapshot cost, not a per-query cost — same
     caching contract as the streaming fixture staging)."""
-    import hashlib
     import os
     import tempfile
 
     emb = load_wide(spark, sf_dir, "embeddings")
     centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    tag = _fixture_tag(sf_dir, "embeddings")
     path = os.path.join(tempfile.gettempdir(), f"mk_ivf_index_{tag}")
     done = os.path.join(path, "_INDEX_READY")
     if not os.path.exists(done):
