@@ -3552,15 +3552,26 @@ def q_array_hof(spark, sf_dir):
     )
 
 
-@register("embedding_neardup_lsh")
+@register(
+    "embedding_neardup_lsh",
+    """
+    SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b, 1.0 AS cosine
+    FROM embeddings
+    """,
+)
 def q_neardup_lsh(spark, sf_dir):
     """Embedding near-dup at scale: hyperplane-LSH bucket blocking so
     candidate pairs form only within buckets — the O(n²/b) scale path of
     embedding_neardup. The fixture vectors are near-orthogonal randoms (no
     natural near-dups), so the corpus is unioned with an id-shifted copy of
     itself: every planted duplicate lands in its twin's bucket (identical
-    vector → identical bucket) and must surface at cosine 1.0. Rows-only:
-    exactly one pair per planted duplicate is the deterministic contract."""
+    vector → identical bucket) and must surface at cosine 1.0 — which makes
+    the output fully deterministic and HASH-EXACT against a closed-form
+    oracle (one (v, v+10⁶, 1.0) row per vector), not merely rows-only:
+    a missed bucket collision, a dropped planted pair, or a spurious
+    natural pair all break the hash. Promoted from rows-only in r5 —
+    the last non-multimodal approximate path now carries an exact or
+    assertion-style oracle."""
     emb = load_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
     corpus = emb.unionByName(planted)
