@@ -2245,7 +2245,16 @@ def q_stream_debounce(spark, sf_dir):
     in_dir = tempfile.mkdtemp(prefix="mk_debounce_in_")
     out_dir = tempfile.mkdtemp(prefix="mk_debounce_out_")
     ck = tempfile.mkdtemp(prefix="mk_debounce_ck_")
-    os.symlink(path, os.path.join(in_dir, "events.parquet"))
+    if os.path.isdir(path):
+        # directory fixture (scale-probe synth): symlink each data FILE into
+        # the input dir — a symlink to the dir itself is invisible to the
+        # non-recursive file-source listing, and sentinel batches must be
+        # appendable without touching the shared fixture tree
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(path, f), os.path.join(in_dir, f))
+    else:
+        os.symlink(path, os.path.join(in_dir, "events.parquet"))
 
     def run_cycle():
         df = spark.readStream.schema(src_schema).parquet(in_dir)
@@ -5218,8 +5227,14 @@ def q_stream_pack_sequences(spark, sf_dir):
     from makinage_spark.streaming import streaming_pack
 
     path = f"{sf_dir}/documents.parquet"
-    stream_dir = tempfile.mkdtemp(prefix="mk_stream_docs_")
-    os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
+    if os.path.isdir(path):
+        # directory fixtures (scale-probe synth) stream directly — a symlink
+        # to a dir is invisible to the non-recursive file-source listing
+        # (same contract as _stream_events)
+        stream_dir = path
+    else:
+        stream_dir = tempfile.mkdtemp(prefix="mk_stream_docs_")
+        os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
     schema = spark.read.parquet(path).schema
     docs = spark.readStream.schema(schema).parquet(stream_dir)
     toks = docs.select(
