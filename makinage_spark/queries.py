@@ -2113,6 +2113,81 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
+def _ascii_assets(spark, n: int = 64):
+    """Assets whose 128-byte payload is a CLOSED-FORM ASCII string
+    (``'%02d' % i`` repeated 64×), so a SQL engine can reconstruct the exact
+    bytes and their md5 — the trick that turns the binary-plumbing paths
+    into hash-exact checks (same move as multimodal_real_decode's PPMs)."""
+    from makinage_spark import multimodal
+
+    rows = [
+        (i, "video/mp4", ("%02d" % i).encode("ascii") * 64, (0, 0, 0, "ascii"))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, multimodal.ASSET_SCHEMA).repartition(8)
+
+
+@register(
+    "multimodal_frame_sample_exact",
+    """
+    SELECT CAST(i AS BIGINT) AS asset_id, CAST(j AS BIGINT) AS frame_idx,
+           md5(substring(repeat(format('{:02d}', i), 64), j * 16 + 1, 16))
+             AS frame_md5
+    FROM range(0, 64) t(i), range(0, 4) u(j)
+    """,
+)
+def q_multimodal_frames_exact(spark, sf_dir):
+    """Frame sampling HASH-EXACT: ASCII closed-form payloads flow through the
+    REAL mapInPandas slicing path (bytes in Arrow batches → per-frame byte
+    slices), and every emitted frame's md5 must equal the oracle's md5 of
+    the same closed-form substring — byte provenance through the Python
+    boundary is pinned, not just row counts. Complements the rows-only
+    synthetic-payload twin exactly as multimodal_real_decode complements
+    multimodal_decode_features."""
+    from makinage_spark import multimodal
+
+    frames = pipe(
+        _ascii_assets(spark), multimodal.sample_frames(every_n=16, max_frames=4)
+    )
+    return frames.select(
+        "asset_id", "frame_idx", F.md5(F.col("frame_payload")).alias("frame_md5")
+    )
+
+
+@register(
+    "multimodal_decode_exact",
+    """
+    WITH h AS (
+      SELECT i, md5(repeat(format('{:02d}', i), 64)) AS hx
+      FROM range(0, 64) t(i))
+    SELECT CAST(i AS BIGINT) AS asset_id, CAST(k AS BIGINT) AS k,
+           ROUND(CAST(CAST(CAST(concat('0x', substring(hx, k * 4 + 3, 2),
+                                 substring(hx, k * 4 + 1, 2)) AS INTEGER)
+                      AS FLOAT) / CAST(65535 AS FLOAT) AS DOUBLE), 6) AS f
+    FROM h, range(0, 8) u(k)
+    """,
+)
+def q_multimodal_decode_exact(spark, sf_dir):
+    """Fake-codec decode HASH-EXACT: the md5-seeded feature vector is a
+    closed function of the payload bytes (little-endian uint16s of the md5
+    digest / 65535, float32), so with ASCII closed-form payloads the oracle
+    reconstructs every feature value bit-for-bit (DuckDB FLOAT division =
+    IEEE f32, promoted to double before the shared 6dp round). Pins the
+    whole Arrow decode pipeline — batch boundaries, byte handling, float
+    conversion — previously covered only by a rows-only check."""
+    from makinage_spark import multimodal
+
+    feats = pipe(_ascii_assets(spark), multimodal.decode_features(fake=True))
+    return feats.select(
+        "asset_id",
+        F.posexplode(F.col("feature")),
+    ).select(
+        "asset_id",
+        F.col("pos").cast("bigint").alias("k"),
+        F.round(F.col("col").cast("double"), 6).alias("f"),
+    )
+
+
 # -- streaming queries: real Structured Streaming runs (availableNow → memory
 #    sink), checked against the same SQL oracles as their batch twins --------
 
