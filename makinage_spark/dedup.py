@@ -404,6 +404,95 @@ def prefix_filter_pairs(
     return scored.filter(jac >= threshold).withColumn("jaccard", jac)
 
 
+def containment_pairs(
+    df: DataFrame,
+    items_col: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    broadcast_freq: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC set-containment join: pairs ``(a, b)`` where
+    ``C(a→b) = |a ∩ b| / |a| ≥ threshold`` — "a is mostly contained in b".
+    The duplication mode symmetric Jaccard cannot see: a short document
+    quoted wholesale inside a long one has tiny Jaccard (the union is
+    dominated by b) but containment ≈ 1. Training-data pipelines drop the
+    contained side (it contributes nothing the container doesn't).
+
+    Lossless prefix filter, containment form: ``inter ≥ ⌈t·|a|⌉`` means a
+    can miss at most ``|a| - ⌈t·|a|⌉`` of its own items in b, so among a's
+    ``|a| - ⌈t·|a|⌉ + 1`` globally-RAREST items at least one is shared —
+    the probe side explodes only that prefix. The index side must stay
+    full (b has no prefix bound in a containment join — b may be
+    arbitrarily larger), but join keys are only a-prefix items, i.e. the
+    rarest of each probe row: stop-item posting lists never become join
+    keys unless a tiny doc is all stop items. A size guard
+    ``|b| ≥ t·|a|`` (implied by inter ≤ |b|) rides the join condition.
+    Verification is an in-row ``array_intersect`` of the two bounded item
+    arrays — exactly the unpruned O(n²) answer, as with
+    :func:`prefix_filter_pairs`.
+
+    Returns ``(a, b, inter, sz_a, sz_b, containment)``; both directions of
+    a mutual containment appear as separate rows.
+    """
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.col(items_col)).alias("items"),
+    ).filter(F.size("items") > 0)
+    dfreq = (
+        sets.select(F.explode("items").alias("it"))
+        .groupBy("it")
+        .agg(F.count(F.lit(1)).alias("dfr"))
+    )
+    maybe_bc = F.broadcast if broadcast_freq else (lambda d: d)
+    ordered = (
+        sets.select("doc_id", F.explode("items").alias("it"))
+        .join(maybe_bc(dfreq), "it")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dfr, it))), s -> s.it)"
+            ).alias("oit")
+        )
+        .select(
+            "doc_id",
+            "oit",
+            F.size("oit").cast("bigint").alias("sz"),
+            F.expr(
+                f"slice(oit, 1, size(oit) - CAST(ceil({threshold} * size(oit)) AS INT) + 1)"
+            ).alias("prefix"),
+        )
+        .persist()
+    )
+    pa = ordered.select("doc_id", "sz", F.explode("prefix").alias("ptok"))
+    pb = ordered.select("doc_id", "sz", F.explode("oit").alias("ptok"))
+    pairs = (
+        pa.alias("a")
+        .join(
+            pb.alias("b"),
+            on=[
+                F.col("a.ptok") == F.col("b.ptok"),
+                F.col("a.doc_id") != F.col("b.doc_id"),
+                F.col("b.sz") >= threshold * F.col("a.sz"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    left = ordered.select(
+        F.col("doc_id").alias("a"), F.col("oit").alias("ta"),
+        F.col("sz").alias("sz_a"),
+    )
+    right = ordered.select(
+        F.col("doc_id").alias("b"), F.col("oit").alias("tb"),
+        F.col("sz").alias("sz_b"),
+    )
+    cand = pairs.join(left, "a").join(right, "b")
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    scored = cand.select("a", "b", inter.alias("inter"), "sz_a", "sz_b")
+    cont = F.col("inter").cast("double") / F.col("sz_a")
+    return scored.filter(cont >= threshold).withColumn("containment", cont)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

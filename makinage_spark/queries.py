@@ -1239,6 +1239,63 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 @register(
+    "containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(toks) - 4),
+               i -> array_to_string(toks[i:i+4], ' '))) AS gs
+      FROM toks WHERE len(toks) >= 5),
+    sh AS (SELECT doc_id, unnest(gs) AS sh FROM g),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.a, i.b, CAST(i.inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+           ROUND(i.inter * 1.0 / sa.sz, 6) AS containment
+    FROM inter i JOIN sizes sa ON i.a = sa.doc_id
+                 JOIN sizes sb ON i.b = sb.doc_id
+    WHERE i.inter * 1.0 / sa.sz >= 0.8
+    """,
+)
+def q_containment_pairs(spark, sf_dir):
+    """ASYMMETRIC containment dedup (north-star extension beyond the
+    symmetric family): pairs where ≥80% of a's word 5-grams appear in b —
+    the doc-quoted-inside-doc mode that symmetric Jaccard cannot see (the
+    union is dominated by the container, so Jaccard is tiny while
+    containment ≈ 1; Lee et al.'s and CCNet's corpora both carry this
+    shape). Passage-granular by design: word 5-gram features make
+    containment mean "b contains a's PASSAGES", not merely a's vocabulary.
+
+    Spark shape: dedup.containment_pairs — lossless asymmetric prefix
+    filter (probe side explodes only its |a|-⌈t|a|⌉+1 rarest grams; index
+    side keys stay narrow; |b| ≥ t·|a| size guard on the join), exact
+    in-row array_intersect verify. Hash-matched against the unpruned O(n²)
+    DuckDB oracle."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 5)
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 4),"
+            " i -> array_join(slice(toks, i, 5), ' '))"
+        ).alias("items"),
+    )
+    out = dedup.containment_pairs(grams, "items", threshold=0.8)
+    return out.select(
+        "a", "b", "inter", "sz_a", "sz_b",
+        F.round("containment", 6).alias("containment"),
+    )
+
+
+@register(
     "stream_neardup_screen",
     _minhash_pairs_sql(pair_cond="l.doc_id < 250 AND r.doc_id >= 250"),
 )

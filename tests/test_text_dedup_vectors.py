@@ -678,3 +678,31 @@ def test_simhash_60bit_scale_config(spark):
     pairs = {(r.a, r.b) for r in
              dedup.simhash_pairs(df, bits=60, max_hamming=6).collect()}
     assert pairs == {("x1", "x2")}
+
+
+def test_containment_pairs_asymmetric(spark):
+    """Doc-within-doc: a short doc quoted inside a long one has tiny Jaccard
+    (union dominated by the container) but containment ~1 — only the
+    contained->container direction fires, and the symmetric Jaccard path
+    misses the pair entirely."""
+    short = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(40))
+    rows = [("small", short),
+            ("big", filler + " " + short + " " + filler),
+            ("other", "completely unrelated content about maritime law")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    toks = df.select("doc_id", text.tokens(F.lower(F.col("text"))).alias("t"))
+    grams = toks.filter(F.size("t") >= 5).select(
+        "doc_id",
+        F.expr("transform(sequence(1, size(t) - 4),"
+               " i -> array_join(slice(t, i, 5), ' '))").alias("items"),
+    )
+    got = {(r.a, r.b): r.containment
+           for r in dedup.containment_pairs(grams, "items", threshold=0.8).collect()}
+    assert ("small", "big") in got and got[("small", "big")] == 1.0
+    assert ("big", "small") not in got          # container not contained
+    assert not any("other" in p for p in got)
+    # the symmetric path at the same threshold misses it
+    jac = {(r.a, r.b) for r in
+           dedup.prefix_filter_pairs(grams, "items", threshold=0.8).collect()}
+    assert ("big", "small") not in jac and ("small", "big") not in jac
