@@ -1281,11 +1281,21 @@ def q_containment_pairs(spark, sf_dir):
     toks = docs.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
     ).filter(F.size("toks") >= 5)
+    # TOTAL expression (CASE-guarded), not merely filter-guarded: Catalyst's
+    # InferFiltersFromConstraints pushes the downstream explode's
+    # isnotnull/size constraint — containing this whole transform — into the
+    # base filter BELOW the size>=5 conjunct, so the expression is evaluated
+    # on unfiltered rows and sequence(1, size-4) turns DESCENDING for short
+    # docs → slice(toks, 0, ..) → ANSI INVALID_PARAMETER_VALUE. CASE
+    # branches are guaranteed lazy, making the expression safe wherever the
+    # optimizer replicates it (found by tests/test_degenerate_inputs.py).
     grams = toks.select(
         "doc_id",
         F.expr(
-            "transform(sequence(1, size(toks) - 4),"
+            "CASE WHEN size(toks) >= 5 THEN"
+            " transform(sequence(1, size(toks) - 4),"
             " i -> array_join(slice(toks, i, 5), ' '))"
+            " ELSE array() END"
         ).alias("items"),
     )
     out = dedup.containment_pairs(grams, "items", threshold=0.8)
@@ -5369,8 +5379,14 @@ def q_stream_pack_sequences(spark, sf_dir):
         os.symlink(path, os.path.join(stream_dir, "documents.parquet"))
     schema = spark.read.parquet(path).schema
     docs = spark.readStream.schema(schema).parquet(stream_dir)
+    # null-text docs pack as 0 tokens (token_count(NULL) is NULL under ANSI
+    # and a None token count would crash the integer state fold)
     toks = docs.select(
-        "source", "doc_id", text.token_count(F.lower(F.col("text"))).alias("n_tok")
+        "source",
+        "doc_id",
+        F.coalesce(
+            text.token_count(F.lower(F.col("text"))), F.lit(0)
+        ).alias("n_tok"),
     )
     return _drain(streaming_pack(toks, "source", "n_tok", "doc_id", budget=256))
 

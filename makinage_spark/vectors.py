@@ -33,7 +33,11 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO error) when either vector has zero
+    norm — zero vectors exist in any real 100 TB embedding corpus (failed
+    encoders, padding rows) and have no defined direction. Comparisons with
+    NULL are false, so thresholds drop them; desc ordering sorts them last."""
+    return F.try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
 
 def brute_force_topk(
@@ -151,7 +155,10 @@ def ivf_centroids(
     The sample (≤ ``sample_rows``) is the only data that reaches the driver;
     at 100 TB that is a fixed-size random sample via ``df.sample``, not a
     collect of the table. Returns plain lists (plan literals for
-    :func:`ivf_assign`)."""
+    :func:`ivf_assign`). NULL embeddings are filtered before sampling — a
+    real corpus carries them (failed encoders) and one None in the sample
+    turns the training matrix into an object array."""
+    df = df.filter(F.col(vec_col).isNotNull())
     n = df.count()
     frac = min(1.0, sample_rows / max(n, 1))
     sample = np.array(
@@ -343,6 +350,9 @@ def kmeans_lloyd(
     double division sum/count. Seeds are the k lowest-``id_col`` vectors (no
     RNG). Empty clusters drop out (classic sparse Lloyd).
     """
+    # NULL embeddings have no cluster (and a None seed would crash the
+    # float() unpack) — drop them up front, same contract as ivf_centroids
+    df = df.filter(F.col(vec_col).isNotNull())
     seeds = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
