@@ -8432,6 +8432,104 @@ def q_kmeans_lloyd(spark, sf_dir):
     return vectors.kmeans_lloyd(emb, k=8, iters=2)
 
 
+_SEMDEDUP_COSINE = (
+    "round(list_dot_product(ba.embedding, bb.embedding) / "
+    "(sqrt(list_dot_product(ba.embedding, ba.embedding)) * "
+    "sqrt(list_dot_product(bb.embedding, bb.embedding))), 4)"
+)
+
+
+@register(
+    "semantic_dedup_pipeline",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT CAST(vec_id + 1000000 AS BIGINT) AS vec_id, embedding
+      FROM embeddings),
+    elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM base),
+    seeds AS (
+      SELECT vec_id FROM base ORDER BY vec_id LIMIT 8),
+    c0 AS (
+      SELECT dense_rank() OVER (ORDER BY e.vec_id) - 1 AS cid, e.pos, e.x AS v
+      FROM elems e JOIN seeds USING (vec_id)),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) z WHERE rn = 1),
+    c1 AS (
+      SELECT a1.cid, e.pos,
+             CAST(SUM(CAST(ROUND(e.x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM elems e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) z WHERE rn = 1),
+    pairs AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM a2 x JOIN a2 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN base ba ON ba.vec_id = x.vec_id
+      JOIN base bb ON bb.vec_id = y.vec_id
+      WHERE {_SEMDEDUP_COSINE} >= 0.999),
+    dropped AS (SELECT DISTINCT b AS vec_id FROM pairs)
+    SELECT a2.vec_id, CAST(a2.cid AS BIGINT) AS cluster
+    FROM a2 ANTI JOIN dropped ON a2.vec_id = dropped.vec_id
+    """,
+)
+def q_semantic_dedup_pipeline(spark, sf_dir):
+    """SemDeDup-shaped SEMANTIC dedup as ONE plan (Abbas et al. 2023, the
+    embedding-space dedup a modern training pipeline runs after the textual
+    passes): distributed k-means coarse clustering → cosine near-dup pairs
+    WITHIN clusters only → keep-lowest-id drop list → anti-join survivors.
+    Clustering is what makes it scale: candidate pairs form inside cells
+    (O(Σ|cell|²) ≪ corpus²) with zero-recall loss for duplicates because
+    identical/near-identical vectors assign to the same cell (deterministic
+    argmin tie-break). The fixture vectors are near-orthogonal randoms, so
+    duplicates are PLANTED (id-shifted exact copies): every planted twin
+    lands in its original's cluster at rounded cosine 1.0 and must be
+    dropped, every original must survive — the whole composition
+    (k-means rounds, cell blocking, cosine verify, drop policy, anti-join)
+    hash-matches the unrolled oracle exactly.
+
+    Scale shape: assignment is broadcast-literal map-only; the update
+    shuffles k·d decimal partials; pair mining shuffles only (cell) keys;
+    the drop list is duplicate-sized and AQE-broadcast into the anti-join.
+    At 100 TB, k grows to keep cells bounded (k ≈ n/50k is SemDeDup's own
+    operating point) — cell sizes, not corpus size, bound the quadratic
+    term."""
+    emb = load_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.select(
+        (F.col("vec_id") + 1_000_000).cast("bigint").alias("vec_id"),
+        "embedding",
+    )
+    base = emb.unionByName(planted)
+    assigns = vectors.kmeans_lloyd(base, k=8, iters=2)
+    bc = base.join(assigns, "vec_id")
+    pairs = dedup.embedding_neardup_pairs(
+        bc, threshold=0.999, block_on="cluster"
+    )
+    drop = pairs.select(F.col("b").alias("vec_id")).distinct()
+    return assigns.join(drop, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
 @register(
     "zipf_rank_slope",
     f"""
@@ -8674,9 +8772,10 @@ _SHOWCASE_50 = [
     "q9_product_profit",        # TPC-H Q9 multi-join profit
     "q21_waiting_suppliers",    # TPC-H Q21 exists/not-exists
     "salted_join_skew",         # skew-salted join pattern
-    "hash_sample",              # deterministic hash sampling
-    "distinct_until_changed",   # rx distinct_until_changed
-    "pairwise_deltas",          # rx pairwise
+    # --- never-driver-hashed: late-r5 flagships ---
+    "containment_pairs",        # asymmetric doc-within-doc dedup
+    "semantic_dedup_pipeline",  # SemDeDup: kmeans cells -> cosine -> anti-join
+    "multimodal_frame_sample_exact",  # byte provenance through Arrow, exact
 ]
 
 
