@@ -706,3 +706,26 @@ def test_containment_pairs_asymmetric(spark):
     jac = {(r.a, r.b) for r in
            dedup.prefix_filter_pairs(grams, "items", threshold=0.8).collect()}
     assert ("big", "small") not in jac and ("small", "big") not in jac
+
+
+def test_kmeans_fast_path_matches_exact_on_separated_data(spark):
+    """exact=False (production doubles) must produce the same clustering as
+    the decimal-exact oracle path whenever clusters are separated — the
+    paths differ only in arithmetic representation, not algorithm."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for c in range(4):
+        center = np.zeros(8)
+        center[c * 2] = 10.0 * (c + 1)
+        for i in range(25):
+            rows.append((c * 100 + i,
+                         (center + rng.normal(0, 0.1, 8)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = {r.vec_id: r.cluster
+         for r in vectors.kmeans_lloyd(df, k=4, iters=2).collect()}
+    b = {r.vec_id: r.cluster
+         for r in vectors.kmeans_lloyd(df, k=4, iters=2, exact=False).collect()}
+    assert a == b
+    assert len(set(a.values())) == 4
