@@ -302,7 +302,7 @@ def prefix_filter_pairs(
     items_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    broadcast_freq: bool = True,
+    broadcast_freq: bool = False,
 ) -> DataFrame:
     """PPJoin-style LOSSLESS set-similarity join over an array column.
 
@@ -334,9 +334,14 @@ def prefix_filter_pairs(
         .agg(F.count(F.lit(1)).alias("dfr"))
     )
     # rarest-first canonical order: sort (df, item) structs, project back.
-    # dfreq is vocabulary-sized (zipf-bounded); broadcast_freq=True forces
-    # the map-side join, False leaves the strategy to Catalyst/AQE for
-    # vocabularies beyond executor memory.
+    # BROADCAST POLICY (matches the unigram/bigram LM tables,
+    # queries.py q_unigram_logprob_score): dfreq has one row per DISTINCT
+    # item. For token items that is zipf-bounded vocabulary scale, but for
+    # word-n-gram items it grows with total corpus tokens — billions of
+    # rows at 100 TB — so a forced broadcast hint OOMs every executor.
+    # Default broadcast_freq=False leaves the strategy to Catalyst/AQE,
+    # which picks a broadcast at runtime exactly when the table fits;
+    # pass True only for corpora with known-small item universes.
     # ordered feeds three branches (prefix explode + both sides of the array
     # attach) — persist so the sort-by-rarity aggregation runs once.
     # CLEANUP CONTRACT: plan builders in this module persist loop invariants
@@ -409,7 +414,7 @@ def containment_pairs(
     items_col: str,
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    broadcast_freq: bool = True,
+    broadcast_freq: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC set-containment join: pairs ``(a, b)`` where
     ``C(a→b) = |a ∩ b| / |a| ≥ threshold`` — "a is mostly contained in b".
@@ -433,6 +438,17 @@ def containment_pairs(
 
     Returns ``(a, b, inter, sz_a, sz_b, containment)``; both directions of
     a mutual containment appear as separate rows.
+
+    BROADCAST POLICY: the gram document-frequency table has one row per
+    DISTINCT item — corpus-token scale for word-n-gram items, so the
+    default ``broadcast_freq=False`` leaves the join strategy to AQE
+    (broadcast happens at runtime iff the table fits); force ``True`` only
+    for known-small item universes. CLEANUP CONTRACT (as
+    :func:`prefix_filter_pairs` / ``graphs.pagerank``): the ``ordered``
+    relation is persisted because it feeds three plan branches and cannot
+    be unpersisted here without defeating the cache (the result is lazy);
+    callers invoking this repeatedly in one session must
+    ``spark.catalog.clearCache()`` between evaluations (bench.py does).
     """
     sets = df.select(
         F.col(id_col).alias("doc_id"),
@@ -754,13 +770,18 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr"))
         )
+        # materialize BEFORE the self-join: stepped feeds both sides of the
+        # pointer-jump, so an unmaterialized stepped re-evaluates its
+        # join+agg subtree twice per round (4x lineage growth) — the r5
+        # probe showed double-jumping only beats single-stepping when this
+        # intermediate is materialized.
         stepped = (
             labels.join(nbr, labels.id == nbr.u, "left")
             .select(
                 labels.id.alias("id"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
             )
-        )
+        ).localCheckpoint(eager=True)
         jumped = (
             stepped.alias("l1")
             .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")

@@ -2584,7 +2584,8 @@ def q_stream_roll(spark, sf_dir):
     "quantiles_sketch",
     """
     SELECT event_type,
-           quantile_disc(value, [0.25, 0.5, 0.9]) AS q
+           array_to_string(list_transform(quantile_disc(value, [0.25, 0.5, 0.9]),
+               x -> CAST(CAST(FLOOR(x * 1000000) AS BIGINT) AS VARCHAR)), ';') AS q
     FROM events GROUP BY event_type
     """,
 )
@@ -2593,10 +2594,19 @@ def q_quantiles_sketch(spark, sf_dir):
     sketch. At max accuracy the sketch degrades to exact discrete quantiles —
     verified equal to DuckDB's t-digest-free quantile_disc — while any lower
     accuracy gives the bounded-memory streaming estimator the reference gets
-    from t-digest."""
+    from t-digest. The quantile array is serialized (floor(x·1e6) scaled
+    bigint, ';'-joined, both sides) — the driver gate's canonicalizer cannot
+    hash list cells (r5); discrete quantiles are actual data values,
+    bit-identical on both engines, so the scaled pin is exact."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.25, 0.5, 0.9], 2147483647).alias("q")
+        F.array_join(
+            F.transform(
+                F.percentile_approx("value", [0.25, 0.5, 0.9], 2147483647),
+                lambda x: F.floor(x * 1e6).cast("bigint").cast("string"),
+            ),
+            ";",
+        ).alias("q")
     )
 
 
@@ -2810,7 +2820,7 @@ def q_ivf_indexed_full_probe(spark, sf_dir):
     "ivf_recall_audit",
     """
     SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_approx,
-           0.5 AS recall_floor, TRUE AS recall_ok
+           CAST(0.5 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
     """,
 )
 def q_ivf_recall_audit(spark, sf_dir):
@@ -2847,7 +2857,7 @@ def q_ivf_recall_audit(spark, sf_dir):
     "lsh_recall_audit",
     """
     SELECT CAST(10 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_approx,
-           0.6 AS recall_floor, TRUE AS recall_ok
+           CAST(0.6 AS DOUBLE) AS recall_floor, TRUE AS recall_ok
     """,
 )
 def q_lsh_recall_audit(spark, sf_dir):
@@ -3706,7 +3716,7 @@ def q_array_hof(spark, sf_dir):
 @register(
     "embedding_neardup_lsh",
     """
-    SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b, 1.0 AS cosine
+    SELECT vec_id AS a, CAST(vec_id + 1000000 AS BIGINT) AS b, CAST(1.0 AS DOUBLE) AS cosine
     FROM embeddings
     """,
 )
@@ -3759,7 +3769,7 @@ def q_throttle_first(spark, sf_dir):
     f"""
     SELECT user_id,
            {FMT_TS("date_trunc('hour', CAST(ts AS TIMESTAMP))")} AS hour,
-           list_sort(array_agg(event_id)) AS event_ids
+           string_agg(event_id, ';' ORDER BY event_id) AS event_ids
     FROM events
     GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))
     """,
@@ -3767,12 +3777,20 @@ def q_throttle_first(spark, sf_dir):
 def q_buffer_window(spark, sf_dir):
     """rx buffer_with_time: collect each key's events per tumbling window
     into an ordered array (sorted for a deterministic contract —
-    collect_list alone has no order guarantee across partitions)."""
+    collect_list alone has no order guarantee across partitions); the array
+    is ';'-serialized in the final select on both sides — the driver gate's
+    canonicalizer cannot hash list cells (r5)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("__h")
     ).agg(
-        F.sort_array(F.collect_list("event_id")).alias("event_ids")
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("event_id")),
+                lambda x: x.cast("string"),
+            ),
+            ";",
+        ).alias("event_ids")
     ).select("user_id", fmt_ts(F.col("__h")).alias("hour"), "event_ids")
 
 
@@ -4606,7 +4624,9 @@ def q_stream_session_window(spark, sf_dir):
              COUNT(*) AS n
       FROM elems GROUP BY label, pos)
     SELECT CAST(label AS BIGINT) AS label,
-           array_agg(c ORDER BY pos) AS centroid, MIN(n) AS n_vectors
+           string_agg(CAST(CAST(FLOOR(c * 1000000000) AS BIGINT) AS VARCHAR),
+                      ';' ORDER BY pos) AS centroid,
+           MIN(n) AS n_vectors
     FROM cell GROUP BY label
     """,
 )
@@ -4617,7 +4637,13 @@ def q_embedding_centroids(spark, sf_dir):
     ordered arrays. All JVM-side: explode → partial-agg shuffle on
     (label, dim) → sort_array(collect_list(struct)); at 100 TB the cell grid
     is |labels|·dims rows regardless of vector count, and the explode
-    pipeline never materializes per-vector Python objects."""
+    pipeline never materializes per-vector Python objects.
+
+    The centroid array is SERIALIZED in the final select (per-element
+    floor(c·1e9) scaled bigint, ';'-joined, identically on the oracle side)
+    because the driver gate's pandas canonicalizer cannot hash list cells
+    (r5 finding: `unhashable type: 'list'`); the doubles are bit-identical
+    on both engines, so the scaled-int pin is exact."""
     emb = load_wide(spark, sf_dir, "embeddings")
     cells = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     cell = cells.groupBy("label", "pos").agg(
@@ -4625,8 +4651,12 @@ def q_embedding_centroids(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
     )
     return cell.groupBy(F.col("label").cast("bigint").alias("label")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.floor(s["c"] * 1e9).cast("bigint").cast("string"),
+            ),
+            ";",
         ).alias("centroid"),
         F.min("n").alias("n_vectors"),
     )
@@ -8637,7 +8667,7 @@ def q_zipf_slope(spark, sf_dir):
       FROM numbered
     )
     SELECT user_id, b AS buffer_id,
-           list(event_id ORDER BY rn) AS items,
+           string_agg(event_id, ';' ORDER BY rn) AS items,
            CAST(count(*) AS BIGINT) AS n_items
     FROM expanded GROUP BY user_id, b
     """,
@@ -8646,15 +8676,21 @@ def q_buffer_with_count(spark, sf_dir):
     """rx buffer_with_count(5, skip=3): overlapping count buffers per user.
     Membership expands with in-row sequence()+explode (bounded ceil(5/3)=2
     fan-out per record — no self-join), then one keyed aggregation; at
-    100 TB the only shuffle is the row_number on user_id."""
+    100 TB the only shuffle is the row_number on user_id. The items array is
+    ';'-serialized in the final select on both sides — the driver gate's
+    canonicalizer cannot hash list cells (r5)."""
     ev = load_table(spark, sf_dir, "events").filter("event_id < 2000")
-    return ops.buffer_with_count(
+    out = ops.buffer_with_count(
         5,
         ["ts", "event_id"],
         by=["user_id"],
         skip=3,
         items_from=["event_id"],
     )(ev.select("user_id", "ts", "event_id"))
+    return out.withColumn(
+        "items",
+        F.array_join(F.transform("items", lambda x: x.cast("string")), ";"),
+    )
 
 
 @register(

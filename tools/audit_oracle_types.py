@@ -7,8 +7,11 @@ Why: DuckDB silently widens SUM(INTEGER)/SUM(BIGINT)/count_if results to
 HUGEINT, which surfaces as Arrow decimal128(38,0); int32 and date32 sneak in
 from len()/generate_subscripts/DATE casts. The external correctness gate
 hashes those differently from the Spark side's int64/double even when values
-are equal — every round-2 hash failure was exactly this. Run after adding or
-editing any oracle:
+are equal — every round-2 hash failure was exactly this. List columns are
+also rejected (r5 finding): the gate's pandas canonicalizer raises
+`unhashable type: 'list'` on array cells, so any collect_list/array-valued
+final column must be serialized (array_join / scaled-int string) on BOTH
+sides before registration. Run after adding or editing any oracle:
 
     PYTHONPATH=/root/repo python tools/audit_oracle_types.py
 """
@@ -47,7 +50,7 @@ def main() -> None:
         susp = [
             (f.name, str(f.type))
             for f in schema
-            if str(f.type) not in CANONICAL and not str(f.type).startswith("list")
+            if str(f.type) not in CANONICAL
         ]
         if susp:
             bad[name] = susp
