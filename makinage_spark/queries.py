@@ -8462,6 +8462,70 @@ def q_kmeans_lloyd(spark, sf_dir):
     return vectors.kmeans_lloyd(emb, k=8, iters=2)
 
 
+def _kmeans_oracle_sql(k: int) -> str:
+    """Unrolled 2-round Lloyd CTE (same arithmetic as kmeans_lloyd_clusters'
+    oracle) parameterized by k — shared by the literal- and table-path
+    registrations: the two Spark paths are assignment-identical by
+    construction (vectors._kmeans_dist is shared), so one oracle shape
+    verifies both."""
+    return f"""
+    WITH elems AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}),
+    c0 AS (
+      SELECT dense_rank() OVER (ORDER BY e.vec_id) - 1 AS cid, e.pos, e.x AS v
+      FROM elems e JOIN seeds USING (vec_id)),
+    d1 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d1) z WHERE rn = 1),
+    c1 AS (
+      SELECT a1.cid, e.pos,
+             CAST(SUM(CAST(ROUND(e.x, 9) AS DECIMAL(18,9))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM elems e JOIN a1 USING (vec_id) GROUP BY a1.cid, e.pos),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST(ROUND((e.x - c.v) * (e.x - c.v), 12) AS DECIMAL(38,12)))
+               AS dist
+      FROM elems e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d2) z WHERE rn = 1)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM a2
+    """
+
+
+@register("kmeans_table_assign", _kmeans_oracle_sql(64))
+def q_kmeans_table_assign(spark, sf_dir):
+    """The LARGE-K k-means assignment path (vectors._kmeans_lloyd_table),
+    driver-hashed against the same unrolled-Lloyd oracle shape as
+    kmeans_lloyd_clusters but at k=64 and with assign="table" forced:
+    centroids live in a DataFrame (never as plan literals), assignment is
+    vectors × centroid-table → min_by(cluster, struct(dist, cluster))
+    argmin (partial-aggregated map-side, so n — not n·k — rows reach the
+    shuffle), and the centroid update stays distributed with NO k·d driver
+    collect. This is the path the semantic-dedup pipeline's adaptive
+    k = n/250 policy needs at 100 TB (millions of cells): a literal plan
+    hits codegen/plan-size walls at k in the low thousands. Hash-equality
+    with the relational oracle here proves the table path's decimal
+    arithmetic, seed re-keying, and tie-break are bit-identical to the
+    literal path's."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    return vectors.kmeans_lloyd(emb, k=64, iters=2, assign="table")
+
+
 _SEMDEDUP_COSINE = (
     "round(list_dot_product(ba.embedding, bb.embedding) / "
     "(sqrt(list_dot_product(ba.embedding, ba.embedding)) * "
@@ -8537,9 +8601,15 @@ def q_semantic_dedup_pipeline(spark, sf_dir):
     (k-means rounds, cell blocking, cosine verify, drop policy, anti-join)
     hash-matches the unrolled oracle exactly.
 
-    Scale shape: assignment is broadcast-literal map-only; the update
-    shuffles k·d decimal partials; pair mining shuffles only (cell) keys;
-    the drop list is duplicate-sized and AQE-broadcast into the anti-join.
+    Scale shape: assignment is broadcast-literal map-only below k=512 and
+    switches automatically (kmeans_lloyd assign="auto") to the centroid-
+    TABLE path above it — crossJoin + min_by argmin with the centroid
+    update staying distributed — so the adaptive-k policy below survives
+    its own growth (k = n/250 reaches millions of cells at 1B vectors;
+    a literal plan dies at thousands of centroid structs and a per-round
+    k·d driver collect dies long before that). The update shuffles k·d
+    decimal partials; pair mining shuffles only (cell) keys; the drop
+    list is duplicate-sized and AQE-broadcast into the anti-join.
     k scales with the corpus to hold cell sizes ~250 (SemDeDup's own
     operating point — bounded cells, not corpus size, bound the quadratic
     within-cell term; measured: fixed k=8 at sf0.1 costs 40 s in within-cell

@@ -317,6 +317,100 @@ def sq8_quantize(
 # ---------------------------------------------------------------------------
 
 
+def _kmeans_dist(v: Column, c: Column, exact: bool) -> Column:
+    """Squared-L2 distance fold between two array<double> columns, in the
+    exact-decimal or production-double arithmetic of :func:`kmeans_lloyd`
+    (shared by the literal and table assignment paths so the two produce
+    IDENTICAL assignments for the same centroids)."""
+    if not exact:
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, cv: (x - cv) * (x - cv)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    # terms at (30,12): addition widens to (31,12) -- scale PRESERVED
+    # (at (38,12) Spark would cap precision and drop to scale 11, silently
+    # rounding every partial); the cast back to (30,12) never loses value
+    # because the fold total stays far below 18 integer digits
+    zero = F.lit(0).cast("decimal(30,12)")
+    terms = F.zip_with(
+        v, c, lambda x, cv: F.round((x - cv) * (x - cv), 12).cast("decimal(30,12)")
+    )
+    return F.aggregate(terms, zero, lambda acc, t: (acc + t).cast("decimal(30,12)"))
+
+
+def _kmeans_lloyd_table(
+    df: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    exact: bool,
+) -> DataFrame:
+    """Large-k assignment path for :func:`kmeans_lloyd`: centroids live in a
+    DataFrame, never in the plan. Assignment is vectors × centroid-table
+    (planner picks BroadcastNestedLoopJoin while the k·d table fits an
+    executor, partitioned cartesian beyond) → per-vector argmin via
+    ``min_by(cluster, struct(dist, cluster))`` — partial-aggregated map-side,
+    so only n rows reach the shuffle, not n·k. The update is the same
+    (cluster, dim) partial-sum shuffle as the literal path but the new
+    centroid table STAYS distributed (localCheckpoint per round) — no k·d
+    driver collect, so adaptive-k policies (SemDeDup's n/250 cells) scale to
+    k in the millions where a literal-struct plan dies at k in the low
+    thousands (codegen/plan-size limits) and a driver round-trip dies at
+    k·d collect. Same seeds, same arithmetic, same tie-break as the literal
+    path: for equal inputs the two paths return identical assignments
+    (tested), so callers may switch on k freely.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    vecs = df.select(F.col(id_col).alias("__vid"), v.alias("__v"))
+    w = Window.orderBy("__sid")
+    cents = (
+        vecs.orderBy("__vid")
+        .limit(k)
+        .select(F.col("__vid").alias("__sid"), F.col("__v").alias("cvec"))
+        .select(
+            (F.row_number().over(w) - 1).cast("bigint").alias("cluster"), "cvec"
+        )
+    ).localCheckpoint(eager=True)
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        joined = vecs.crossJoin(cents_df).select(
+            "__vid",
+            "__v",
+            "cluster",
+            _kmeans_dist(F.col("__v"), F.col("cvec"), exact).alias("__dist"),
+        )
+        return joined.groupBy("__vid").agg(
+            F.min_by("cluster", F.struct(F.col("__dist"), F.col("cluster"))).alias(
+                "cluster"
+            ),
+            F.any_value("__v").alias("__v"),
+        )
+
+    for _ in range(iters - 1):
+        assigned = assign(cents)
+        cell = assigned.select("cluster", F.posexplode("__v").alias("pos", "x"))
+        ssum = (
+            F.sum(F.round("x", 9).cast("decimal(18,9)")) if exact else F.sum("x")
+        )
+        cells = cell.groupBy("cluster", "pos").agg(
+            (ssum.cast("double") / F.count(F.lit(1)).cast("double")).alias("c")
+        )
+        cents = (
+            cells.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cvec")
+            )
+        ).localCheckpoint(eager=True)
+    return assign(cents).select(F.col("__vid").alias(id_col), "cluster")
+
+
 def kmeans_lloyd(
     df: DataFrame,
     k: int = 8,
@@ -324,6 +418,8 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     exact: bool = True,
+    assign: str = "auto",
+    table_threshold: int = 512,
 ) -> DataFrame:
     """Full-corpus Lloyd's k-means; returns ``(id_col, cluster)``.
 
@@ -359,10 +455,25 @@ def kmeans_lloyd(
     20.4 s → 4.8 s; BigDecimal ops defeat codegen). Same plan shape, same
     seeds, same tie-break; on separated data the clusterings coincide
     (tested).
+
+    ``assign`` selects the assignment strategy: ``"literal"`` (the map-only
+    broadcast-by-value pass above — best while k·d literals fit the plan),
+    ``"table"`` (centroid DataFrame + cross join + ``min_by`` argmin, see
+    :func:`_kmeans_lloyd_table` — REQUIRED for large k: a literal plan with
+    thousands of centroid structs hits codegen/plan-size walls, and the
+    literal path's per-round k·d driver collect stops scaling long before
+    SemDeDup-style adaptive k reaches millions of cells), or ``"auto"``
+    (table iff ``k >= table_threshold``). Both paths share seeds, distance
+    arithmetic, and tie-break, so they produce identical assignments for
+    identical inputs (tested) — the oracle for one verifies the other.
     """
+    if assign not in ("auto", "literal", "table"):
+        raise ValueError(f"assign must be auto|literal|table, got {assign!r}")
     # NULL embeddings have no cluster (and a None seed would crash the
     # float() unpack) — drop them up front, same contract as ivf_centroids
     df = df.filter(F.col(vec_col).isNotNull())
+    if assign == "table" or (assign == "auto" and k >= table_threshold):
+        return _kmeans_lloyd_table(df, k, iters, vec_col, id_col, exact)
     seeds = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
@@ -377,33 +488,14 @@ def kmeans_lloyd(
 
     def _assign(centroids: list[tuple[int, list[float]]]) -> Column:
         v = F.col(vec_col).cast("array<double>")
-        # terms at (30,12): addition widens to (31,12) -- scale PRESERVED
-        # (at (38,12) Spark would cap precision and drop to scale 11, silently
-        # rounding every partial); the cast back to (30,12) never loses value
-        # because the fold total stays far below 18 integer digits
-        zero = F.lit(0).cast("decimal(30,12)")
 
         def dist_to(cvec: list[float]) -> Column:
+            # arithmetic lives in _kmeans_dist, SHARED with the table path:
+            # exact=True folds round((x-c)²,12) decimals (engine-replayable),
+            # exact=False is the production IEEE-double fold
+            # (row-deterministic, 4.3× faster — BigDecimal defeats codegen)
             c = F.array(*[F.lit(x) for x in cvec])
-            if not exact:
-                # production path: plain IEEE-double fold. Still
-                # row-deterministic (the in-row element order is fixed), but
-                # not engine-replayable bit-for-bit — use for throughput,
-                # keep exact=True when an external oracle must reproduce
-                # the assignment
-                return F.aggregate(
-                    F.zip_with(v, c, lambda x, cv: (x - cv) * (x - cv)),
-                    F.lit(0.0),
-                    lambda acc, t: acc + t,
-                )
-            terms = F.zip_with(
-                v, c, lambda x, cv: F.round((x - cv) * (x - cv), 12).cast(
-                    "decimal(30,12)"
-                )
-            )
-            return F.aggregate(
-                terms, zero, lambda acc, t: (acc + t).cast("decimal(30,12)")
-            )
+            return _kmeans_dist(v, c, exact)
 
         # argmin via least() over (dist, cid) structs: lexicographic struct
         # ordering takes the smallest distance and breaks ties on the lower

@@ -729,3 +729,48 @@ def test_kmeans_fast_path_matches_exact_on_separated_data(spark):
          for r in vectors.kmeans_lloyd(df, k=4, iters=2, exact=False).collect()}
     assert a == b
     assert len(set(a.values())) == 4
+
+
+def test_kmeans_table_path_matches_literal(spark):
+    """The centroid-TABLE assignment path (large-k: crossJoin + min_by
+    argmin, centroids never in the plan) must produce assignments identical
+    to the literal path — same seeds, same arithmetic (shared _kmeans_dist),
+    same tie-break — in both exact and production arithmetic."""
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for exact in (True, False):
+        lit = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+            df, k=5, iters=3, exact=exact, assign="literal").collect()}
+        tbl = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+            df, k=5, iters=3, exact=exact, assign="table").collect()}
+        assert lit == tbl
+
+
+def test_kmeans_table_path_planted_duplicates_k1000(spark):
+    """Large-k regime the literal path cannot plan (1000 centroid structs
+    blow codegen/plan-size limits): 1000 well-separated lattice seeds plus
+    100 planted near-duplicate twins. Every twin must land in its base
+    vector's cluster — the SemDeDup property the adaptive-k pipeline relies
+    on (within-cell cosine screening only sees pairs the assignment
+    co-locates)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(1000):  # seeds: distinct lattice points, pairwise far
+        base = [float(i % 32) * 10.0, float(i // 32) * 10.0, 0.0, 0.0]
+        rows.append((i, base))
+    for j in range(100):  # planted twins of vectors 0..99, tiny noise
+        base = [float(j % 32) * 10.0, float(j // 32) * 10.0, 0.0, 0.0]
+        noisy = (np.asarray(base) + rng.normal(0, 1e-4, 4)).tolist()
+        rows.append((10_000 + j, noisy))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+        df, k=1000, iters=2, exact=False, assign="auto").collect()}
+    assert len(got) == 1100
+    for j in range(100):
+        assert got[10_000 + j] == got[j], f"twin {j} split from its base"
+    # auto at k=1000 must have taken the table path: the assignment for a
+    # fresh seed equals its own id's seed-order cluster (seeds are the 1000
+    # lowest ids, re-keyed 0..999 in id order)
+    assert got[0] == 0 and got[999] == 999
