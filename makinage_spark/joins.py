@@ -221,6 +221,68 @@ def merge(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def sorted_merge(
+    *dfs: DataFrame, order: list[str], seq_col: str = "seq"
+) -> DataFrame:
+    """K-way SORTED merge: interleave k sources into one strictly
+    event-time-ordered stream, with the global position materialized as
+    ``seq_col`` (1-based, dense, deterministic given a unique ``order``
+    tuple).
+
+    This is the strict-order half of the reference's
+    ``rxx.pullable.sorted_merge`` (makinage/operator.py:139: k per-partition
+    Kafka streams merged in event-time order, with ``merge_lookup_depth``
+    bounding how far a late source is awaited, operator.py:61-63). The
+    engine's streaming side subsumes the *lateness* contract with watermarks
+    (SURVEY §7.2); this operator demonstrates the *order* contract in batch:
+    no matter how the k inputs interleave or how disordered each is within
+    its lateness bound, the output order is the total ``order``-tuple order.
+
+    Spark-first physical plan — NO single-reducer global sort:
+    ``repartitionByRange(order)`` gives ascending, non-overlapping key
+    ranges per partition id, ``sortWithinPartitions`` orders within each.
+    The global sequence is then two-phase: per-partition ``row_number``
+    plus the broadcast cumulative row-count offset of all earlier
+    partitions (the partition-count table has exactly
+    ``spark.sql.shuffle.partitions`` rows — a control-plane-sized window).
+    At 100 TB this is the same exchange Spark's own ORDER BY plans, plus
+    one metadata-sized aggregation; nothing funnels through one task.
+
+    CLEANUP CONTRACT: the range-shuffled relation is persisted (it feeds
+    both the count pass and the output); callers running this repeatedly in
+    one session should ``spark.catalog.clearCache()`` between evaluations.
+    """
+    arranged = (
+        merge(*dfs)
+        .repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    offsets = (
+        arranged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__pid",
+            (
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("__off"),
+        )
+        .fillna({"__off": 0})
+    )
+    w = Window.partitionBy("__pid").orderBy(*order)
+    return (
+        arranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(seq_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

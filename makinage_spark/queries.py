@@ -592,6 +592,49 @@ def q_merge(spark, sf_dir):
     return joins.merge(clicks, purchases)
 
 
+@register(
+    "sorted_merge_strict",
+    f"""
+    WITH merged AS (
+      SELECT 'click' AS source, event_id, ts FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'purchase' AS source, event_id, ts FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT 'view' AS source, event_id, ts FROM events WHERE event_type = 'view')
+    SELECT CAST(row_number() OVER (ORDER BY ts, source, event_id) AS BIGINT) AS seq,
+           source, event_id, {FMT_TS('ts')} AS ts
+    FROM merged
+    """,
+)
+def q_sorted_merge_strict(spark, sf_dir):
+    """rxx.pullable.sorted_merge's STRICT-ORDER contract demonstrated
+    (makinage/operator.py:139: k per-partition streams merged in event-time
+    order; operator.py:61-63 merge_lookup_depth bounds the lateness wait).
+    Three sources interleave with arbitrary internal disorder (batch
+    relations are unordered — strictly harder than any bounded lateness L);
+    joins.sorted_merge must emit the total (ts, source, event_id) order,
+    materialized as a global 1-based sequence so the ORDER ITSELF is what
+    the driver hashes — any misplacement anywhere shifts every later seq.
+    Physical plan: repartitionByRange + sortWithinPartitions (the same
+    exchange Spark's ORDER BY plans — no single-reducer funnel) + a
+    two-phase distributed rank (per-partition row_number + broadcast
+    cumulative partition-count offsets, a shuffle-partition-count-sized
+    control table). Oracle = row_number() OVER the same total order."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def src(t: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(F.lit(t).alias("source"), "event_id", "ts")
+        )
+
+    out = joins.sorted_merge(
+        src("click"), src("purchase"), src("view"),
+        order=["ts", "source", "event_id"],
+    )
+    return out.select("seq", "source", "event_id", fmt_ts("ts").alias("ts"))
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.3: joins, top-k, rollup/cube, set ops)
 # ---------------------------------------------------------------------------
@@ -1338,16 +1381,15 @@ def q_stream_neardup_screen(spark, sf_dir):
     # is keyed by sf_dir + source-table fingerprint so each scale factor gets
     # its own cached copy and a regenerated fixture tree invalidates it
     tag = _fixture_tag(sf_dir, "documents")
-    d = os.path.join(tempfile.gettempdir(), f"mk_neardup_stream_{tag}")
-    done = os.path.join(d, "_FIXTURE_READY")
-    if not os.path.exists(done):
+
+    def _build(tmp: str) -> None:
         new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
         for i, half in enumerate(
             (new.filter("doc_id % 2 = 0"), new.filter("doc_id % 2 = 1"))
         ):
-            half.coalesce(1).write.parquet(os.path.join(d, f"b{i}"), mode="overwrite")
-        with open(done, "w") as fh:
-            fh.write("ok")
+            half.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"), mode="overwrite")
+
+    d = _fixture_stage("neardup_stream", tag, _build)
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -2311,6 +2353,34 @@ def _fixture_tag(sf_dir: str, table: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
 
 
+def _fixture_stage(kind: str, tag: str, build) -> str:
+    """Cross-process-safe cached fixture publication: fixtures live under a
+    PER-USER parent (no fixed world-shared /tmp name to squat), are built
+    into a unique temp tree, and are published by one atomic ``os.rename`` —
+    a reader never observes a half-written tree (directory existence IS the
+    ready sentinel), and when two drivers race, the rename loser discards
+    its copy and uses the winner's. ``build(tmp_dir)`` must write the entire
+    fixture under ``tmp_dir``."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    parent = os.path.join(tempfile.gettempdir(), f"mk_fixtures_uid{uid}")
+    os.makedirs(parent, exist_ok=True)
+    final = os.path.join(parent, f"{kind}_{tag}")
+    if os.path.isdir(final):
+        return final
+    tmp = os.path.join(parent, f".{kind}_{tag}.tmp-{uuid.uuid4().hex[:8]}")
+    build(tmp)
+    try:
+        os.rename(tmp, final)
+    except OSError:  # concurrent builder already published — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final
+
+
 def _drain(df, mode: str = "append"):
     """Run a streaming DataFrame to completion (Trigger.AvailableNow) into a
     memory sink; return the drained result as a batch DataFrame."""
@@ -2803,12 +2873,9 @@ def q_ivf_indexed_full_probe(spark, sf_dir):
     emb = load_wide(spark, sf_dir, "embeddings")
     centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
     tag = _fixture_tag(sf_dir, "embeddings")
-    path = os.path.join(tempfile.gettempdir(), f"mk_ivf_index_{tag}")
-    done = os.path.join(path, "_INDEX_READY")
-    if not os.path.exists(done):
-        vectors.ivf_write_index(emb, path, centroids)
-        with open(done, "w") as fh:
-            fh.write("ok")
+    path = _fixture_stage(
+        "ivf_index", tag, lambda tmp: vectors.ivf_write_index(emb, tmp, centroids)
+    )
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     out = vectors.ivf_topk_indexed(
         spark, path, centroids, qv, k=10, nprobe=len(centroids)

@@ -62,6 +62,30 @@ def test_merge_union(spark):
     assert sorted(r.x for r in joins.merge(a, b).collect()) == [1, 2]
 
 
+def test_sorted_merge_strict_global_order(spark):
+    # three disordered sources; seq must be the dense 1-based rank of the
+    # total (ts, src, id) order regardless of interleave or partitioning
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, float(i % 37)) for i in range(300)]
+    rnd.shuffle(rows)
+    srcs = []
+    for s in range(3):
+        part = [(f"s{s}", i, ts) for (i, ts) in rows[s::3]]
+        srcs.append(
+            spark.createDataFrame(
+                part, "src string, id long, ts double"
+            ).repartition(5)
+        )
+    out = joins.sorted_merge(*srcs, order=["ts", "src", "id"]).collect()
+    expect = sorted(((r.ts, r.src, r.id) for r in out))
+    got = [(r.ts, r.src, r.id) for r in sorted(out, key=lambda r: r.seq)]
+    assert got == expect
+    assert sorted(r.seq for r in out) == list(range(1, 301))
+    spark.catalog.clearCache()
+
+
 def test_salted_join_equals_plain_join(spark):
     from makinage_spark.joins import salted_join
 

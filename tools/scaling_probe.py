@@ -235,8 +235,21 @@ def probe_stream(spark, dest: str, mult: int, only: list[str]) -> None:
                         print(f"{name}@{tag} FAILED: {e}", file=sys.stderr)
                         ok = False
                         break
+                    dt = time.time() - t0  # timing BEFORE the settle wait
+                    # listener progress events are delivered asynchronously
+                    # on the listener bus — the FINAL event can land after
+                    # the query drains. Poll until (batches, rows) stop
+                    # advancing so state_rows records the last batch, not
+                    # the second-to-last (ADVICE r5).
+                    settled = (state["batches"], state["rows"])
+                    deadline = time.time() + 5.0
+                    while time.time() < deadline:
+                        time.sleep(0.2)
+                        cur = (state["batches"], state["rows"])
+                        if cur == settled:
+                            break
+                        settled = cur
                     if attempt:
-                        dt = time.time() - t0
                         if dt < best:
                             best, brows = dt, state["rows"]
                 if ok:
