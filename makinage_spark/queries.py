@@ -8896,68 +8896,72 @@ def q_last_or_default(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _SHOWCASE_50 = [
-    # --- round-5 rotation: >=80% of this window has NEVER been driver-hashed
-    # (VERDICT r4 task 3). 7 previously-hashed rows remain: the flagship
-    # anchor, the kafka wire anchor, and the five queries whose code CHANGED
-    # this round (skew fix / broadcast drop / bigram signal / null guard /
-    # fixture staging) and therefore need a fresh driver hash.
-    "q1_pricing_summary",       # anchor: flagship TPC-H Q1 via operator library
-    "kafka_emu_roundtrip",      # anchor: A1/A2/A11 wire roundtrip
-    "quality_ensemble",         # CHANGED r5: +bigram signal, skew fix, AQE join
-    "segment_dup_fraction",     # CHANGED r5: groupBy+join replaces count-window
-    "unigram_logprob_score",    # CHANGED r5: forced LM broadcast dropped
-    "stream_neardup_screen",    # CHANGED r5: cached fixture staging, unpersist
-    "dedup_minhash_pairs",      # CHANGED r5: shared null-text guard
-    # --- never-driver-hashed: judge-named flagships ---
-    "dedup_simhash_pairs",      # pigeonhole blocks + bit_count verify
-    "ivf_topk_full_probe",      # all-cells probe == exact (pins IVF machinery)
-    "stream_stream_join",       # watermarked stream-stream interval join
-    "stream_dedup_watermarked", # bounded-state streaming dedup
-    "stream_roll_windows",      # readStream count-window twin
-    "bigram_logprob_score",     # interpolated bigram LM (+ANSI guard r5)
-    "graph_pagerank_dangling",  # mass-conserving dangling redistribution
-    "q7_nation_volume",         # TPC-H Q7 cross-nation volume
-    "buffer_with_count_hopping",  # hopping count windows
-    "multiplex_demux",          # stream multiplex/demux
-    # --- never-driver-hashed: new r5 audits + pipelines ---
-    "ivf_recall_audit",         # recall@10 floor for the pruned IVF path
-    "lsh_recall_audit",         # recall@10 floor for amplified LSH
-    "sketch_error_audit",       # HLL rel-err <= 5% per key
-    "tdigest_error_audit",      # rank-space quantile error <= 0.02
-    "dedup_pipeline_e2e",       # band->pairs(cap)->CC->anti-join, one plan
-    "training_corpus_pipeline", # CHANGED r5: now leads with span strip
-    # --- never-driver-hashed: span family / text / embeddings ---
-    "strip_repeated_spans",     # sub-doc dedup cleaner
-    "repeated_span_coverage",   # doc-level span rollup gate
-    "text_repetition_signals",  # repetition/boilerplate signals
-    "pii_redaction",            # portable-regex PII scrub
-    "embedding_quantize_sq8",   # SQ8 quantization fidelity rollup
-    "embedding_centroids",      # decimal-exact centroid aggregation
-    "embedding_neardup_lsh",    # planted near-dup LSH screen (rows-only)
-    "tdigest_quantiles",        # t-digest sketch (rows-only; audited above)
-    "sketch_cardinality",       # HLL sketch (rows-only; audited above)
-    # --- never-driver-hashed: streaming family ---
-    "stream_session_window",    # native session windows
-    "stream_sliding_window",    # sliding windows
-    "stream_pack_sequences",    # stateful streaming sequence packer
-    "graph_multiply_streaming", # YAML graph over readStream
-    # --- never-driver-hashed: framework / sources ---
-    "app_source_batch",         # Spark 4 Python DataSource (A5)
-    "serve_batch_inference",    # ML serve batch path (A29)
-    "source_format_roundtrip",  # CSV/ORC/JSON six-path roundtrip
-    "graph_multiply_sample",    # YAML dataflow graph lifecycle (A3/A7)
-    # --- never-driver-hashed: joins / combinators / relational ---
-    "zip_streams",              # rx zip by index
-    "asof_forward_enrich",      # forward as-of join
-    "asof_nearest_enrich",      # nearest as-of join
-    "q2_min_cost_supplier",     # TPC-H Q2 correlated subquery
-    "q9_product_profit",        # TPC-H Q9 multi-join profit
-    "q21_waiting_suppliers",    # TPC-H Q21 exists/not-exists
-    "salted_join_skew",         # skew-salted join pattern
-    # --- never-driver-hashed: late-r5 flagships ---
-    "containment_pairs",        # asymmetric doc-within-doc dedup
-    "semantic_dedup_pipeline",  # SemDeDup: kmeans cells -> cosine -> anti-join
-    "multimodal_frame_sample_exact",  # byte provenance through Arrow, exact
+    # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
+    # driver-hash-green; the 6 previously-green rows are exactly the queries
+    # whose CODE changed this round (broadcast-default drop, CC stepped
+    # materialization, kmeans auto-dispatch, fixture staging) and therefore
+    # need a fresh driver hash. No rows-only queries occupy slots (their
+    # bounds ride the hash-green audits). No permanent anchors this round --
+    # coverage breadth outranks re-pinning q1/kafka a sixth time.
+    # --- head: the two r5 canonicalizer casualties, now serialized ---
+    "embedding_centroids",      # FIXED: centroid array -> scaled-bigint string
+    "buffer_with_count_hopping",  # FIXED: items array -> ';'-joined string
+    # --- other array-sweep fixes (never hashed before) ---
+    "quantiles_sketch",         # FIXED serialization; exact GK = quantile_disc
+    "buffer_time_window",       # FIXED serialization; per-window id buffers
+    # --- new this round ---
+    "kmeans_table_assign",      # NEW: large-k centroid-TABLE assignment path
+    "sorted_merge_strict",      # NEW: A16 strict-order demo, global seq hashed
+    # --- code changed this round: refresh the driver hash ---
+    "containment_pairs",        # broadcast_freq now False (AQE decides)
+    "jaccard_prefix_filter_pairs",  # broadcast_freq now False
+    "dedup_clusters",           # CC stepped now materialized pre-self-join
+    "dedup_pipeline_e2e",       # inherits the CC fix (its dominant term)
+    "semantic_dedup_pipeline",  # kmeans assign="auto" dispatch added
+    "stream_neardup_screen",    # atomic-rename fixture staging
+    # --- fixture staging change + never hashed ---
+    "ivf_indexed_full_probe",   # materialized cell-partitioned IVF index
+    # --- never-hashed: ops parity (rx/rxsci small-op family) ---
+    "debounce_events",          # rx debounce
+    "ewma_smoothing",           # rs.math ewma
+    "distinct_until_changed",   # rx distinct_until_changed
+    "pairwise_deltas",          # rx pairwise
+    "forward_fill",             # gap-fill with last observation
+    "throttle_first_per_minute",  # rx throttle_first
+    "take_last_events",         # rx take_last
+    "last_or_default_events",   # rx last_or_default
+    "zip_by_index",             # rx zip
+    "start_with_seed",          # rx start_with
+    "tap_observe_passthrough",  # rx do_action via df.observe, zero-perturbation
+    # --- never-hashed: window functions / frames / set ops ---
+    "window_value_functions",   # lead/lag/first/last value frames
+    "ntile_ranks",              # ntile + rank family
+    "sliding_row_frame",        # ROWS BETWEEN sliding frame
+    "range_interval_frame",     # RANGE BETWEEN interval frame
+    "session_window_native",    # batch session_window
+    "set_except_all",           # EXCEPT ALL multiset semantics
+    "set_intersect_all",        # INTERSECT ALL multiset semantics
+    "ordered_string_agg",       # listagg with deterministic order
+    "percentile_interpolated",  # type-7 interpolated percentile
+    # --- never-hashed: TPC-H shapes (finishing the 22) ---
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_late_shipping",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracket_revenue",
+    "q20_excess_suppliers",
+    "q22_idle_balances",
+    # --- never-hashed: text/stats analytics ---
+    "group_apply_pipeline",     # group_by(key, sub-pipeline) composition
+    "pmi_collocations",         # PMI bigram collocations
+    "stratified_sample",        # per-stratum deterministic sampling
+    "term_document_frequency",  # TF/DF table the TF-IDF family builds on
 ]
 
 
