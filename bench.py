@@ -79,6 +79,9 @@ HEADLINE = [
     "supplier_cooccurrence_similarity",
     # streaming runtime (readStream → stateful op → sink)
     "stream_scan_running",
+    # round-6 additions: large-k table-path k-means, strict-order k-way merge
+    "kmeans_table_assign",
+    "sorted_merge_strict",
 ]
 
 

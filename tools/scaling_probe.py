@@ -409,9 +409,219 @@ def probe_hot_segment(spark, copies: int) -> None:
     print(json.dumps({"probe": "hot_segment", "copies": copies, **out}))
 
 
+def probe_hot_gram(spark, n: int, mult: int) -> None:
+    """Skewed gram-frequency probe for containment_pairs post-broadcast-fix
+    (VERDICT r5 task 7): every doc opens with the SAME 10-token boilerplate
+    (so its word-5-grams have document frequency = corpus size — the
+    stop-gram regime of real web text), plus unique filler; every 100th doc
+    gets a planted SHORT twin built from 5 of its filler tokens
+    (containment short→long = 1.0). The lossless prefix filter must (a)
+    never let the hot grams become join keys — they are the most frequent,
+    so they sort LAST and stay out of every probe prefix — giving ~linear
+    runtime in corpus size despite df(hot gram) = n, and (b) still find
+    exactly the planted n/100 pairs at both scales. Runs the SHIPPED
+    default (broadcast_freq=False: the gram-frequency table is
+    corpus-token-scale here, exactly the case the forced broadcast would
+    OOM at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from makinage_spark import dedup
+    from makinage_spark.text import word_shingles
+
+    boiler = " ".join(f"hot{i}" for i in range(10))
+
+    def corpus(rows: int):
+        longs = spark.range(rows).select(
+            (F.col("id") * 2).alias("doc_id"),
+            F.concat(
+                F.lit(boiler + " "),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit(f"u{j}x"),
+                            (F.col("id") * 131 + j).cast("string"),
+                        )
+                        for j in range(12)
+                    ],
+                ),
+            ).alias("text"),
+        )
+        shorts = spark.range(rows).filter("id % 100 = 0").select(
+            (F.col("id") * 2 + 1).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"u{j}x"), (F.col("id") * 131 + j).cast("string")
+                    )
+                    for j in range(6)
+                ],
+            ).alias("text"),
+        )
+        return longs.unionByName(shorts)
+
+    out = {}
+    for tag, rows in (("base", n), ("big", n * mult)):
+        docs = corpus(rows).select(
+            "doc_id", word_shingles("text", 5).alias("items")
+        )
+        best, pairs = float("inf"), None
+        for attempt in range(2):  # attempt 0 = warm-up, uncounted
+            spark.catalog.clearCache()
+            t0 = time.time()
+            pairs = dedup.containment_pairs(docs, "items", threshold=0.8).count()
+            if attempt:
+                best = min(best, time.time() - t0)
+        expected = (rows + 99) // 100  # short ⊂ long plants
+        out[tag] = {"s": round(best, 3), "pairs": pairs, "expected": expected}
+    out["ratio"] = round(out["big"]["s"] / out["base"]["s"], 2)
+    print(json.dumps({"probe": "hot_gram", "n": n, "mult": mult, **out}))
+
+
+def probe_kmeans_k(spark, dest: str) -> None:
+    """Literal-vs-table k-means assignment crossover at ADAPTIVE k (VERDICT
+    r5 tasks 4/7): the semantic-dedup policy k = n/250 instantiates k=400 on
+    the 25× embeddings (100k × d64). Times both assignment paths at that
+    operating point (production doubles — the arithmetic a real corpus run
+    uses), plus the table path at k=1000 for headroom; then the full
+    SemDeDup-shaped composition (kmeans cells → within-cell cosine → drop
+    list) on the table path. Sets the empirical basis for
+    kmeans_lloyd(table_threshold=512)."""
+    from pyspark.sql import functions as F
+
+    from makinage_spark import dedup, vectors
+    from makinage_spark.sources import load_table
+
+    emb = load_table(spark, dest, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    k = max(8, n // 250)
+    res = {"n": n, "adaptive_k": k}
+    for name, kk, mode in (
+        (f"literal_k{k}", k, "literal"),
+        (f"table_k{k}", k, "table"),
+        ("table_k1000", 1000, "table"),
+    ):
+        best = float("inf")
+        for attempt in range(2):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            vectors.kmeans_lloyd(
+                emb, k=kk, iters=2, exact=False, assign=mode
+            ).write.format("noop").mode("overwrite").save()
+            if attempt:
+                best = min(best, time.time() - t0)
+        res[name] = round(best, 3)
+        print(json.dumps({"probe": "kmeans_k", name: res[name]}), flush=True)
+    # full semantic-dedup composition on the table path at adaptive k
+    spark.catalog.clearCache()
+    t0 = time.time()
+    assigns = vectors.kmeans_lloyd(
+        emb, k=k, iters=2, exact=False, assign="table"
+    ).persist()
+    bc = emb.join(assigns, "vec_id")
+    pairs = dedup.embedding_neardup_pairs(bc, threshold=0.999, block_on="cluster")
+    drop = pairs.select(F.col("b").alias("vec_id")).distinct()
+    survivors = assigns.join(drop, "vec_id", "left_anti").count()
+    res["semdedup_table_total_s"] = round(time.time() - t0, 3)
+    res["survivors"] = survivors
+    assigns.unpersist()
+    print(json.dumps({"probe": "kmeans_k", **res}))
+
+
+def probe_cc_jump(spark) -> None:
+    """A/B for the CC pointer-jump materialization fix (VERDICT r5 task 5):
+    build the sf0.1 near-dup pair graph once, then run connected components
+    with the SHIPPED loop (stepped localCheckpoint-ed before the self-join)
+    vs the r5 loop (stepped lazy — its join+agg subtree evaluates twice per
+    round and lineage quadruples). Reports wall time and rounds for each."""
+    from pyspark.sql import functions as F
+
+    from makinage_spark import dedup
+    from makinage_spark.sources import load_table
+
+    docs = load_table(spark, SRC, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, bucket_cap=50).select("a", "b").persist()
+    pairs.count()
+
+    def old_cc(p, max_iter=25):  # the r5 loop, verbatim minus materialization
+        edges = (
+            p.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(p.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .persist()
+        )
+        labels = (
+            edges.select(F.col("u").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
+        ).localCheckpoint(eager=True)
+        rounds = 0
+        for _ in range(max_iter):
+            rounds += 1
+            nbr = (
+                edges.join(labels, edges.v == labels.id)
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr"))
+            )
+            stepped = labels.join(nbr, labels.id == nbr.u, "left").select(
+                labels.id.alias("id"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))
+                ).alias("label"),
+            )  # NOT materialized — the defect under test
+            jumped = (
+                stepped.alias("l1")
+                .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
+                .select(
+                    F.col("l1.id").alias("id"),
+                    F.least(
+                        F.col("l1.label"),
+                        F.coalesce(F.col("l2.label"), F.col("l1.label")),
+                    ).alias("label"),
+                )
+            ).localCheckpoint(eager=True)
+            changed = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels, rounds
+
+    out = {}
+    for tag in ("shipped", "old_lazy_stepped"):
+        best = float("inf")
+        for attempt in range(2):
+            spark.catalog.clearCache()
+            pairs.persist().count()
+            t0 = time.time()
+            if tag == "shipped":
+                n = dedup.connected_components(pairs).count()
+            else:
+                labels, rounds = old_cc(pairs)
+                n = labels.count()
+                out["rounds_old"] = rounds
+            if attempt:
+                best = min(best, time.time() - t0)
+        out[tag] = {"s": round(best, 3), "nodes": n}
+    out["speedup"] = round(
+        out["old_lazy_stepped"]["s"] / out["shipped"]["s"], 2
+    )
+    print(json.dumps({"probe": "cc_jump", **out}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["make", "run", "stream", "pairs", "hotseg"])
+    ap.add_argument(
+        "cmd",
+        choices=["make", "run", "stream", "pairs", "hotseg", "hotgram",
+                 "kmeansk", "ccjump"],
+    )
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--mult", type=int, default=5)
     ap.add_argument("--dest", default="/tmp/scale_x5")
@@ -433,6 +643,12 @@ def main():
         probe_pairs(spark, args.dest, args.mult)
     elif args.cmd == "hotseg":
         probe_hot_segment(spark, args.mult)
+    elif args.cmd == "hotgram":
+        probe_hot_gram(spark, n=20_000, mult=args.mult)
+    elif args.cmd == "kmeansk":
+        probe_kmeans_k(spark, args.dest)
+    elif args.cmd == "ccjump":
+        probe_cc_jump(spark)
     else:
         run(spark, args.dest, args.mult, args.queries)
     spark.stop()
