@@ -419,7 +419,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     exact: bool = True,
     assign: str = "auto",
-    table_threshold: int = 512,
+    table_threshold: int = 32,
 ) -> DataFrame:
     """Full-corpus Lloyd's k-means; returns ``(id_col, cluster)``.
 
@@ -457,15 +457,22 @@ def kmeans_lloyd(
     (tested).
 
     ``assign`` selects the assignment strategy: ``"literal"`` (the map-only
-    broadcast-by-value pass above — best while k·d literals fit the plan),
-    ``"table"`` (centroid DataFrame + cross join + ``min_by`` argmin, see
-    :func:`_kmeans_lloyd_table` — REQUIRED for large k: a literal plan with
-    thousands of centroid structs hits codegen/plan-size walls, and the
-    literal path's per-round k·d driver collect stops scaling long before
-    SemDeDup-style adaptive k reaches millions of cells), or ``"auto"``
-    (table iff ``k >= table_threshold``). Both paths share seeds, distance
-    arithmetic, and tie-break, so they produce identical assignments for
-    identical inputs (tested) — the oracle for one verifies the other.
+    broadcast-by-value pass above — best only at small k, where the
+    crossJoin exchange isn't worth it), ``"table"`` (centroid DataFrame +
+    cross join + ``min_by`` argmin, see :func:`_kmeans_lloyd_table` —
+    REQUIRED for large k: a literal plan with thousands of centroid structs
+    hits codegen/plan-size walls, and the literal path's per-round k·d
+    driver collect stops scaling long before SemDeDup-style adaptive k
+    reaches millions of cells), or ``"auto"`` (table iff
+    ``k >= table_threshold``). The default threshold 32 is MEASURED, not
+    guessed (SCALING.md r6 `kmeansk`, d=64, n=50k, production arithmetic):
+    literal codegen + the k-way least() chain grow linearly in k — table
+    wins 5.3× at k=32, 21× at k=64, 23× at k=128, 21.5× at k=200 — while
+    below ~32 both are sub-10s and the literal plan avoids a shuffle. The
+    crossover shifts with d (smaller vectors → cheaper literal folds);
+    override per corpus. Both paths share seeds, distance arithmetic, and
+    tie-break, so they produce identical assignments for identical inputs
+    (tested) — the oracle for one verifies the other.
     """
     if assign not in ("auto", "literal", "table"):
         raise ValueError(f"assign must be auto|literal|table, got {assign!r}")

@@ -529,7 +529,7 @@ def probe_kmeans_k(spark, dest: str) -> None:
     print(json.dumps({"probe": "kmeans_k", **res}))
 
 
-def probe_cc_jump(spark) -> None:
+def probe_cc_jump(spark, src: str = SRC) -> None:
     """A/B for the CC pointer-jump materialization fix (VERDICT r5 task 5):
     build the sf0.1 near-dup pair graph once, then run connected components
     with the SHIPPED loop (stepped localCheckpoint-ed before the self-join)
@@ -540,9 +540,10 @@ def probe_cc_jump(spark) -> None:
     from makinage_spark import dedup
     from makinage_spark.sources import load_table
 
-    docs = load_table(spark, SRC, "documents")
+    docs = load_table(spark, src, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, bucket_cap=50).select("a", "b").persist()
-    pairs.count()
+    print(json.dumps({"probe": "cc_jump", "src": src, "pairs": pairs.count()}),
+          flush=True)
 
     def old_cc(p, max_iter=25):  # the r5 loop, verbatim minus materialization
         edges = (
@@ -648,7 +649,9 @@ def main():
     elif args.cmd == "kmeansk":
         probe_kmeans_k(spark, args.dest)
     elif args.cmd == "ccjump":
-        probe_cc_jump(spark)
+        # --dest selects the corpus whose pair graph is clustered
+        # (pass /root/testdata/sf0.1 for the base-scale A/B)
+        probe_cc_jump(spark, args.dest)
     else:
         run(spark, args.dest, args.mult, args.queries)
     spark.stop()
