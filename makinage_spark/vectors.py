@@ -17,6 +17,8 @@ extension (BASELINE.json).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -346,6 +348,7 @@ def _kmeans_lloyd_table(
     vec_col: str,
     id_col: str,
     exact: bool,
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Large-k assignment path for :func:`kmeans_lloyd`: centroids live in a
     DataFrame, never in the plan. Assignment is vectors × centroid-table
@@ -408,7 +411,117 @@ def _kmeans_lloyd_table(
                 ).alias("cvec")
             )
         ).localCheckpoint(eager=True)
+    if return_centroids:
+        # the centroid set the FINAL assignment is computed against (after
+        # iters-1 updates) — NOT one more update past it; two-level
+        # assignment against this table with exhaustive probing reproduces
+        # kmeans_lloyd's assignment exactly (tested)
+        return cents.select(F.col("cluster"), F.col("cvec"))
     return assign(cents).select(F.col("__vid").alias(id_col), "cluster")
+
+
+def kmeans_assign_two_level(
+    df: DataFrame,
+    centroids: DataFrame,
+    probe_cells: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+) -> DataFrame:
+    """EXTREME-k assignment: coarse→fine two-level argmin against a trained
+    centroid TABLE ``(cluster bigint, cvec array<double>)``; returns
+    ``(id_col, cluster)``.
+
+    The table path (:func:`_kmeans_lloyd_table`) pairs every vector with
+    every centroid — n·k rows of distance work. Fine to k in the thousands,
+    but a SemDeDup-scale k (n/250 ≈ 4M cells at 1B vectors) makes n·k
+    astronomically large. Standard IVF answer, applied to the centroid set
+    itself: cluster the k centroids into kc = ⌈√k⌉ supercells (k·kc·d work
+    — negligible), give each vector its ``probe_cells`` nearest supercells
+    (n·kc), then argmin only over centroids in those supercells
+    (n·probe_cells·k/kc average). Total ≈ n·√k·(1+probe_cells)·d — a √k
+    reduction; at k=4M that is ~2000 vs 4M distance folds per vector.
+
+    APPROXIMATE: the true nearest centroid can sit in an unprobed supercell.
+    The loss is quantified, not argued — ``kmeans_twolevel_agreement``
+    registers the agreement fraction vs the exact table argmin as a
+    hash-checkable assertion row, and raising ``probe_cells`` trades work
+    for agreement (probe_cells=kc is exhaustive = exact). Use after
+    training at feasible k (sampled or table-path Lloyd), as with
+    :func:`ivf_centroids` → assignment."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    vecs = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__vid"), v.alias("__v")
+    )
+    cents = centroids.select(
+        F.col("cluster").cast("bigint").alias("__cid"),
+        F.col("cvec").cast("array<double>").alias("__cvec"),
+    )
+    k = cents.count()
+    kc = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
+    # level 1: cluster the centroids themselves (tiny: k rows) — reuse the
+    # table-path Lloyd verbatim so super-cell geometry is real, not hashed
+    sup_of_cent = _kmeans_lloyd_table(
+        cents.select(F.col("__cid"), F.col("__cvec")),
+        k=kc, iters=2, vec_col="__cvec", id_col="__cid", exact=False,
+    ).select(F.col("__cid"), F.col("cluster").alias("__sup"))
+    cents_sup = cents.join(sup_of_cent, "__cid").persist()
+    sup_cents = (
+        cents_sup.select("__sup", F.posexplode("__cvec").alias("pos", "x"))
+        .groupBy("__sup", "pos")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("c"))
+        .groupBy("__sup")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("__scvec")
+        )
+    ).localCheckpoint(eager=True)
+    # level 2a: each vector's probe_cells nearest supercells (n·kc rows)
+    w = Window.partitionBy("__vid").orderBy("__sdist", "__sup")
+    probes = (
+        vecs.crossJoin(sup_cents)
+        .select(
+            "__vid", "__v", "__sup",
+            _kmeans_dist(F.col("__v"), F.col("__scvec"), False).alias("__sdist"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= probe_cells)
+        .select("__vid", "__v", "__sup")
+    )
+    # level 2b: argmin over centroids in the probed supercells only
+    cand = probes.join(cents_sup, "__sup").select(
+        "__vid",
+        F.col("__cid").alias("cluster"),
+        _kmeans_dist(F.col("__v"), F.col("__cvec"), exact).alias("__dist"),
+    )
+    return cand.groupBy("__vid").agg(
+        F.min_by("cluster", F.struct(F.col("__dist"), F.col("cluster"))).alias(
+            "cluster"
+        )
+    ).select(F.col("__vid").alias(id_col), "cluster")
+
+
+def kmeans_centroid_table(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Train Lloyd centroids and return them AS A TABLE ``(cluster, cvec)``
+    (the input :func:`kmeans_assign_two_level` consumes): exactly the
+    centroid set :func:`kmeans_lloyd`'s returned assignment is computed
+    against (after ``iters-1`` updates), so exhaustive two-level probing
+    against this table reproduces the Lloyd assignment bit-for-bit."""
+    df = df.filter(F.col(vec_col).isNotNull())
+    return _kmeans_lloyd_table(
+        df, k, iters, vec_col, id_col, exact, return_centroids=True
+    )
 
 
 def kmeans_lloyd(

@@ -746,6 +746,43 @@ def test_kmeans_table_path_matches_literal(spark):
         assert lit == tbl
 
 
+def test_kmeans_two_level_exhaustive_equals_flat(spark):
+    """probe_cells >= kc makes the coarse level a no-op filter: the
+    two-level argmin over the SAME centroid table must equal the flat
+    table argmin bit-for-bit (kmeans_centroid_table returns the centroids
+    the Lloyd assignment was computed against, not one update past them)."""
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = vectors.kmeans_centroid_table(df, k=9, iters=2, exact=False).persist()
+    flat = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+        df, k=9, iters=2, exact=False, assign="table").collect()}
+    exh = {r.vec_id: r.cluster for r in vectors.kmeans_assign_two_level(
+        df, cents, probe_cells=10**6).collect()}
+    assert flat == exh
+    spark.catalog.clearCache()
+
+
+def test_kmeans_two_level_separated_clusters_pruned_probe(spark):
+    """On well-separated data even probe_cells=1 must assign correctly:
+    each blob's vectors, its centroid, and that centroid's supercell are
+    mutually nearest, so coarse pruning loses nothing."""
+    rows = []
+    for c in range(4):
+        for i in range(10):
+            base = [0.0] * 8
+            base[c * 2] = 50.0 * (c + 1)
+            base[c * 2 + 1] = float(i % 3)  # tiny within-blob spread
+            rows.append((c * 100 + i, base))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = vectors.kmeans_centroid_table(df, k=4, iters=2, exact=False).persist()
+    flat = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+        df, k=4, iters=2, exact=False, assign="table").collect()}
+    two = {r.vec_id: r.cluster for r in vectors.kmeans_assign_two_level(
+        df, cents, probe_cells=1).collect()}
+    assert two == flat
+    spark.catalog.clearCache()
+
+
 def test_kmeans_table_path_planted_duplicates_k1000(spark):
     """Large-k regime the literal path cannot plan (1000 centroid structs
     blow codegen/plan-size limits): 1000 well-separated lattice seeds plus
