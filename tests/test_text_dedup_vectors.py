@@ -783,6 +783,33 @@ def test_kmeans_two_level_separated_clusters_pruned_probe(spark):
     spark.catalog.clearCache()
 
 
+def test_kmeans_two_level_twins_co_assign(spark):
+    """The dedup-relevant property of the pruned two-level path: vectors
+    that are near-IDENTICAL see the same supercell distances and the same
+    within-cell argmin, so they co-assign even at probe_cells=1 — pruning
+    divergence only affects borderline vectors sitting near cell
+    equidistance, which are not near-duplicates. SemDeDup recall therefore
+    survives coarse pruning even when global agreement drops (0.42 on the
+    structure-free 25x fixture at k=1000, SCALING.md r6)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        base = [float(i % 12) * 10.0, float(i // 12) * 10.0, 1.0, 0.0]
+        rows.append((i, base))
+        if i < 40:  # twins of the first 40
+            noisy = (np.asarray(base) + rng.normal(0, 1e-4, 4)).tolist()
+            rows.append((1000 + i, noisy))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = vectors.kmeans_centroid_table(df, k=100, iters=2, exact=False).persist()
+    got = {r.vec_id: r.cluster for r in vectors.kmeans_assign_two_level(
+        df, cents, probe_cells=1).collect()}
+    for i in range(40):
+        assert got[1000 + i] == got[i], f"twin {i} split under pruned probe"
+    spark.catalog.clearCache()
+
+
 def test_kmeans_table_path_planted_duplicates_k1000(spark):
     """Large-k regime the literal path cannot plan (1000 centroid structs
     blow codegen/plan-size limits): 1000 well-separated lattice seeds plus
