@@ -448,9 +448,11 @@ def kmeans_assign_two_level(
     hash-checkable assertion row, and raising ``probe_cells`` trades work
     for agreement (probe_cells=kc is exhaustive = exact). Use after
     training at feasible k (sampled or table-path Lloyd), as with
-    :func:`ivf_centroids` → assignment."""
-    from pyspark.sql import Window
+    :func:`ivf_centroids` → assignment.
 
+    CLEANUP CONTRACT: the supercell-tagged centroid table is persisted (it
+    feeds the candidate join); callers invoking this repeatedly in one
+    session should ``spark.catalog.clearCache()`` between evaluations."""
     v = F.col(vec_col).cast("array<double>")
     vecs = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("__vid"), v.alias("__v")
@@ -480,17 +482,37 @@ def kmeans_assign_two_level(
             ).alias("__scvec")
         )
     ).localCheckpoint(eager=True)
-    # level 2a: each vector's probe_cells nearest supercells (n·kc rows)
-    w = Window.partitionBy("__vid").orderBy("__sdist", "__sup")
+    # level 2a: each vector's probe_cells nearest supercells — IN-ROW, no
+    # shuffle: the kc supercell centroids travel as ONE broadcast row (an
+    # array of (sup, cvec) structs — data, not plan literals, so neither
+    # the codegen wall of the literal path nor the n·kc shuffle a
+    # crossJoin+window formulation would pay), each vector folds distances
+    # over that array, sorts the (dist, sup) structs lexicographically, and
+    # keeps the first probe_cells — emitting n·p rows total
+    sup_pack = sup_cents.agg(
+        F.collect_list(F.struct("__sup", "__scvec")).alias("__cells")
+    )
     probes = (
-        vecs.crossJoin(sup_cents)
+        vecs.crossJoin(F.broadcast(sup_pack))
         .select(
-            "__vid", "__v", "__sup",
-            _kmeans_dist(F.col("__v"), F.col("__scvec"), False).alias("__sdist"),
+            "__vid",
+            "__v",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "__cells",
+                        lambda c: F.struct(
+                            _kmeans_dist(F.col("__v"), c["__scvec"], False),
+                            c["__sup"],
+                        ),
+                    )
+                ),
+                1,
+                probe_cells,
+            ).alias("__top"),
         )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= probe_cells)
-        .select("__vid", "__v", "__sup")
+        .select("__vid", "__v", F.explode("__top").alias("__t"))
+        .select("__vid", "__v", F.col("__t.__sup").alias("__sup"))
     )
     # level 2b: argmin over centroids in the probed supercells only
     cand = probes.join(cents_sup, "__sup").select(
