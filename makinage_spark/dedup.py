@@ -805,3 +805,126 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership pruning (incremental dedup against a history corpus)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(fp: Column | str, m: int, k: int) -> Column:
+    """``array<bigint>`` of ``k`` bit positions in ``[0, m)`` for one key:
+    position *i* is the first 8 md5 hex digits of ``fp || '#i'`` mod ``m``.
+    md5-derived so a SQL oracle reproduces every position bit-for-bit
+    (same recipe as ``text.md5_hash64``)."""
+    col = F.col(fp) if isinstance(fp, str) else fp
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(col, F.lit(f"#{i}"))), 1, 8), 16, 10
+            ).cast("bigint")
+            % m
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    history: DataFrame, fp_col: str = "fp", m: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Distributed Bloom-filter build: the packed bitmap as an
+    ``(word, bits)`` relation — ``word`` = bit-position div 64, ``bits`` =
+    ``bit_or`` of the 64-bit masks landing in that word. At most ``m/64``
+    rows (1 024 longs = 8 KB at m=2^16, 2 MB at m=2^27).
+
+    This is the scale path for "have I seen this fingerprint before" at
+    100 TB: instead of shuffling every candidate against a billions-row
+    history table (a corpus-sized join per increment), the history
+    compresses ONCE to ``m`` bits with a plain explode + ``bit_or``
+    aggregate (map-side combine, one narrow shuffle of ≤ m/64 rows), and
+    the probe side joins candidates against a kilobytes-sized relation that
+    AQE always broadcasts. No false negatives ever (every true member
+    probes all-set positions); false-positive rate ≈ (1-e^(-kn/m))^k,
+    tunable via m — the audit query pins both properties."""
+    pos = history.select(
+        F.explode(bloom_positions(fp_col, m, k)).alias("pos")
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    return (
+        pos.groupBy(F.shiftright(F.col("pos"), 6).alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+
+
+def bloom_probe(
+    candidates: DataFrame,
+    bitmap: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    m: int = 1 << 16,
+    k: int = 4,
+    out: str = "bloom_hit",
+) -> DataFrame:
+    """Probe each candidate fingerprint against a built bitmap: hit iff ALL
+    ``k`` positions have their bit set. Candidates explode to ``k`` rows,
+    left-join the (≤ m/64)-row bitmap on the word index (AQE broadcasts it),
+    test the bit in-row, and fold back with ``every`` — one narrow shuffle
+    keyed by ``id_col``; a missing word means bit unset, not an error."""
+    pos = candidates.select(
+        id_col, F.explode(bloom_positions(fp_col, m, k)).alias("pos")
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    hit = F.coalesce(
+        F.col("bits").bitwiseAND(mask) != 0, F.lit(False)
+    )
+    return (
+        pos.withColumn("word", F.shiftright(F.col("pos"), 6))
+        .join(bitmap, "word", "left")
+        .select(id_col, hit.alias("__hit"))
+        .groupBy(id_col)
+        .agg(F.every(F.col("__hit")).alias(out))
+    )
+
+
+def _signed64(v: int) -> int:
+    """Wrap an unsigned 64-bit pattern into Spark's signed BIGINT range."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def bloom_test_packed(
+    fp: Column | str, words: list[int], m: int, k: int
+) -> Column:
+    """In-row Bloom membership test against a driver-collected packed bitmap
+    (``words`` = dense list of ``m/64`` longs, index = bit-position div 64).
+
+    The broadcast-literal path: where :func:`bloom_probe` joins candidates
+    against the bitmap *relation* (right for batch), this folds the whole
+    filter into the expression tree — 8 KB of literals at m=2^16 — so the
+    test is a pure map-side Column usable in a STREAMING projection with no
+    stream-static join and no state. Collecting the bitmap is a bounded
+    control-plane read (≤ m/64 rows), same class as the k-means centroid
+    collect. Returns false (never null) for null keys."""
+    col = F.col(fp) if isinstance(fp, str) else fp
+    assert len(words) == m // 64, "words must be the dense m/64 bitmap"
+    word_arr = F.array(*[F.lit(_signed64(int(w))).cast("bigint") for w in words])
+    mask_arr = F.array(*[F.lit(_signed64(1 << i)).cast("bigint") for i in range(64)])
+    hit = F.forall(
+        bloom_positions(col, m, k),
+        lambda p: (
+            F.element_at(word_arr, F.floor(p / 64).cast("int") + 1).bitwiseAND(
+                F.element_at(mask_arr, (p % 64).cast("int") + 1)
+            )
+            != 0
+        ),
+    )
+    # the null-key branch is taken BEFORE forall: a null key yields an array
+    # of null positions, and forall's codegen NPEs on null lambda results
+    # (Spark 4.1) — when() keeps nulls out of the lambda entirely
+    return F.when(col.isNotNull(), hit).otherwise(F.lit(False))
+
+
+def bloom_collect(bitmap: DataFrame, m: int) -> list[int]:
+    """Collect a :func:`bloom_build` bitmap relation into the dense word list
+    :func:`bloom_test_packed` consumes (missing words = 0)."""
+    got = {int(r["word"]): int(r["bits"]) for r in bitmap.collect()}
+    return [got.get(i, 0) for i in range(m // 64)]

@@ -8936,6 +8936,589 @@ def q_last_or_default(spark, sf_dir):
 # window across rounds. Everything else keeps its source order after these.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Batch (round 6b): corpus write-path + curation ops — deterministic sharding,
+# splits, budget selection, epoch mixing, perplexity bucketing, padding
+# economics, Bloom pruning, cluster representatives
+# ---------------------------------------------------------------------------
+
+#: Cross-engine deterministic bigint hash of an expression (first 8 md5 hex
+#: digits). Spark twin: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).
+def _H_SQL(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def _h64(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_NTOK_SQL = f"coalesce(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')), 0)"
+
+
+def _ntok() -> F.Column:
+    return F.coalesce(
+        text.token_count(F.lower(F.col("text"))), F.lit(0)
+    ).cast("bigint")
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_H_SQL("CAST(doc_id AS VARCHAR)")} AS h,
+             {_NTOK_SQL} AS n_tok
+      FROM documents),
+    r AS (
+      SELECT doc_id, h % 16 AS shard, n_tok,
+             row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn
+      FROM b)
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_count,
+           CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
+    FROM r GROUP BY shard
+    """,
+)
+def q_corpus_shard_manifest(spark, sf_dir):
+    """Deterministic corpus shuffle + shard manifest — the write path of a
+    training-data pipeline: every doc lands in shard ``h(doc_id) % n`` and is
+    ordered *within* its shard by the hash, giving a reproducible global
+    shuffle with no seed coordination and no single-reducer sort (the
+    ordering a dataloader reads back is fixed by the data alone, stable
+    under retries/backfills — a Bernoulli shuffle is neither). The manifest
+    emits per-shard doc/token counts plus an ORDER-sensitive checksum
+    (Σ rank·doc_id), so the driver hash pins the intra-shard ordering, not
+    just the assignment. Physical shape: one narrow projection, one shuffle
+    on shard, per-shard window sort. 16 shards here; production uses
+    O(corpus/target-file-size) shards so each window partition is one
+    output file's worth of rows — parallelism scales with shard count."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        _h64(F.col("doc_id").cast("string")).alias("h"),
+        _ntok().alias("n_tok"),
+    ).withColumn("shard", F.col("h") % 16)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tok_count"),
+            F.sum(F.col("rn") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+        )
+    )
+
+
+@register(
+    "train_holdout_split",
+    f"""
+    WITH b AS (
+      SELECT source,
+             {_H_SQL("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+             {_NTOK_SQL} AS n_tok
+      FROM documents)
+    SELECT CASE WHEN bucket < 98 THEN 'train'
+                WHEN bucket = 98 THEN 'validation'
+                ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_count
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_train_holdout_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/validation/test split by salted key-hash —
+    membership is a pure function of doc_id, so the split is identical on
+    every engine, every rerun, and every incremental append (new docs join
+    their split without touching old ones; the salt decorrelates it from any
+    other hash-derived assignment like shard or sample). Emits per-split
+    per-source doc/token counts — the table you eyeball before training to
+    confirm the holdout mirrors the mixture. One projection, one two-key
+    aggregate shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 98, F.lit("train"))
+        .when(bucket == 98, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "source", _ntok().alias("n_tok"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tok_count"),
+        )
+    )
+
+
+@register(
+    "token_budget_pick",
+    f"""
+    WITH q AS ({{quality}}),
+    t AS (
+      SELECT d.doc_id, {_NTOK_SQL} AS n_tok, q.quality
+      FROM documents d JOIN q USING (doc_id)),
+    b AS (SELECT CAST(floor(0.4 * SUM(n_tok)) AS BIGINT) AS budget FROM t),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY quality DESC, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM t)
+    SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c, b WHERE cum - n_tok < budget
+    """.replace("{quality}", _quality_sql()),
+)
+def q_token_budget_pick(spark, sf_dir):
+    """Quality-ranked selection under a global token budget: take documents
+    in descending quality order until 40% of the corpus' tokens are spent —
+    the "best data first" curation step every budgeted pretraining run
+    performs. The hard part at 100 TB is the GLOBAL running total under a
+    total order: a bare ORDER-BY window funnels the corpus through one
+    reducer, so this rides :func:`smath.global_running_sum` —
+    repartitionByRange on (quality desc, doc_id) + per-partition prefix sums
+    + a broadcast offsets table of shuffle-partition-count rows. The budget
+    itself is a 1-row aggregate broadcast back; token counts stay exact
+    bigints so the cumsum is associative across the repartition."""
+    docs = load_wide(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        _ntok().alias("n_tok"),
+        text.quality_score("text").alias("quality"),
+    )
+    budget = scored.agg(
+        F.floor(0.4 * F.sum("n_tok")).cast("bigint").alias("budget")
+    )
+    cum = smath.global_running_sum(
+        scored, [F.col("quality").desc(), F.col("doc_id")], "n_tok", "cum"
+    )
+    return (
+        cum.join(F.broadcast(budget))
+        .filter(F.col("cum") - F.col("n_tok") < F.col("budget"))
+        .select("doc_id", "n_tok", F.col("cum").cast("bigint").alias("cum_tokens"))
+    )
+
+
+@register(
+    "epoch_mixture_expand",
+    f"""
+    WITH t AS (SELECT source, doc_id, {_NTOK_SQL} AS n_tok FROM documents),
+    s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tok FROM t GROUP BY source),
+    tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS total, COUNT(*) AS n_src FROM s),
+    e AS (
+      SELECT source,
+             CAST(ceil(least(4.0, (1.0 / n_src)
+                                  / (CAST(tok AS DOUBLE) / total))) AS BIGINT)
+               AS epochs
+      FROM s, tot),
+    x AS (
+      SELECT t.source, t.n_tok, g.epoch
+      FROM t JOIN e USING (source),
+           unnest(generate_series(1, e.epochs)) AS g(epoch))
+    SELECT source, epoch, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_count
+    FROM x GROUP BY source, epoch
+    """,
+)
+def q_epoch_mixture_expand(spark, sf_dir):
+    """Epoch-based mixture rebalancing, materialized: each source's
+    uniform-flattening weight (domain_mixture_weights) is capped at 4 and
+    ceil'd into an integer epoch count, and the corpus is physically
+    expanded — every doc repeated once per epoch via
+    ``explode(sequence(1, epochs))`` — the way an under-represented domain
+    is actually upsampled into a training corpus when the sampler wants one
+    flat stream. Output is the per-(source, epoch) doc/token manifest of the
+    expanded corpus. The cap is applied BEFORE ceil so an empty source
+    (weight → ∞) degrades to 4 epochs instead of an overflow. Plan: the
+    per-source epoch table derives from one aggregate of the corpus and
+    joins back by source (AQE broadcasts it — domains are few); the explode
+    multiplies rows ≤ 4× with zero extra shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", _ntok().alias("n_tok"))
+    s = t.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("tok"))
+    tot = s.agg(
+        F.sum("tok").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    weight = (F.lit(1.0) / F.col("n_src")) / (
+        F.col("tok").cast("double") / F.col("total")
+    )
+    e = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.ceil(F.least(F.lit(4.0), weight)).cast("bigint").alias("epochs"),
+    )
+    x = t.join(e, "source").select(
+        "source",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("epochs"))).alias("epoch"),
+    )
+    return x.groupBy("source", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_count"),
+    )
+
+
+@register(
+    "perplexity_tertiles",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS tok
+      FROM documents),
+    dt AS (SELECT doc_id, source, tok, COUNT(*) AS c
+           FROM toks GROUP BY doc_id, source, tok),
+    vocab AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS gc FROM dt GROUP BY tok),
+    tot AS (SELECT CAST(SUM(gc) AS DOUBLE) AS total FROM vocab),
+    lp AS (
+      SELECT tok, CAST(ROUND(-ln(gc / total), 6) AS DECIMAL(18,6)) AS nll
+      FROM vocab, tot),
+    doc AS (
+      SELECT dt.doc_id, dt.source,
+             CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(dt.c * lp.nll) AS DOUBLE) / SUM(dt.c), 6) AS avg_nll
+      FROM dt JOIN lp USING (tok) GROUP BY dt.doc_id, dt.source),
+    bucketed AS (
+      SELECT source, n_tokens, avg_nll,
+             ntile(3) OVER (PARTITION BY source ORDER BY avg_nll, doc_id)
+               AS tertile
+      FROM doc)
+    SELECT source,
+           CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tok_count,
+           MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll
+    FROM bucketed GROUP BY source, tertile
+    """,
+)
+def q_perplexity_tertiles(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every doc with the self-trained
+    unigram LM (same exact-decimal subtree as unigram_logprob_score), then
+    split each source into head/middle/tail tertiles of the score — the
+    standard "keep the head, maybe the middle, drop the tail" curation knob.
+    ntile runs per-source (the CCNet point: a tail English doc and a head
+    Yoruba doc are not comparable), so the window partitions by source and
+    never funnels the corpus through one task. Output is the per-bucket
+    manifest with the nll range, i.e. the thresholds you'd freeze to filter
+    the next crawl without re-ranking it."""
+    docs = load_wide(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"),
+    )
+    dt = t.groupBy("doc_id", "source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("gc"))
+    tot = vocab.agg(F.sum("gc").cast("double").alias("total"))
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(-F.log(F.col("gc").cast("double") / F.col("total")), 6)
+        .cast("decimal(18,6)")
+        .alias("nll"),
+    )
+    sum_nll = F.sum(F.col("c") * F.col("nll"))
+    doc = (
+        dt.join(lp, "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(sum_nll.cast("double") / F.sum("c"), 6).alias("avg_nll"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("avg_nll", "doc_id")
+    bucketed = doc.withColumn("tertile", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("tertile") == 1, "head")
+        .when(F.col("tertile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return bucketed.groupBy("source", "tertile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_count"),
+        F.min("avg_nll").alias("min_nll"),
+        F.max("avg_nll").alias("max_nll"),
+    ).select(
+        "source", bucket.alias("bucket"), "n_docs", "tok_count",
+        "min_nll", "max_nll",
+    )
+
+
+@register(
+    "length_bucket_padding",
+    f"""
+    WITH t AS (
+      SELECT least({_NTOK_SQL}, 8192) AS n_tok FROM documents),
+    b AS (
+      SELECT n_tok,
+             CASE WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                  WHEN n_tok <= 512 THEN 512 WHEN n_tok <= 1024 THEN 1024
+                  WHEN n_tok <= 2048 THEN 2048 WHEN n_tok <= 4096 THEN 4096
+                  ELSE 8192 END AS bucket_len
+      FROM t)
+    SELECT CAST(bucket_len AS BIGINT) AS bucket_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tok_count,
+           CAST(SUM(bucket_len - n_tok) AS BIGINT) AS padding_tokens,
+           CAST(SUM(bucket_len - n_tok) AS DOUBLE)
+             / CAST(COUNT(*) * bucket_len AS DOUBLE) AS waste_frac
+    FROM b GROUP BY bucket_len
+    """,
+)
+def q_length_bucket_padding(spark, sf_dir):
+    """Length-bucketed batching economics: assign each doc to the smallest
+    power-of-two context bucket ≥ its token count (docs beyond the 8192 max
+    are clipped — they'd be split upstream) and report per-bucket padding
+    waste, the number that decides whether a mixture needs sequence packing
+    (pack_sequences) or length-sorted batching before GPUs see it. Pure
+    projection + one 7-group aggregate; the waste fraction is one IEEE
+    division of exact integer operands."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.least(_ntok(), F.lit(8192))
+    bucket = (
+        F.when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256)
+        .when(n_tok <= 512, 512)
+        .when(n_tok <= 1024, 1024)
+        .when(n_tok <= 2048, 2048)
+        .when(n_tok <= 4096, 4096)
+        .otherwise(8192)
+    )
+    return (
+        docs.select(
+            n_tok.alias("n_tok"), bucket.cast("bigint").alias("bucket_len")
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("tok_count"),
+            F.sum(F.col("bucket_len") - F.col("n_tok"))
+            .cast("bigint")
+            .alias("padding_tokens"),
+            (
+                F.sum(F.col("bucket_len") - F.col("n_tok")).cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket_len")).cast("double")
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@register(
+    "bloom_prune_audit",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE text IS NOT NULL),
+    hist AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+    hpos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(fp || '#' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 65536 AS pos
+      FROM hist CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+    cpos AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(fp || '#' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 65536 AS pos
+      FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+    hits AS (
+      SELECT doc_id, bool_and(pos IN (SELECT pos FROM hpos)) AS hit
+      FROM cpos GROUP BY doc_id),
+    truth AS (
+      SELECT f.doc_id, f.fp IN (SELECT fp FROM hist) AS member FROM fp f),
+    j AS (SELECT h.doc_id, h.hit, t.member
+          FROM hits h JOIN truth t USING (doc_id)),
+    nh AS (SELECT COUNT(*) AS n_history FROM hist)
+    SELECT n_history, COUNT(*) AS n_candidates,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missed,
+           CAST(SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos,
+           SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)
+             <= 0.01 * greatest(COUNT(*) - SUM(CASE WHEN member THEN 1 ELSE 0 END), 1)
+             AS fpr_ok
+    FROM j, nh GROUP BY n_history
+    """,
+)
+def q_bloom_prune_audit(spark, sf_dir):
+    """Bloom-filter membership pruning, audited end-to-end: build a packed
+    m=2^16, k=4 Bloom bitmap over the fingerprints of the "history" third of
+    the corpus (dedup.bloom_build — explode + bit_or, ≤1 024 longs = 8 KB),
+    probe EVERY doc against it (dedup.bloom_probe — word-indexed join, AQE
+    broadcasts the bitmap), and emit the one-row audit: zero false negatives
+    (every true member hits — the property that makes Bloom pruning safe for
+    dedup) and a measured false-positive count under the 1% bound. This is
+    the incremental-dedup scale path: screening a new batch against 100 TB
+    of history costs a kilobytes-sized broadcast instead of a corpus-sized
+    shuffle join; only bloom-hits proceed to exact verification. The DuckDB
+    oracle computes hits as "all k positions ∈ the history position set" —
+    semantically identical to testing bits in the packed bitmap, so the
+    audit row is hash-exact."""
+    docs = load_wide(spark, sf_dir, "documents")
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", text.fingerprint("text").alias("fp")
+    )
+    hist = fp.filter(F.col("doc_id") % 3 == 0).persist()
+    bitmap = dedup.bloom_build(hist, "fp", m=1 << 16, k=4)
+    probed = dedup.bloom_probe(fp, bitmap, "fp", "doc_id", m=1 << 16, k=4)
+    member = (
+        fp.join(
+            hist.select("fp").distinct().withColumn("member", F.lit(True)),
+            "fp",
+            "left",
+        )
+        .select("doc_id", F.coalesce(F.col("member"), F.lit(False)).alias("member"))
+    )
+    nh = hist.agg(F.count(F.lit(1)).alias("n_history"))
+    j = probed.join(member, "doc_id").crossJoin(F.broadcast(nh))
+    n_members = F.sum(F.when(F.col("member"), 1).otherwise(0))
+    n_false = F.sum(F.when(F.col("bloom_hit") & ~F.col("member"), 1).otherwise(0))
+    out = j.groupBy("n_history").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        n_members.cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_hits"),
+        F.sum(F.when(F.col("member") & ~F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        n_false.cast("bigint").alias("n_false_pos"),
+        (
+            n_false
+            <= 0.01 * F.greatest(F.count(F.lit(1)) - n_members, F.lit(1))
+        ).alias("fpr_ok"),
+    )
+    return out
+
+
+@register(
+    "stream_bloom_screen",
+    r"""
+    WITH hist AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id < 250 AND text IS NOT NULL),
+    hpos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(fp || '#' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 65536 AS pos
+      FROM hist CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+    new AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id >= 250),
+    cpos AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(fp || '#' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 65536 AS pos
+      FROM new CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i))
+    SELECT doc_id,
+           coalesce(bool_and(pos IN (SELECT pos FROM hpos)), FALSE) AS bloom_hit
+    FROM cpos GROUP BY doc_id
+    """,
+)
+def q_stream_bloom_screen(spark, sf_dir):
+    """Streaming exact-dup screen against 100 TB of history for the price of
+    8 KB: the historical corpus' fingerprints compress ONCE into a packed
+    m=2^16/k=4 Bloom bitmap (dedup.bloom_build → bloom_collect — a bounded
+    ≤1 024-row control-plane read), and newly arriving documents stream
+    through a PURE map-side projection testing all k bits in-row against the
+    literal bitmap (dedup.bloom_test_packed) — no stream-static join, no
+    state store, no shuffle; every micro-batch row costs 4 md5s and 4 array
+    lookups. Complements stream_neardup_screen (LSH band join, stateful
+    dedup keys) with the exact-membership analog whose cost is independent
+    of history size. Emits every streamed doc's verdict; no false negatives
+    by construction, so `bloom_hit = false` rows are safe to admit directly
+    and only hits proceed to exact verification. The oracle reproduces the
+    bitmap semantics (all k positions ∈ history's position set) —
+    hash-exact, false positives included."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter((F.col("doc_id") < 250) & F.col("text").isNotNull()).select(
+        text.fingerprint("text").alias("fp")
+    )
+    m, k = 1 << 16, 4
+    words = dedup.bloom_collect(dedup.bloom_build(hist, "fp", m=m, k=k), m=m)
+    tag = _fixture_tag(sf_dir, "documents")
+
+    def _build(tmp: str) -> None:
+        new = docs.filter(F.col("doc_id") >= 250).select("doc_id", "text")
+        for i, half in enumerate(
+            (new.filter("doc_id % 2 = 0"), new.filter("doc_id % 2 = 1"))
+        ):
+            half.coalesce(1).write.parquet(os.path.join(tmp, f"b{i}"), mode="overwrite")
+
+    d = _fixture_stage("neardup_stream", tag, _build)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/b*")
+    )
+    screened = stream.select(
+        "doc_id",
+        dedup.bloom_test_packed(
+            text.fingerprint("text"), words, m=m, k=k
+        ).alias("bloom_hit"),
+    )
+    return _drain(screened).select("doc_id", "bloom_hit")
+
+
+@register(
+    "cluster_best_representative",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_98_SQL}),
+    edges AS (SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b AS u, a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+    cc AS (SELECT id AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY id),
+    q AS ({{quality}}),
+    ranked AS (
+      SELECT cc.cluster_id, cc.doc_id, q.quality,
+             row_number() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY q.quality DESC, cc.doc_id) AS rn
+      FROM cc JOIN q USING (doc_id))
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           CAST(MIN(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_doc_id,
+           MIN(CASE WHEN rn = 1 THEN quality END) AS rep_quality
+    FROM ranked GROUP BY cluster_id
+    """.replace("{quality}", _quality_sql()),
+)
+def q_cluster_best_representative(spark, sf_dir):
+    """Quality-aware cluster representative selection: after near-dup
+    clustering (same token-Jaccard ≥ 0.98 pair graph + connected components
+    as dedup_clusters), keep the HIGHEST-quality member of each cluster
+    instead of the lowest id — the policy that turns dedup from "delete
+    arbitrary copies" into "keep the best copy" (boilerplate-stripped
+    mirrors of the same page differ meaningfully in quality). One window
+    per cluster over cluster-sized groups; quality joins in by doc_id. The
+    oracle recomputes the identical fixpoint via RECURSIVE closure and picks
+    the same representative with the same (quality DESC, doc_id) tie-break."""
+    docs = load_wide(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("__items")
+    )
+    pairs = dedup.prefix_filter_pairs(
+        sets, "__items", "doc_id", threshold=0.98
+    ).select("a", "b")
+    cc = dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    quality = docs.select("doc_id", text.quality_score("text").alias("quality"))
+    ranked = cc.join(quality, "doc_id").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("quality").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("rep_doc_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("quality"))).alias("rep_quality"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries

@@ -193,3 +193,66 @@ def ewma(
         return ex.select(F.col("__e.__row.*"), fold.alias(out))
 
     return _op
+
+
+def global_running_sum(
+    df: DataFrame,
+    order: list,
+    value: ColumnLike,
+    out: str = "running_total",
+) -> DataFrame:
+    """Order-sensitive GLOBAL cumulative sum of ``value`` under the total
+    order given by ``order`` — without a single-reducer global sort.
+
+    A bare ``Window.orderBy(...)`` with no partition key funnels every row
+    through one task; fine at test scale, fatal at 100 TB. This uses the
+    same two-phase shape as :func:`makinage_spark.joins.sorted_merge`:
+    ``repartitionByRange(order)`` gives ascending non-overlapping key ranges
+    per partition, ``sortWithinPartitions`` orders within each, then the
+    global running value is the per-partition running sum plus the broadcast
+    cumulative total of all earlier partitions (the offset table has exactly
+    ``spark.sql.shuffle.partitions`` rows — control-plane sized).
+
+    Exactness: pass an integer or decimal ``value`` column — the per-partition
+    partials then add associatively and the result is independent of the
+    partitioning. For doubles, cast to decimal first (float addition is not
+    associative across a repartition).
+
+    CLEANUP CONTRACT: the range-shuffled relation is persisted (it feeds both
+    the offset pass and the output); callers running this repeatedly in one
+    session should ``spark.catalog.clearCache()`` between evaluations (same
+    contract as ``joins.sorted_merge``).
+    """
+    val = _col(value)
+    arranged = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__v", val)
+        .persist()
+    )
+    offsets = (
+        arranged.groupBy("__pid")
+        .agg(F.sum("__v").alias("__s"))
+        .select(
+            "__pid",
+            F.sum("__s")
+            .over(
+                Window.orderBy("__pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("__off"),
+        )
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        arranged.withColumn("__run", F.sum("__v").over(w))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.coalesce(F.col("__off"), F.lit(0)) + F.col("__run"))
+        .drop("__pid", "__run", "__off", "__v")
+    )

@@ -616,12 +616,68 @@ def probe_cc_jump(spark, src: str = SRC) -> None:
     print(json.dumps({"probe": "cc_jump", **out}))
 
 
+def probe_cumsum(spark, dest: str) -> None:
+    """A/B for the global-cumsum formulations behind token_budget_pick: the
+    naive single-reducer ``Window.orderBy`` (no partition key — every row
+    through ONE task) vs ``smath.global_running_sum`` (repartitionByRange +
+    per-partition prefix sums + broadcast offsets). Run against --dest's
+    documents table (pass /tmp/scale_x5 or /tmp/scale_x25). Also verifies the
+    two formulations agree bit-for-bit before timing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from makinage_spark import smath, text
+    from makinage_spark.sources import load_table
+
+    docs = load_table(spark, dest, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.coalesce(text.token_count(F.lower(F.col("text"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tok"),
+        text.quality_score("text").alias("quality"),
+    ).persist()
+    n = scored.count()
+    order = [F.col("quality").desc(), F.col("doc_id")]
+
+    naive_w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+
+    def naive():
+        return scored.withColumn("cum", F.sum("n_tok").over(naive_w))
+
+    def twophase():
+        return smath.global_running_sum(scored, order, "n_tok", "cum")
+
+    agree = (
+        naive().select("doc_id", "cum")
+        .exceptAll(twophase().select("doc_id", "cum"))
+        .limit(1)
+        .count()
+        == 0
+    )
+    out = {"probe": "cumsum", "dest": dest, "rows": n, "agree_exact": agree}
+    for tag, fn in (("naive_single_reducer", naive), ("two_phase", twophase)):
+        best = float("inf")
+        for attempt in range(3):  # attempt 0 = warm-up
+            spark.catalog.clearCache()
+            scored.persist().count()
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            if attempt:
+                best = min(best, time.time() - t0)
+        out[tag] = round(best, 3)
+    out["speedup"] = round(out["naive_single_reducer"] / out["two_phase"], 2)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "cmd",
         choices=["make", "run", "stream", "pairs", "hotseg", "hotgram",
-                 "kmeansk", "ccjump"],
+                 "kmeansk", "ccjump", "cumsum"],
     )
     ap.add_argument("queries", nargs="*")
     ap.add_argument("--mult", type=int, default=5)
@@ -652,6 +708,8 @@ def main():
         # --dest selects the corpus whose pair graph is clustered
         # (pass /root/testdata/sf0.1 for the base-scale A/B)
         probe_cc_jump(spark, args.dest)
+    elif args.cmd == "cumsum":
+        probe_cumsum(spark, args.dest)
     else:
         run(spark, args.dest, args.mult, args.queries)
     spark.stop()
