@@ -629,14 +629,31 @@ def probe_cumsum(spark, dest: str) -> None:
     from makinage_spark import smath, text
     from makinage_spark.sources import load_table
 
-    docs = load_table(spark, dest, "documents")
-    scored = docs.select(
-        "doc_id",
-        F.coalesce(text.token_count(F.lower(F.col("text"))), F.lit(0))
-        .cast("bigint")
-        .alias("n_tok"),
-        text.quality_score("text").alias("quality"),
-    ).persist()
+    if dest.startswith("synthetic:"):
+        # crossover probe: the docs tables top out at 125k rows, far below
+        # where a single-reducer sort starts to hurt — synthesize a plain
+        # (id, weight, value) relation at the requested row count instead
+        rows = int(dest.split(":", 1)[1])
+        scored = (
+            spark.range(rows)
+            .select(
+                F.col("id").alias("doc_id"),
+                ((F.col("id") * 13) % 997 + 1).cast("bigint").alias("n_tok"),
+                (((F.col("id") * 2654435761) % 1000003) / 1000003.0).alias(
+                    "quality"
+                ),
+            )
+            .persist()
+        )
+    else:
+        docs = load_table(spark, dest, "documents")
+        scored = docs.select(
+            "doc_id",
+            F.coalesce(text.token_count(F.lower(F.col("text"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tok"),
+            text.quality_score("text").alias("quality"),
+        ).persist()
     n = scored.count()
     order = [F.col("quality").desc(), F.col("doc_id")]
 
@@ -658,6 +675,15 @@ def probe_cumsum(spark, dest: str) -> None:
         == 0
     )
     out = {"probe": "cumsum", "dest": dest, "rows": n, "agree_exact": agree}
+    # the STRUCTURAL claim, from the plan itself: the naive empty-partition
+    # window plans an Exchange SinglePartition — every row through ONE task
+    # (OOM-bound at corpus scale regardless of wall time); the two-phase path
+    # plans only range/hash exchanges, worst task ~n/shuffle_partitions.
+    # (spark_partition_id() probing is unreliable here: Catalyst may evaluate
+    # it below the window exchange.)
+    for tag, fn in (("naive", naive), ("two_phase", twophase)):
+        plan = fn()._jdf.queryExecution().executedPlan().toString()
+        out[f"single_partition_exchanges_{tag}"] = plan.count("SinglePartition")
     for tag, fn in (("naive_single_reducer", naive), ("two_phase", twophase)):
         best = float("inf")
         for attempt in range(3):  # attempt 0 = warm-up
