@@ -9084,12 +9084,13 @@ def q_token_budget_pick(spark, sf_dir):
         _ntok().alias("n_tok"),
         text.quality_score("text").alias("quality"),
     )
-    budget = scored.agg(
-        F.floor(0.4 * F.sum("n_tok")).cast("bigint").alias("budget")
-    )
     cum = smath.global_running_sum(
         scored, [F.col("quality").desc(), F.col("doc_id")], "n_tok", "cum"
     )
+    # the corpus token total IS the final running value, so the budget comes
+    # from the already-persisted cumsum relation (one aggregate over cached
+    # rows) — deriving it from `scored` would tokenize+scan documents twice
+    budget = cum.agg(F.floor(0.4 * F.max("cum")).cast("bigint").alias("budget"))
     return (
         cum.join(F.broadcast(budget))
         .filter(F.col("cum") - F.col("n_tok") < F.col("budget"))
@@ -9351,10 +9352,13 @@ def q_bloom_prune_audit(spark, sf_dir):
     semantically identical to testing bits in the packed bitmap, so the
     audit row is hash-exact."""
     docs = load_wide(spark, sf_dir, "documents")
+    # persist the narrow (doc_id, fp) projection, not just the history slice:
+    # it feeds the bitmap build, the probe, AND the truth join — unpersisted,
+    # the md5 pass over documents would run three times
     fp = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", text.fingerprint("text").alias("fp")
-    )
-    hist = fp.filter(F.col("doc_id") % 3 == 0).persist()
+    ).persist()
+    hist = fp.filter(F.col("doc_id") % 3 == 0)
     bitmap = dedup.bloom_build(hist, "fp", m=1 << 16, k=4)
     probed = dedup.bloom_probe(fp, bitmap, "fp", "doc_id", m=1 << 16, k=4)
     member = (
@@ -9786,6 +9790,112 @@ def q_dedup_rate_by_source(spark, sf_dir):
         cross.unionByName(diag)
         .groupBy("source_a", "source_b")
         .agg(F.count_distinct("fp").alias("shared_fps"))
+    )
+
+
+@register(
+    "shard_balance_audit",
+    f"""
+    WITH b AS (
+      SELECT {_H_SQL("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+             {_NTOK_SQL} AS n_tok
+      FROM documents),
+    s AS (SELECT shard, CAST(SUM(n_tok) AS BIGINT) AS tok FROM b GROUP BY shard)
+    SELECT COUNT(*) AS n_shards,
+           CAST(MIN(tok) AS BIGINT) AS min_tok,
+           CAST(MAX(tok) AS BIGINT) AS max_tok,
+           CAST(MAX(tok) AS DOUBLE) * COUNT(*) / SUM(tok) AS max_over_avg,
+           CAST(MAX(tok) AS DOUBLE) * COUNT(*) / SUM(tok) <= 1.5 AS balance_ok
+    FROM s
+    """,
+)
+def q_shard_balance_audit(spark, sf_dir):
+    """Quantitative bound on hash-shard balance (the property
+    corpus_shard_manifest relies on): hashed shard assignment must spread
+    tokens evenly enough that no output file — and no window task — becomes
+    a straggler. Asserts max-shard-tokens ≤ 1.5× the mean as a hash-checked
+    one-row audit (same pattern as tdigest/sketch/recall audits: the
+    approximate property gets a measured, driver-hashable bound). Hash
+    sharding balances DOCS by construction; token balance additionally needs
+    doc-length variation to average out within each shard, which is what
+    this measures."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select(
+            (_h64(F.col("doc_id").cast("string")) % 16).alias("shard"),
+            _ntok().alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("n_tok").cast("bigint").alias("tok"))
+    )
+    ratio = F.max("tok").cast("double") * F.count(F.lit(1)) / F.sum("tok")
+    return s.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.min("tok").cast("bigint").alias("min_tok"),
+        F.max("tok").cast("bigint").alias("max_tok"),
+        ratio.alias("max_over_avg"),
+        (ratio <= 1.5).alias("balance_ok"),
+    )
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH fp AS (
+      SELECT CASE WHEN {_H_SQL("'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 98
+                  THEN 'train' ELSE 'holdout' END AS split,
+             md5(array_to_string(
+               (regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))[1:8], ' '))
+               AS fp
+      FROM documents WHERE text IS NOT NULL),
+    per_src AS (SELECT DISTINCT split, fp FROM fp),
+    per AS (SELECT fp,
+                   MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+                   MAX(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS in_holdout
+            FROM per_src GROUP BY fp)
+    SELECT CAST(SUM(in_train) AS BIGINT) AS n_train_fps,
+           CAST(SUM(in_holdout) AS BIGINT) AS n_holdout_fps,
+           CAST(SUM(in_train * in_holdout) AS BIGINT) AS n_leaked_fps,
+           CAST(SUM(in_train * in_holdout) AS DOUBLE)
+             / greatest(SUM(in_holdout), 1) AS leak_frac
+    FROM per
+    """,
+)
+def q_split_leakage_audit(spark, sf_dir):
+    """Eval-hygiene audit: how many prefix fingerprints leak across the
+    train/holdout boundary of the hash split — the measurement you run
+    BEFORE trusting a holdout set, because a random split of an undeduped
+    corpus puts copies of the same document on both sides and the eval
+    becomes a memorization test. Deliberately a measurement, not an asserted
+    zero: the correct pipeline order (dedup → split) is exactly what makes
+    this number drop, and the audit is how you prove it did. One fingerprint
+    projection, one distinct, one fp-keyed aggregate."""
+    docs = load_wide(spark, sf_dir, "documents")
+    bucket = _h64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    fp = docs.filter(F.col("text").isNotNull()).select(
+        F.when(bucket < 98, "train").otherwise("holdout").alias("split"),
+        F.md5(
+            F.array_join(F.slice(text.tokens(F.lower(F.col("text"))), 1, 8), " ")
+        ).alias("fp"),
+    )
+    per = (
+        fp.dropDuplicates(["split", "fp"])
+        .groupBy("fp")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+            F.max(F.when(F.col("split") == "holdout", 1).otherwise(0)).alias(
+                "in_holdout"
+            ),
+        )
+    )
+    leaked = F.sum(F.col("in_train") * F.col("in_holdout"))
+    return per.agg(
+        F.sum("in_train").cast("bigint").alias("n_train_fps"),
+        F.sum("in_holdout").cast("bigint").alias("n_holdout_fps"),
+        leaked.cast("bigint").alias("n_leaked_fps"),
+        (
+            leaked.cast("double") / F.greatest(F.sum("in_holdout"), F.lit(1))
+        ).alias("leak_frac"),
     )
 
 

@@ -85,3 +85,32 @@ def test_quality_ensemble_single_tokenize(spark):
     assert plan.lower().count("regexp_extract_all") == 1
     assert plan.count("InMemoryTableScan") >= 2
     spark.catalog.clearCache()
+
+
+def test_global_cumsum_uses_range_partitioning(spark):
+    # token_budget_pick must NOT funnel the corpus through one task: the
+    # two-phase cumsum plans a rangepartitioning exchange; the only
+    # SinglePartition exchanges sit above control-plane-sized aggregates
+    plan = plan_of(spark, "token_budget_pick")
+    assert "rangepartitioning" in plan
+    spark.catalog.clearCache()
+
+
+def test_bloom_probe_broadcasts_the_bitmap(spark):
+    # the ≤1024-row bitmap relation must reach the probe as a broadcast,
+    # never a shuffle join against the exploded candidate positions
+    plan = plan_of(spark, "bloom_prune_audit")
+    assert "BroadcastHashJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_shard_manifest_single_shard_exchange(spark):
+    # one hash exchange on the shard key feeds both the window sort and the
+    # final aggregate — no second corpus shuffle
+    plan = plan_of(spark, "corpus_shard_manifest")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_code_detect_is_shuffle_free(spark):
+    plan = plan_of(spark, "code_detect_signals")
+    assert "Exchange" not in plan
