@@ -31,9 +31,9 @@ from makinage_spark.queries import QUERIES
 #: design: training_corpus_pipeline now leads with the repeated-span strip,
 #: and quality_ensemble gained the bigram-LM signal — their per-query r4→r5
 #: deltas are composition changes, not regressions (see VERDICT r4 tasks 8/9).
-#: r6 = 46 (added kmeans_table_assign, sorted_merge_strict, token_budget_pick,
-#: bloom_prune_audit — subtract the four from "value" for r5-comparable
-#: totals).
+#: r6 = 47 (added kmeans_table_assign, sorted_merge_strict, token_budget_pick,
+#: bloom_prune_audit, incremental_ingest_pipeline — subtract the five from
+#: "value" for r5-comparable totals).
 HEADLINE = [
     # relational: scan/filter/agg/join/subquery
     "q1_pricing_summary",
@@ -85,9 +85,11 @@ HEADLINE = [
     # round-6 additions: large-k table-path k-means, strict-order k-way merge
     "kmeans_table_assign",
     "sorted_merge_strict",
-    # round-6b additions: two-phase global-cumsum budget pick, Bloom pruning
+    # round-6b additions: two-phase global-cumsum budget pick, Bloom pruning,
+    # and the day-2 incremental ingest flagship (bloom → LSH → quality route)
     "token_budget_pick",
     "bloom_prune_audit",
+    "incremental_ingest_pipeline",
 ]
 
 

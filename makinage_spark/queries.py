@@ -9899,6 +9899,91 @@ def q_split_leakage_audit(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_ingest_pipeline",
+    r"""
+    WITH fps AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+    hist_fps AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 = 0),
+    near AS ({near_pairs}),
+    near_b AS (SELECT DISTINCT b FROM near),
+    q AS ({quality})
+    SELECT f.doc_id,
+           CASE WHEN f.fp IN (SELECT fp FROM hist_fps) THEN 'exact_dup'
+                WHEN f.doc_id IN (SELECT b FROM near_b) THEN 'near_dup'
+                WHEN q.quality < 0.5 THEN 'low_quality'
+                ELSE 'admitted' END AS verdict
+    FROM fps f JOIN q USING (doc_id)
+    WHERE f.doc_id % 3 <> 0
+    """.replace(
+        "{near_pairs}",
+        _minhash_pairs_sql(pair_cond="l.doc_id % 3 = 0 AND r.doc_id % 3 <> 0"),
+    ).replace("{quality}", _quality_sql()),
+)
+def q_incremental_ingest_pipeline(spark, sf_dir):
+    """The day-2 ingest pipeline, end to end: a NEW batch (2/3 of the corpus)
+    is screened against HISTORY (the other third) and every document gets a
+    verdict with reasons ordered by cost — `exact_dup` (Bloom-pruned: the
+    8 KB bitmap eliminates almost every doc from the exact fingerprint
+    verify join, which then runs on bloom-hits only), `near_dup` (LSH band
+    table stream-static-shaped join against the history band index),
+    `low_quality` (score under the 0.5 floor), else `admitted`. This is the
+    operational complement of dedup_pipeline_e2e (day-0 batch dedup of a
+    whole corpus): at 100 TB you never re-dedup the corpus per increment —
+    you probe a fixed-size bitmap, band-join one day's documents against a
+    materialized index, and append. Per-doc verdicts (not counts) are
+    hashed, so the oracle pins every routing decision; Bloom's zero false
+    negatives is what makes the pruned exact path semantically equal to the
+    oracle's plain `fp IN history`."""
+    docs = load_wide(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    m, k = 1 << 16, 4
+    hist_fp = (
+        hist.filter(F.col("text").isNotNull())
+        .select(text.fingerprint("text").alias("fp"))
+        .distinct()
+        .persist()
+    )
+    batch_fp = batch.select("doc_id", text.fingerprint("text").alias("fp"))
+    bitmap = dedup.bloom_build(hist_fp, "fp", m=m, k=k)
+    probed = dedup.bloom_probe(batch_fp, bitmap, "fp", "doc_id", m=m, k=k)
+    # exact verify runs ONLY on bloom hits (the pruning being audited in
+    # bloom_prune_audit); no-FN makes this equal to a full fp join
+    exact = (
+        probed.filter(F.col("bloom_hit"))
+        .join(batch_fp, "doc_id")
+        .join(hist_fp.withColumn("__m", F.lit(True)), "fp", "left")
+        .filter(F.col("__m"))
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+    hist_bands = dedup.minhash_band_table(hist).select(
+        F.col("doc_id").alias("a"), "band", "bucket"
+    )
+    near = (
+        dedup.minhash_band_table(batch)
+        .join(hist_bands, ["band", "bucket"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+    q = batch.select("doc_id", text.quality_score("text").alias("quality"))
+    return (
+        q.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_dup"), "exact_dup")
+            .when(F.col("near_dup"), "near_dup")
+            .when(F.col("quality") < 0.5, "low_quality")
+            .otherwise("admitted")
+            .alias("verdict"),
+        )
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
