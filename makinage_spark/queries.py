@@ -9984,6 +9984,531 @@ def q_incremental_ingest_pipeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 extensions: keep-first sub-document dedup, triangle counting,
+# count-based NB language classifier, count-min heavy hitters, k-anonymity
+# (north-star LLM-pipeline + analytics families; reference scope: makinage
+# has none of these — SURVEY §2 north-star rows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "segment_firstkeep_reconstruct",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+      FROM documents WHERE text IS NOT NULL),
+    base AS (SELECT doc_id, toks FROM toks WHERE len(toks) > 0),
+    inst AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ') AS seg
+      FROM base,
+           unnest(generate_series(1, CAST(ceil(len(toks) / 10.0) AS BIGINT)))
+             t(i)),
+    mark AS (
+      SELECT doc_id, pos, seg,
+             row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, pos)
+               AS rn
+      FROM inst),
+    kept AS (SELECT doc_id, pos, seg FROM mark WHERE rn = 1),
+    outp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_segs,
+             string_agg(seg, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT b.doc_id,
+           CAST(ceil(len(b.toks) / 10.0) AS BIGINT) AS n_segs,
+           COALESCE(o.kept_segs, 0) AS kept_segs,
+           COALESCE(o.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN outp o USING (doc_id)
+    """,
+)
+def q_segment_firstkeep_reconstruct(spark, sf_dir):
+    """Keep-first sub-document dedup with reconstruction (the policy of
+    suffix-array training-data dedup applied at segment granularity): the
+    corpus keeps exactly ONE copy of every distinct 10-token segment — the
+    occurrence with the globally smallest (doc_id, pos) — and every document
+    is rebuilt from its surviving segments. This differs from
+    strip_repeated_spans (which cuts repeated text from *all* documents,
+    including the original): here the first writer keeps its text and only
+    the copies lose theirs, so corpus token mass shrinks by exactly
+    (instances - 1) per distinct segment.
+
+    Scale shape: keeper election is a ``groupBy(fp).agg(min(struct(doc_id,
+    pos)))`` over text-FREE (doc_id, pos, fp) triples — partial-aggregated
+    map-side, so a boilerplate segment with 10⁸ copies crosses the shuffle
+    as one candidate per map task (a rank-window over fp would pin all
+    copies on one reducer). The drop list (dup instances only — small) anti-
+    joins the text-bearing segment stream on the narrow (doc_id, pos) key,
+    and reconstruction is one doc-keyed shuffle of surviving segments. Text
+    crosses exactly two exchanges, both necessary (the verdict join and the
+    rebuild); fingerprints travel everywhere else."""
+    docs = load_wide(spark, sf_dir, "documents")
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", text.tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    n_segs = F.expr("CAST(ceil(size(toks) / 10.0) AS BIGINT)")
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, CAST(ceil(size(toks) / 10.0) AS INT)),"
+                " i -> array_join(slice(toks, (i-1)*10+1, 10), ' '))"
+            )
+        ).alias("pos0", "seg"),
+    )
+    inst = segs.select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "seg", F.md5("seg").alias("fp")
+    )
+    keeper = inst.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    dropl = (
+        inst.select("doc_id", "pos", "fp")
+        .join(keeper, "fp")
+        .filter(F.struct("doc_id", "pos") != F.col("k"))
+        .select("doc_id", "pos")
+    )
+    kept = inst.join(dropl, ["doc_id", "pos"], "left_anti")
+    outp = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_segs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", n_segs.alias("n_segs"))
+        .join(outp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("kept_segs", F.lit(0)).cast("bigint").alias("kept_segs"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    co AS (
+      SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s
+      GROUP BY x, y),
+    tope AS (SELECT x, y FROM co ORDER BY cnt DESC, x, y LIMIT 2000),
+    deg AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT x AS s FROM tope UNION ALL SELECT y AS s FROM tope) u
+      GROUP BY s),
+    tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM tope e1
+      JOIN tope e2 ON e1.y = e2.x
+      JOIN tope e3 ON e3.x = e1.x AND e3.y = e2.y),
+    tc AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS tri_cnt
+      FROM (SELECT a AS s FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) n
+      GROUP BY s)
+    SELECT deg.s AS node, deg.d AS degree,
+           COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+           ROUND(2.0 * COALESCE(tc.tri_cnt, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering
+    FROM deg LEFT JOIN tc ON deg.s = tc.s
+    WHERE deg.d >= 2
+    """,
+)
+def q_graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient over the
+    supplier co-occurrence graph (edges = the 2000 strongest
+    shared-customer pairs, deterministic under (cnt DESC, x, y) — the kNN-
+    graph construction every similarity pipeline runs before community or
+    cohesion analysis). Third iterative-free graph family after
+    PageRank/HITS and connected components.
+
+    Spark shape: degree-ordered orientation (Chiba–Nishizeki / Schank):
+    each undirected edge is directed from its lower-(degree, id) endpoint
+    to the higher, so every triangle is generated by exactly one wedge at
+    its lowest-rank apex and closed by one hash join. Orientation bounds
+    per-node out-degree by O(sqrt(m)) on any graph, so wedge count — the
+    quadratic term that kills naive a<b<c enumeration on power-law hubs —
+    is O(m^1.5) worst case instead of sum(deg^2). The oracle enumerates
+    the same triangles by id order (orientation changes the generation
+    order, never the set). Edge build reuses the cooccurrence wedge guard;
+    the top-2000 cut keeps the graph size scale-invariant (it's a kNN-style
+    sparsifier, not a sample: heaviest edges first). Caching contract: the
+    2000-row edge list is persisted (it feeds the degree, wedge, and
+    closure subtrees); like pagerank, a long-lived session should
+    clearCache() between unrelated corpora."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = e0.alias("a"), e0.alias("b")
+    tope = (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "x", "y")
+        .limit(2000)
+        .select("x", "y")
+        .persist()
+    )
+    deg = (
+        tope.select(F.col("x").alias("s"))
+        .unionAll(tope.select(F.col("y").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("rdx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("rdy"))
+    ranked = tope.join(F.broadcast(dx), "x").join(F.broadcast(dy), "y")
+    fwd = F.struct(F.col("rdx"), F.col("x")) < F.struct(F.col("rdy"), F.col("y"))
+    er = ranked.select(
+        F.when(fwd, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(fwd, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(fwd, F.col("rdy")).otherwise(F.col("rdx")).alias("rdd"),
+    )
+    wa, wb = er.alias("wa"), er.alias("wb")
+    wedges = wa.join(
+        wb,
+        on=[
+            F.col("wa.src") == F.col("wb.src"),
+            F.struct(F.col("wa.rdd"), F.col("wa.dst"))
+            < F.struct(F.col("wb.rdd"), F.col("wb.dst")),
+        ],
+    ).select(
+        F.col("wa.src").alias("u"),
+        F.col("wa.dst").alias("v"),
+        F.col("wb.dst").alias("w"),
+    )
+    closer = er.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closer, ["v", "w"])
+    pernode = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tri_cnt"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "s", "left")
+        .select(
+            F.col("s").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce("tri_cnt", F.lit(0)).cast("bigint").alias("tri_cnt"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("tri_cnt", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
+@register(
+    "naive_bayes_language",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS t
+      FROM documents WHERE text IS NOT NULL),
+    tr AS (SELECT lang, t FROM toks WHERE doc_id % 2 = 0),
+    cls AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
+      GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cls),
+    vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tr),
+    ct AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tr GROUP BY lang, t),
+    totc AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot_c
+             FROM tr GROUP BY lang),
+    pri AS (
+      SELECT cls.lang,
+             CAST(FLOOR(1e6 * LN(CAST(cls.n_docs AS DOUBLE) / tot.n))
+                  AS BIGINT) AS p,
+             totc.tot_c
+      FROM cls JOIN totc ON totc.lang = cls.lang CROSS JOIN tot),
+    test AS (SELECT doc_id, lang AS actual, t FROM toks WHERE doc_id % 2 = 1),
+    grid AS (
+      SELECT te.doc_id, te.actual, p.lang AS cand, p.p, p.tot_c, v.v,
+             COALESCE(ct.cnt, 0) AS cnt
+      FROM test te
+      CROSS JOIN pri p
+      CROSS JOIN vocab v
+      LEFT JOIN ct ON ct.lang = p.lang AND ct.t = te.t),
+    scored AS (
+      SELECT doc_id, actual, cand,
+             ANY_VALUE(p)
+             + SUM(CAST(FLOOR(1e6 * LN(CAST(cnt + 1 AS DOUBLE) / (tot_c + v)))
+                        AS BIGINT)) AS score
+      FROM grid GROUP BY doc_id, actual, cand),
+    fin AS (
+      SELECT doc_id, actual, cand, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM scored)
+    SELECT doc_id, actual, cand AS predicted, CAST(score AS BIGINT) AS score,
+           (cand = actual) AS correct
+    FROM fin WHERE rn = 1
+    """,
+)
+def q_naive_bayes_language(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier, trained and scored in
+    ONE logical plan: even doc_ids train per-class token counts (Laplace
+    +1 smoothing over the train vocabulary), odd doc_ids are scored with
+    log-likelihood sums and classified by argmax — the count-based
+    classifier every corpus pipeline runs for cheap labeling, and the
+    statistical complement of the heuristic text_language_id. Scores are
+    pinned as floor(1e6·ln(count ratio)) BIGINTs summed per (doc, class):
+    each term is one IEEE ln of an exactly-representable rational, so the
+    scaled floor is bit-portable across engines, the sum is integer math,
+    and the argmax (tie-break: lexicographic class) is hash-exact — no
+    float comparison survives to the output.
+
+    Scale shape: the model IS three aggregates — (class, token) counts
+    (map-side combined), per-class totals, and a broadcast class table;
+    scoring is the token stream joined to the (class, token) table, then
+    one (doc, class) re-aggregate and a min_by argmax. No iteration, no
+    driver state; the only corpus-scale shuffles are the two count
+    groupBys and the score re-aggregate. Train vocabulary V rides along as
+    a broadcast 1-row aggregate."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text.tokens(F.lower(F.col("text")))).alias("t"),
+    )
+    tr = toks.filter(F.col("doc_id") % 2 == 0).select("lang", "t")
+    cls = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    tot = cls.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    vocab = tr.agg(F.count_distinct("t").cast("bigint").alias("v"))
+    ct = (
+        tr.groupBy("lang", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumnRenamed("lang", "cand")
+    )
+    totc = tr.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tot_c")
+    )
+    pri = (
+        cls.join(totc, "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("lang").alias("cand"),
+            F.floor(
+                F.lit(1e6) * F.log(F.col("n_docs").cast("double") / F.col("n"))
+            )
+            .cast("bigint")
+            .alias("p"),
+            "tot_c",
+        )
+    )
+    test = toks.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("actual"), "t"
+    )
+    grid = (
+        test.crossJoin(F.broadcast(pri))
+        .crossJoin(F.broadcast(vocab))
+        .join(ct, ["cand", "t"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    )
+    term = F.floor(
+        F.lit(1e6)
+        * F.log(
+            (F.col("cnt") + 1).cast("double") / (F.col("tot_c") + F.col("v"))
+        )
+    ).cast("bigint")
+    scored = grid.groupBy("doc_id", "actual", "cand").agg(
+        (F.any_value(F.col("p")) + F.sum(term)).cast("bigint").alias("score")
+    )
+    return (
+        scored.groupBy("doc_id", "actual")
+        .agg(
+            F.expr("min_by(cand, struct(-score, cand))").alias("predicted"),
+            F.max("score").cast("bigint").alias("score"),
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "predicted",
+            "score",
+            (F.col("predicted") == F.col("actual")).alias("correct"),
+        )
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH ev AS (SELECT user_id FROM events),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+    st AS (
+      SELECT user_id, j,
+             CAST(concat('0x', substr(md5(concat('cms', CAST(j AS VARCHAR),
+                  ':', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
+      FROM ev, unnest(generate_series(0, 3)) t(j)),
+    cells AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM st GROUP BY j, b),
+    truth AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM ev GROUP BY user_id),
+    probes AS (
+      SELECT user_id, j,
+             CAST(concat('0x', substr(md5(concat('cms', CAST(j AS VARCHAR),
+                  ':', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
+      FROM truth, unnest(generate_series(0, 3)) t(j)),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS est_cnt
+      FROM probes p JOIN cells c ON c.j = p.j AND c.b = p.b
+      GROUP BY p.user_id)
+    SELECT t.user_id, t.true_cnt, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+           CAST(e.est_cnt - t.true_cnt AS BIGINT) AS overcount,
+           (t.true_cnt * 50 >= n.n) AS is_heavy,
+           ((e.est_cnt - t.true_cnt) * 64 <= 3 * n.n) AS within_bound
+    FROM truth t JOIN est e USING (user_id) CROSS JOIN n
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (d=4 rows × w=64 buckets) over the event user
+    stream, audited cell-for-cell against exact counts — the fixed-memory
+    heavy-hitter structure for streams too wide to count exactly. The
+    sketch is built the only way a sketch should be built on Spark: the
+    (row, bucket) cell counts ARE a groupBy — 256 rows of state total,
+    map-side combined, independent of stream length. Point estimates
+    (min over the item's d cells) come from joining a probe table of
+    distinct items back to the cells. The audit pins the two CMS
+    guarantees as hash-checked booleans: estimates never undercount
+    (overcount ≥ 0 by construction — the oracle recomputes it exactly),
+    and every overcount obeys the ε·N bound with ε = 3/w ≥ e/w (integer
+    arithmetic both sides: overcount·w ≤ 3·N). Hashes are md5-derived
+    32-bit slices — bit-identical in Spark and the oracle, so the sketch
+    itself (not just its contract) is reproduced exactly.
+
+    At 100 TB: the sketch stays 256 cells whatever the stream; build cost
+    is one map-side-combined pass. w/d are constructor knobs; the heavy
+    set (true_cnt ≥ N/50) would be CMS-screened first at real scale —
+    here every distinct user is audited because the test stream's
+    distinct set is small."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    n = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def bucket(user, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            j.cast("string"),
+                            F.lit(":"),
+                            user.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 64
+        )
+
+    st = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    ).select("user_id", "j", bucket(F.col("user_id"), F.col("j")).alias("b"))
+    cells = st.groupBy("j", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    truth = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    probes = truth.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+    ).select("user_id", "j", bucket(F.col("user_id"), F.col("j")).alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        truth.join(est, "user_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "true_cnt",
+            F.col("est_cnt").cast("bigint").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+            (F.col("true_cnt") * 50 >= F.col("n")).alias("is_heavy"),
+            ((F.col("est_cnt") - F.col("true_cnt")) * 64 <= 3 * F.col("n")).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH q AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bracket,
+             c_mktsegment
+      FROM customer),
+    cls AS (
+      SELECT c_nationkey, bal_bracket,
+             CAST(COUNT(*) AS BIGINT) AS k_size,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+      FROM q GROUP BY c_nationkey, bal_bracket)
+    SELECT c_nationkey, bal_bracket, k_size, l_div,
+           (k_size < 5 OR l_div < 2) AS risky
+    FROM cls
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity / l-diversity audit over the customer table: rows are
+    grouped into quasi-identifier equivalence classes (nation ×
+    account-balance bracket) and each class reports its size k, the
+    diversity l of the sensitive attribute (market segment), and a risky
+    flag (k < 5 or l < 2 — the re-identification and homogeneity attack
+    thresholds). The release decision every privacy pipeline makes before
+    publishing user-derived training data. One groupBy over narrow
+    columns; class count is bounded by the QI domain, not the row count,
+    so the result stays small at any corpus scale."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_bracket"),
+        "c_mktsegment",
+    )
+    cls = q.groupBy("c_nationkey", "bal_bracket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_size"),
+        F.count_distinct("c_mktsegment").cast("bigint").alias("l_div"),
+    )
+    return cls.select(
+        "c_nationkey",
+        "bal_bracket",
+        "k_size",
+        "l_div",
+        ((F.col("k_size") < 5) | (F.col("l_div") < 2)).alias("risky"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
