@@ -10509,6 +10509,140 @@ def q_k_anonymity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "cms_join_size_estimate",
+    """
+    WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+    n AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS na,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb),
+    ca AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat('cmj', CAST(j AS VARCHAR),
+                  ':', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 256
+               AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM a, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+    cb AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat('cmj', CAST(j AS VARCHAR),
+                  ':', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 256
+               AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b, unnest(generate_series(0, 3)) t(j) GROUP BY 1, 2),
+    est AS (
+      SELECT ca.j, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS est_j
+      FROM ca JOIN cb ON ca.j = cb.j AND ca.bkt = cb.bkt
+      GROUP BY ca.j),
+    ex AS (
+      SELECT CAST(SUM(fa.cnt * fb.cnt) AS BIGINT) AS exact_size
+      FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM a
+            GROUP BY user_id) fa
+      JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM b
+            GROUP BY user_id) fb USING (user_id)),
+    mn AS (SELECT MIN(est_j) AS min_est FROM est)
+    SELECT est.j, est.est_j, ex.exact_size,
+           CAST(est.est_j - ex.exact_size AS BIGINT) AS overcount,
+           (est.est_j = mn.min_est) AS is_min,
+           (est.est_j >= ex.exact_size) AS no_undercount,
+           ((est.est_j - ex.exact_size) * 256 <= 3 * n.na * n.nb)
+             AS within_bound
+    FROM est CROSS JOIN ex CROSS JOIN mn CROSS JOIN n
+    """,
+)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """Sketch-based JOIN-SIZE estimation via the count-min inner-product
+    identity: |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated as
+    min_j Σ_b cmsA[j][b]·cmsB[j][b] — the cardinality estimate a planner
+    consults at 100 TB to pick a join strategy (broadcast vs shuffle vs
+    skew-salt) BEFORE running the join, from two fixed-size (4×256-cell)
+    summaries that were built in one streaming pass each and can be
+    unioned/persisted per partition of the corpus. Audited like
+    cms_heavy_hitters: the sketch hashes are md5-derived 32-bit slices
+    reproduced bit-identically in the oracle, so every per-row estimate —
+    not just the contract — is hash-exact. The output pins, per sketch row:
+    the inner-product estimate, the exact join size (recomputed from
+    per-key frequency joins), no-undercount (est ≥ exact holds for EVERY
+    row — collisions only add mass), the CMS error bound
+    overcount ≤ (3/w)·N_A·N_B as integer arithmetic, and which row the
+    min-estimator picks.
+
+    Scale shape: each sketch is a groupBy over (row, bucket) — ≤1024 cells
+    of state, map-side combined, independent of stream length; the
+    estimate is a 1024-row self-sized join. The exact side (for the audit)
+    is the expensive path — two per-key frequency aggregates and a key
+    join — which is precisely the cost the sketch exists to avoid."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+
+    def bucket(user, j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cmj"),
+                            j.cast("string"),
+                            F.lit(":"),
+                            user.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        )
+
+    def cells(side):
+        return (
+            side.select(
+                "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j")
+            )
+            .select("j", bucket(F.col("user_id"), F.col("j")).alias("bkt"))
+            .groupBy("j", "bkt")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+
+    ca, cb = cells(a), cells(b).withColumnRenamed("cnt", "cntb")
+    est = (
+        ca.join(cb, ["j", "bkt"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cnt") * F.col("cntb")).cast("bigint").alias("est_j"))
+    )
+    fa = a.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("fa"))
+    fb = b.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("fb"))
+    ex = (
+        fa.join(fb, "user_id")
+        .agg(F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("exact_size"))
+    )
+    n = a.agg(F.count(F.lit(1)).cast("bigint").alias("na")).crossJoin(
+        b.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    )
+    mn = est.agg(F.min("est_j").alias("min_est"))
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(mn))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            "est_j",
+            "exact_size",
+            (F.col("est_j") - F.col("exact_size")).cast("bigint").alias("overcount"),
+            (F.col("est_j") == F.col("min_est")).alias("is_min"),
+            (F.col("est_j") >= F.col("exact_size")).alias("no_undercount"),
+            (
+                (F.col("est_j") - F.col("exact_size")) * 256
+                <= 3 * F.col("na") * F.col("nb")
+            ).alias("within_bound"),
+        )
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
