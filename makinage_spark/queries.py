@@ -10830,6 +10830,189 @@ def q_jl_projection_distortion(spark, sf_dir):
     )
 
 
+@register(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+               AS t
+      FROM documents WHERE text IS NOT NULL),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    idf AS (
+      SELECT tf.t,
+             CAST(FLOOR(1e6 * LN(CAST(nd.n AS DOUBLE)
+                  / COUNT(DISTINCT tf.doc_id))) AS BIGINT) AS idf_q
+      FROM tf CROSS JOIN nd GROUP BY tf.t, nd.n),
+    qterms AS (SELECT DISTINCT t FROM toks WHERE doc_id = 0),
+    lex AS (
+      SELECT tf.doc_id, CAST(SUM(tf.tf * idf.idf_q) AS BIGINT) AS lex_score
+      FROM tf JOIN qterms q ON q.t = tf.t JOIN idf ON idf.t = tf.t
+      WHERE tf.doc_id <> 0 GROUP BY tf.doc_id),
+    lexc AS (SELECT * FROM lex ORDER BY lex_score DESC, doc_id LIMIT 200),
+    lexr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY lex_score DESC, doc_id) AS lex_rank
+      FROM lexc),
+    x AS (
+      SELECT vec_id, j,
+             CAST(FLOOR(10000 * CAST(embedding[j] AS DOUBLE)) AS BIGINT) AS xq
+      FROM embeddings, unnest(generate_series(1, 64)) t(j)
+      WHERE embedding IS NOT NULL AND len(embedding) = 64),
+    qv AS (SELECT j, xq FROM x WHERE vec_id = 0),
+    qn AS (SELECT CAST(SUM(xq * xq) AS BIGINT) AS qv2 FROM qv),
+    dots AS (
+      SELECT x.vec_id, CAST(SUM(x.xq * qv.xq) AS BIGINT) AS dot,
+             CAST(SUM(x.xq * x.xq) AS BIGINT) AS dv2
+      FROM x JOIN qv ON qv.j = x.j WHERE x.vec_id <> 0 GROUP BY x.vec_id),
+    sem AS (
+      SELECT d.vec_id AS doc_id,
+             CAST(FLOOR((1e9 * CAST(d.dot AS DOUBLE)) /
+                  (SQRT(CAST(d.dv2 AS DOUBLE)) * SQRT(CAST(qn.qv2 AS DOUBLE))))
+                  AS BIGINT) AS cos_q
+      FROM dots d CROSS JOIN qn WHERE d.dv2 > 0 AND qn.qv2 > 0),
+    semc AS (SELECT * FROM sem ORDER BY cos_q DESC, doc_id LIMIT 200),
+    semr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_q DESC, doc_id) AS sem_rank
+      FROM semc),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+             CAST(COALESCE(s.sem_rank, 0) AS BIGINT) AS sem_rank,
+             CAST(COALESCE(1000000000 // (60 + l.lex_rank), 0)
+                + COALESCE(1000000000 // (60 + s.sem_rank), 0) AS BIGINT)
+               AS rrf
+      FROM lexr l FULL OUTER JOIN semr s ON s.doc_id = l.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+)
+def q_hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion — the standard two-
+    retriever pattern of RAG data pipelines: a LEXICAL ranking (tf·idf
+    overlap with the query document's term set, idf pinned as
+    floor(1e6·ln) integers) and a SEMANTIC ranking (cosine against the
+    query document's embedding, vectors quantized to 1e4-scaled bigints
+    so the dot products and norms are exact integers; the only float op
+    is one identically-shaped sqrt/divide whose floor both engines
+    reproduce bit-for-bit), fused by RRF: score = Σ 1e9 DIV (60 + rank),
+    integer arithmetic end to end. Rank 0 marks a document outside that
+    retriever's candidate list (contributes nothing — standard
+    RRF-with-cutoff semantics).
+
+    Scale shape: each retriever ends in a TOP-200 candidate cut that
+    Spark compiles to TakeOrderedAndProject — a distributed top-k
+    (per-partition heaps + one k-sized merge), NOT a global sort — so the
+    rank window that follows runs over a constant 200 rows regardless of
+    corpus size. The lexical side is the inverted-index join (query terms
+    × postings — |q| bounded); the semantic side is one broadcast of the
+    64-dim query vector through a map-side dot product. At production
+    scale the semantic candidate generator would be the IVF/LSH index
+    (vectors.py) rather than the brute scan; the fusion stage is
+    unchanged."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    nd = toks.agg(F.count_distinct("doc_id").cast("bigint").alias("n"))
+    tf = toks.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    idf = (
+        tf.groupBy("t")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "t",
+            F.floor(F.lit(1e6) * F.log(F.col("n").cast("double") / F.col("df")))
+            .cast("bigint")
+            .alias("idf_q"),
+        )
+    )
+    qterms = toks.filter(F.col("doc_id") == 0).select("t").distinct()
+    lex = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(idf, "t")
+        .filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_q")).cast("bigint").alias("lex_score"))
+    )
+    lexc = lex.orderBy(F.desc("lex_score"), "doc_id").limit(200)
+    lexr = lexc.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    emb = load_wide(spark, sf_dir, "embeddings")
+    x = (
+        emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
+        .select("vec_id", F.posexplode("embedding").alias("j0", "e"))
+        .select(
+            "vec_id",
+            (F.col("j0") + 1).alias("j"),
+            F.floor(F.lit(10000) * F.col("e").cast("double"))
+            .cast("bigint")
+            .alias("xq"),
+        )
+    )
+    qv = x.filter(F.col("vec_id") == 0).select("j", F.col("xq").alias("qxq"))
+    qn = qv.agg(F.sum(F.col("qxq") * F.col("qxq")).cast("bigint").alias("qv2"))
+    dots = (
+        x.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xq") * F.col("qxq")).cast("bigint").alias("dot"),
+            F.sum(F.col("xq") * F.col("xq")).cast("bigint").alias("dv2"),
+        )
+    )
+    sem = (
+        dots.crossJoin(F.broadcast(qn))
+        .filter((F.col("dv2") > 0) & (F.col("qv2") > 0))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.floor(
+                (F.lit(1e9) * F.col("dot").cast("double"))
+                / (
+                    F.sqrt(F.col("dv2").cast("double"))
+                    * F.sqrt(F.col("qv2").cast("double"))
+                )
+            )
+            .cast("bigint")
+            .alias("cos_q"),
+        )
+    )
+    semc = sem.orderBy(F.desc("cos_q"), "doc_id").limit(200)
+    semr = semc.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_q"), "doc_id"))
+        .alias("sem_rank"),
+    )
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).cast("bigint").alias("sem_rank"),
+            (
+                F.coalesce(
+                    F.expr("1000000000 DIV (60 + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000 DIV (60 + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
