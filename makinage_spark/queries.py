@@ -11013,6 +11013,93 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
 
 
+@register(
+    "source_score_calibration",
+    f"""
+    WITH sc AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS score
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id, score,
+             ntile(20) OVER (ORDER BY score, doc_id) AS gb
+      FROM sc),
+    gmax AS (SELECT gb, CAST(MAX(score) AS BIGINT) AS cal FROM g GROUP BY gb),
+    s AS (
+      SELECT doc_id, source, score,
+             ntile(20) OVER (PARTITION BY source ORDER BY score, doc_id) AS sb
+      FROM sc)
+    SELECT s.doc_id, s.source, s.score, CAST(s.sb AS BIGINT) AS bucket,
+           gmax.cal AS calibrated
+    FROM s JOIN gmax ON gmax.gb = s.sb
+    """,
+)
+def q_source_score_calibration(spark, sf_dir):
+    """Cross-source quality-score CALIBRATION by quantile normalization —
+    the fix for the fact that quality scores from heterogeneous sources
+    (different classifiers, different length distributions) are not
+    comparable: each document's score is replaced by the GLOBAL
+    distribution's value at the same within-source quantile, so "top 5%
+    of src3" and "top 5% of src17" map to the same calibrated number and
+    a single corpus-wide quality threshold becomes meaningful. Buckets
+    are vigintiles (ntile(20)); calibrated value = the global bucket's
+    max score. All integer (score = token count), hash-exact.
+
+    Scale shape: the per-source vigintile is a partitioned window (safe —
+    one source per reducer group). The GLOBAL vigintile is where a naive
+    plan ships ``ntile(20) OVER (ORDER BY ...)`` with no partition key —
+    an Exchange SinglePartition over the corpus. This implementation
+    instead derives the global rank from ``smath.global_running_sum`` of
+    1 under the (score, doc_id) total order (repartitionByRange +
+    per-partition prefix counts + broadcast partition offsets — see the
+    cumsum A/B in SCALING.md for the 5M/20M-row regime where the naive
+    form loses 4.4–6.8×) and converts rank → bucket with the exact ntile
+    formula (first n mod k buckets hold ⌈n/k⌉ rows), reproducing engine
+    ntile semantics bit-for-bit; the 20-row bucket-max table then
+    broadcasts. Oracle uses plain ntile — hash equality proves the
+    two-phase rank path IS ntile."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sc = docs.select(
+        "doc_id",
+        "source",
+        F.size(text.tokens(F.lower(F.col("text")))).cast("bigint").alias("score"),
+    )
+    ranked = smath.global_running_sum(
+        sc, ["score", "doc_id"], F.lit(1), out="grank"
+    )
+    n = sc.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    g = ranked.crossJoin(F.broadcast(n)).withColumn(
+        "gb",
+        F.expr(
+            """
+            CASE WHEN (grank - 1) < (n % 20) * ((n DIV 20) + 1)
+                 THEN (grank - 1) DIV ((n DIV 20) + 1) + 1
+                 ELSE (n % 20)
+                      + ((grank - 1) - (n % 20) * ((n DIV 20) + 1))
+                        DIV (n DIV 20) + 1
+            END
+            """
+        ),
+    )
+    gmax = g.groupBy("gb").agg(F.max("score").cast("bigint").alias("cal"))
+    s = sc.withColumn(
+        "sb",
+        F.ntile(20).over(
+            Window.partitionBy("source").orderBy("score", "doc_id")
+        ),
+    )
+    return s.join(
+        F.broadcast(gmax), s.sb == F.col("gb")
+    ).select(
+        "doc_id",
+        "source",
+        "score",
+        F.col("sb").cast("bigint").alias("bucket"),
+        F.col("cal").alias("calibrated"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
