@@ -90,6 +90,9 @@ HEADLINE = [
     "token_budget_pick",
     "bloom_prune_audit",
     "incremental_ingest_pipeline",
+    # round-6d additions: JL dim-reduction audit and hybrid RRF retrieval
+    "jl_projection_distortion",
+    "hybrid_rrf_retrieval",
 ]
 
 
