@@ -11223,6 +11223,102 @@ def q_chi_square_feature_terms(spark, sf_dir):
     )
 
 
+@register(
+    "ab_test_proportions",
+    """
+    WITH ev AS (
+      SELECT event_type, user_id % 2 AS grp FROM events),
+    tot AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY grp),
+    cnt AS (
+      SELECT event_type, grp, CAST(COUNT(*) AS BIGINT) AS x
+      FROM ev GROUP BY event_type, grp),
+    w AS (
+      SELECT ca.event_type,
+             ta.n AS na, ca.x AS xa, tb.n AS nb, cb.x AS xb
+      FROM (SELECT event_type, x FROM cnt WHERE grp = 0) ca
+      JOIN (SELECT event_type, x FROM cnt WHERE grp = 1) cb
+        USING (event_type)
+      CROSS JOIN (SELECT n FROM tot WHERE grp = 0) ta
+      CROSS JOIN (SELECT n FROM tot WHERE grp = 1) tb),
+    z AS (
+      SELECT event_type, na, xa, nb, xb,
+             CAST(FLOOR((1e6
+                  * (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))
+                  * (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)
+                     - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                  / ((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                     * (1 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                     * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))
+                  AS BIGINT) AS z2_ppm
+      FROM w WHERE xa + xb > 0 AND xa + xb < na + nb)
+    SELECT event_type, na, xa, nb, xb, z2_ppm, (z2_ppm > 3841459) AS significant
+    FROM z
+    """,
+)
+def q_ab_test_proportions(spark, sf_dir):
+    """Two-proportion z-test between user cohorts (even vs odd user_id),
+    one row per event type: is the share of this event type in cohort A's
+    traffic different from cohort B's beyond chance? The pooled-variance
+    z² statistic is pinned as a ppm-scaled integer — the contingency
+    counts are exact bigints from two groupBys, and the single double
+    evaluation uses an identical expression shape on both engines — and
+    the significance flag compares that integer against the scaled
+    χ²₁ 95% critical value (3.841459), so the verdict itself is integer
+    arithmetic. The hash-split cohorts make this an A/A-calibrated
+    experiment audit: a uniform generator should (and mostly does) come
+    out not-significant, and the one component that IS flagged at sf0.1
+    is a real composition difference the oracle independently confirms —
+    the machinery every experimentation pipeline runs on event streams.
+
+    Scale shape: two map-side-combined aggregates over (type, cohort) and
+    (cohort); everything after is control-plane sized (5 types × constant
+    columns, broadcast cross joins of 1-row totals)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    )
+    tot = ev.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cnt = ev.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    ca = cnt.filter(F.col("grp") == 0).select("event_type", F.col("x").alias("xa"))
+    cb = cnt.filter(F.col("grp") == 1).select("event_type", F.col("x").alias("xb"))
+    ta = tot.filter(F.col("grp") == 0).select(F.col("n").alias("na"))
+    tb = tot.filter(F.col("grp") == 1).select(F.col("n").alias("nb"))
+    w = (
+        ca.join(cb, "event_type")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+    )
+    z = w.filter(
+        ((F.col("xa") + F.col("xb")) > 0)
+        & ((F.col("xa") + F.col("xb")) < (F.col("na") + F.col("nb")))
+    ).withColumn(
+        "z2_ppm",
+        F.expr(
+            "CAST(FLOOR((1e6"
+            " * (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+            " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE))"
+            " * (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)"
+            " - CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)))"
+            " / ((CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+            " * (1 - CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+            " * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))))"
+            " AS BIGINT)"
+        ),
+    )
+    return z.select(
+        "event_type",
+        "na",
+        "xa",
+        "nb",
+        "xb",
+        "z2_ppm",
+        (F.col("z2_ppm") > 3841459).alias("significant"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
