@@ -11413,6 +11413,180 @@ def q_markov_stationary_profile(spark, sf_dir):
     )
 
 
+@register(
+    "mixture_waterfill_alloc",
+    f"""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')))
+                  AS BIGINT) AS cap,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM documents WHERE text IS NOT NULL GROUP BY source),
+    b AS (SELECT CAST((SUM(cap) * 9) // 10 AS BIGINT) AS budget FROM src),
+    ord AS (
+      SELECT source, cap, w,
+             row_number() OVER (ORDER BY CAST(cap AS DOUBLE)
+                                / CAST(w AS DOUBLE), source) AS pos
+      FROM src),
+    pre AS (
+      SELECT o.*, b.budget,
+             COALESCE(SUM(cap) OVER (ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumcap,
+             COALESCE(SUM(w) OVER (ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw,
+             SUM(w) OVER () AS wtot
+      FROM ord o CROSS JOIN b),
+    sat AS (
+      SELECT *, (cap * (wtot - cumw) <= (budget - cumcap) * w) AS saturated
+      FROM pre),
+    kq AS (
+      SELECT CAST(SUM(CASE WHEN saturated THEN cap ELSE 0 END) AS BIGINT)
+               AS satcap,
+             CAST(SUM(CASE WHEN saturated THEN w ELSE 0 END) AS BIGINT)
+               AS satw
+      FROM sat),
+    alloc0 AS (
+      SELECT s.source, s.cap, s.w, s.saturated, s.budget, s.wtot,
+             CASE WHEN s.saturated THEN s.cap
+                  ELSE ((s.budget - k.satcap) * s.w) // (s.wtot - k.satw)
+             END AS alloc_base,
+             CASE WHEN s.saturated THEN 0
+                  ELSE ((s.budget - k.satcap) * s.w) % (s.wtot - k.satw)
+             END AS rem
+      FROM sat s CROSS JOIN kq k),
+    fin AS (
+      SELECT a.*,
+             CAST(SUM(alloc_base) OVER () AS BIGINT) AS allocated,
+             row_number() OVER (ORDER BY a.saturated, a.rem DESC, a.source)
+               AS remrank
+      FROM alloc0 a),
+    outp AS (
+      SELECT source, cap, w, saturated, budget,
+             CAST(alloc_base + CASE WHEN NOT saturated
+                  AND remrank <= (budget - allocated) THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+      FROM fin)
+    SELECT source, cap, w, saturated, alloc,
+           CAST(SUM(alloc) OVER () AS BIGINT) AS total_alloc, budget,
+           (SUM(alloc) OVER () = budget) AS total_ok,
+           (alloc <= cap) AS cap_ok
+    FROM outp
+    """,
+)
+def q_mixture_waterfill_alloc(spark, sf_dir):
+    """Water-filling token-budget allocation across sources — the data-
+    mixing allocator: fill a corpus budget (here 90% of total tokens)
+    proportionally to per-source weights, respecting each source's hard
+    cap. Sources whose cap sits below the proportional fill line saturate
+    (take all they have) and their shortfall is redistributed over the
+    rest — the classic max-min-fair / water-filling solution, computed in
+    ONE pass because saturation is monotone in cap/weight order: sort by
+    cap/w, take prefix cumsums, and a source saturates iff
+    cap·W_rest ≤ B_rest·w (exact integer cross-multiplication — no λ is
+    ever materialized as a float). Unsaturated sources get
+    (B_rest·w) DIV W_rest plus a largest-remainder top-up, so Σalloc ==
+    budget EXACTLY; both invariants (total_ok, alloc ≤ cap) ride along as
+    hash-checked booleans. Complements token_budget_pick (which picks
+    documents WITHIN a budget) by deciding the budget split ACROSS
+    sources first.
+
+    Scale shape: the only corpus-scale work is the per-source cap/weight
+    aggregate (map-side combined); every window after that runs over the
+    per-source relation — control-plane sized (thousands of sources at
+    most), so the unpartitioned windows are bounded by the source domain,
+    never the corpus."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(text.tokens(F.lower(F.col("text")))))
+        .cast("bigint")
+        .alias("cap"),
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+    )
+    b = src.agg(F.expr("CAST((SUM(cap) * 9) DIV 10 AS BIGINT)").alias("budget"))
+    ordd = src.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("cap").cast("double") / F.col("w").cast("double"),
+                "source",
+            )
+        ),
+    )
+    wprev = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pre = (
+        ordd.crossJoin(F.broadcast(b))
+        .withColumn("cumcap", F.coalesce(F.sum("cap").over(wprev), F.lit(0)))
+        .withColumn("cumw", F.coalesce(F.sum("w").over(wprev), F.lit(0)))
+        .withColumn("wtot", F.sum("w").over(wall))
+    )
+    sat = pre.withColumn(
+        "saturated",
+        F.col("cap") * (F.col("wtot") - F.col("cumw"))
+        <= (F.col("budget") - F.col("cumcap")) * F.col("w"),
+    )
+    kq = sat.agg(
+        F.sum(F.when(F.col("saturated"), F.col("cap")).otherwise(0))
+        .cast("bigint")
+        .alias("satcap"),
+        F.sum(F.when(F.col("saturated"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("satw"),
+    )
+    alloc0 = sat.crossJoin(F.broadcast(kq)).select(
+        "source",
+        "cap",
+        "w",
+        "saturated",
+        "budget",
+        F.when(F.col("saturated"), F.col("cap"))
+        .otherwise(
+            F.expr("((budget - satcap) * w) DIV (wtot - satw)")
+        )
+        .alias("alloc_base"),
+        F.when(F.col("saturated"), F.lit(0))
+        .otherwise(F.expr("((budget - satcap) * w) % (wtot - satw)"))
+        .alias("rem"),
+    )
+    wfin = Window.orderBy("saturated", F.desc("rem"), "source")
+    wtotal = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fin = alloc0.withColumn(
+        "allocated", F.sum("alloc_base").over(wtotal).cast("bigint")
+    ).withColumn("remrank", F.row_number().over(wfin))
+    outp = fin.select(
+        "source",
+        "cap",
+        "w",
+        "saturated",
+        "budget",
+        (
+            F.col("alloc_base")
+            + F.when(
+                (~F.col("saturated"))
+                & (F.col("remrank") <= (F.col("budget") - F.col("allocated"))),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )
+    return outp.select(
+        "source",
+        "cap",
+        "w",
+        "saturated",
+        "alloc",
+        F.sum("alloc").over(wtotal).cast("bigint").alias("total_alloc"),
+        "budget",
+        (F.sum("alloc").over(wtotal) == F.col("budget")).alias("total_ok"),
+        (F.col("alloc") <= F.col("cap")).alias("cap_ok"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
