@@ -11587,6 +11587,133 @@ def q_mixture_waterfill_alloc(spark, sf_dir):
     )
 
 
+def _classifier_eval_oracle() -> str:
+    # compose on the registered NB oracle so engine and oracle evaluate the
+    # SAME predictions — any drift in the classifier surfaces here too
+    nb = ORACLES["naive_bayes_language"]
+    return f"""
+    WITH preds AS ({nb}),
+    cls AS (SELECT actual AS lang FROM preds GROUP BY actual),
+    tp AS (SELECT actual AS lang, CAST(COUNT(*) AS BIGINT) AS tp
+           FROM preds WHERE actual = predicted GROUP BY actual),
+    fp AS (SELECT predicted AS lang, CAST(COUNT(*) AS BIGINT) AS fp
+           FROM preds WHERE actual <> predicted GROUP BY predicted),
+    fn AS (SELECT actual AS lang, CAST(COUNT(*) AS BIGINT) AS fn
+           FROM preds WHERE actual <> predicted GROUP BY actual),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ncorrect
+            FROM preds),
+    m AS (
+      SELECT c.lang,
+             COALESCE(tp.tp, 0) AS tp, COALESCE(fp.fp, 0) AS fp,
+             COALESCE(fn.fn, 0) AS fn
+      FROM cls c LEFT JOIN tp USING (lang) LEFT JOIN fp USING (lang)
+      LEFT JOIN fn USING (lang)),
+    pr AS (
+      SELECT lang, tp, fp, fn,
+             CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp)
+                  ELSE 0 END AS precision_ppm,
+             CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn)
+                  ELSE 0 END AS recall_ppm
+      FROM m)
+    SELECT pr.lang, pr.tp, pr.fp, pr.fn,
+           CAST(pr.precision_ppm AS BIGINT) AS precision_ppm,
+           CAST(pr.recall_ppm AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN pr.precision_ppm + pr.recall_ppm > 0
+                THEN (2 * pr.precision_ppm * pr.recall_ppm)
+                     // (pr.precision_ppm + pr.recall_ppm)
+                ELSE 0 END AS BIGINT) AS f1_ppm,
+           CAST((1000000 * t.ncorrect) // t.n AS BIGINT) AS accuracy_ppm
+    FROM pr CROSS JOIN tot t
+    """
+
+
+@register("classifier_eval_metrics", _classifier_eval_oracle())
+def q_classifier_eval_metrics(spark, sf_dir):
+    """Classifier evaluation — confusion-matrix margins and per-class
+    precision / recall / F1 plus micro accuracy over the
+    naive_bayes_language predictions, closing the train → score → eval
+    loop inside the engine: the eval plan COMPOSES the classifier's plan
+    (same single-plan train/score), and the oracle composes the
+    classifier's oracle, so a drift anywhere in the modeling chain
+    surfaces as a hash mismatch here too. All metrics are ppm-scaled
+    integer DIVs of exact counts (F1 computed on the ppm integers with
+    truncating division — deterministic both engines); honest result on
+    the near-uniform synthetic corpus: 36.8% accuracy, en dominant — the
+    eval harness is the point, not the score.
+
+    Scale shape: inherits the classifier's three-aggregate model build;
+    the eval itself adds three class-keyed counts over the prediction
+    table and one 1-row total — all map-side combined, output bounded by
+    the class domain."""
+    preds = q_naive_bayes_language(spark, sf_dir).persist()
+    cls = preds.select(F.col("actual").alias("lang")).distinct()
+    tp = (
+        preds.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tp"))
+    )
+    fp = (
+        preds.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fp"))
+    )
+    fn = (
+        preds.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fn"))
+    )
+    tot = preds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ncorrect"),
+    )
+    m = (
+        cls.join(tp, "lang", "left")
+        .join(fp, "lang", "left")
+        .join(fn, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("bigint").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("bigint").alias("fn"),
+        )
+    )
+    pr = m.select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (1000000 * tp) DIV (tp + fp)"
+            " ELSE 0 END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN tp + fn > 0 THEN (1000000 * tp) DIV (tp + fn)"
+            " ELSE 0 END"
+        ).alias("recall_ppm"),
+    )
+    return pr.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "tp",
+        "fp",
+        "fn",
+        F.col("precision_ppm").cast("bigint").alias("precision_ppm"),
+        F.col("recall_ppm").cast("bigint").alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN precision_ppm + recall_ppm > 0"
+            " THEN (2 * precision_ppm * recall_ppm)"
+            " DIV (precision_ppm + recall_ppm)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("f1_ppm"),
+        F.expr("CAST((1000000 * ncorrect) DIV n AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
