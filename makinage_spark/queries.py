@@ -11714,6 +11714,113 @@ def q_classifier_eval_metrics(spark, sf_dir):
     )
 
 
+@register(
+    "hll_merge_audit",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (
+      SELECT user_id,
+             CAST(concat('0x', substr(md5(concat('hll:',
+                  CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+             CAST(concat('0x', substr(md5(concat('hll:',
+                  CAST(user_id AS VARCHAR))), 9, 8)) AS BIGINT) AS h2,
+             user_id % 2 AS half
+      FROM u),
+    rho AS (
+      SELECT user_id, b, half,
+             CASE WHEN h2 = 0 THEN 33
+                  ELSE 33 - length(bin(h2)) + 1 END AS rho
+      FROM h),
+    whole AS (SELECT b, CAST(MAX(rho) AS BIGINT) AS reg_whole
+              FROM rho GROUP BY b),
+    h0 AS (SELECT b, CAST(MAX(rho) AS BIGINT) AS reg_h0
+           FROM rho WHERE half = 0 GROUP BY b),
+    h1 AS (SELECT b, CAST(MAX(rho) AS BIGINT) AS reg_h1
+           FROM rho WHERE half = 1 GROUP BY b),
+    m AS (
+      SELECT w.b, w.reg_whole,
+             COALESCE(h0.reg_h0, 0) AS reg_h0,
+             COALESCE(h1.reg_h1, 0) AS reg_h1,
+             GREATEST(COALESCE(h0.reg_h0, 0), COALESCE(h1.reg_h1, 0))
+               AS reg_merged
+      FROM whole w LEFT JOIN h0 ON h0.b = w.b LEFT JOIN h1 ON h1.b = w.b)
+    SELECT b, reg_whole, reg_h0, reg_h1, reg_merged,
+           (reg_whole = reg_merged) AS merge_ok
+    FROM m
+    """,
+)
+def q_hll_merge_audit(spark, sf_dir):
+    """HyperLogLog register MERGE audit — pins the property that makes
+    sketches distributable at all: the register array of the WHOLE stream
+    must equal the elementwise max of the register arrays of its shards.
+    That associativity is why a 1000-executor cluster can sketch 100 TB
+    with map-side partials and an m-word reduce, and why sketches persist
+    per-partition and union later; this query proves it cell-for-cell
+    instead of assuming it. Registers are derived from md5 slices (bucket
+    = first 32 hash bits mod 64; rho = leading-zero rank of the second 32
+    bits via the exact integer identity 33 − len(bin(h)), no float log),
+    the stream is split into two shards by user parity, and every one of
+    the 64 registers carries a hash-checked merge_ok boolean. Complements
+    sketch_error_audit (which bounds the ESTIMATE); this bounds the
+    ALGEBRA.
+
+    Scale shape: three map-side-combined (bucket) max-aggregates — 64
+    rows of state each regardless of stream length — and two 64-row
+    joins. The sketch build is the same single pass a production
+    distinct-count would run."""
+    u = load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+    def slice32(user, start):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), user.cast("string"))), start, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    h = u.select(
+        "user_id",
+        (slice32(F.col("user_id"), 1) % 64).alias("b"),
+        slice32(F.col("user_id"), 9).alias("h2"),
+        (F.col("user_id") % 2).alias("half"),
+    )
+    rho = h.select(
+        "b",
+        "half",
+        F.when(F.col("h2") == 0, F.lit(33))
+        .otherwise(F.lit(33) - F.length(F.bin(F.col("h2"))) + 1)
+        .alias("rho"),
+    )
+    whole = rho.groupBy("b").agg(F.max("rho").cast("bigint").alias("reg_whole"))
+    h0 = (
+        rho.filter(F.col("half") == 0)
+        .groupBy("b")
+        .agg(F.max("rho").cast("bigint").alias("reg_h0"))
+    )
+    h1 = (
+        rho.filter(F.col("half") == 1)
+        .groupBy("b")
+        .agg(F.max("rho").cast("bigint").alias("reg_h1"))
+    )
+    return (
+        whole.join(h0, "b", "left")
+        .join(h1, "b", "left")
+        .select(
+            "b",
+            "reg_whole",
+            F.coalesce("reg_h0", F.lit(0)).cast("bigint").alias("reg_h0"),
+            F.coalesce("reg_h1", F.lit(0)).cast("bigint").alias("reg_h1"),
+            F.greatest(
+                F.coalesce("reg_h0", F.lit(0)), F.coalesce("reg_h1", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("reg_merged"),
+        )
+        .withColumn("merge_ok", F.col("reg_whole") == F.col("reg_merged"))
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
