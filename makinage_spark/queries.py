@@ -11821,6 +11821,110 @@ def q_hll_merge_audit(spark, sf_dir):
     )
 
 
+def _ndcg_oracle_sql() -> str:
+    rrf = ORACLES["hybrid_rrf_retrieval"]
+    return f"""
+    WITH ranked AS ({rrf}),
+    qlang AS (SELECT lang FROM documents WHERE doc_id = 0),
+    rel AS (
+      SELECT r.doc_id, r.rrf,
+             row_number() OVER (ORDER BY r.rrf DESC, r.doc_id) AS pos,
+             CASE WHEN d.lang = q.lang THEN 1 ELSE 0 END AS rel
+      FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+      CROSS JOIN qlang q),
+    wts AS (
+      SELECT pos, rel,
+             CAST(FLOOR(1e9 / (LN(CAST(pos + 1 AS DOUBLE)) / LN(2.0)))
+                  AS BIGINT) AS w
+      FROM rel),
+    ideal AS (
+      SELECT rel, CAST(FLOOR(1e9 / (LN(CAST(row_number()
+               OVER (ORDER BY rel DESC, rel) + 1 AS DOUBLE)) / LN(2.0)))
+               AS BIGINT) AS iw
+      FROM rel),
+    agg AS (
+      SELECT (SELECT CAST(SUM(rel * w) AS BIGINT) FROM wts) AS dcg,
+             (SELECT CAST(SUM(rel * iw) AS BIGINT) FROM ideal) AS idcg,
+             (SELECT CAST(SUM(rel) AS BIGINT) FROM rel) AS n_rel)
+    SELECT n_rel, dcg, idcg,
+           CAST(CASE WHEN idcg > 0 THEN (1000000 * dcg) // idcg ELSE 0 END
+                AS BIGINT) AS ndcg_ppm
+    FROM agg
+    """
+
+
+@register("retrieval_ndcg_audit", _ndcg_oracle_sql())
+def q_retrieval_ndcg_audit(spark, sf_dir):
+    """Ranking-quality evaluation for the hybrid retriever: nDCG@20 of
+    hybrid_rrf_retrieval's fused ranking against a same-language-as-query
+    relevance oracle — the eval harness every retrieval pipeline needs
+    next to its ranker, composed the same way classifier_eval_metrics
+    composes on the classifier: the eval plan embeds the ranker's plan
+    and the eval oracle embeds the ranker's oracle, so ranking drift
+    anywhere upstream surfaces here as a hash mismatch. Discount weights
+    are floor(1e9/log2(pos+1)) integers (identical expression shape both
+    engines); DCG, ideal DCG, and the final ppm ratio are integer sums
+    and one integer DIV. Within-tie ideal ordering is arbitrary but the
+    sum is permutation-invariant over equal-relevance groups, so the
+    result is deterministic.
+
+    Scale shape: everything downstream of the ranker runs on its 20-row
+    output; the only corpus-scale work is the ranker itself (already
+    TakeOrdered-bounded) and one broadcast lang lookup."""
+    ranked = q_hybrid_rrf_retrieval(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    qlang = docs.filter(F.col("doc_id") == 0).select(
+        F.col("lang").alias("qlang")
+    )
+    rel = (
+        ranked.join(docs, "doc_id")
+        .crossJoin(F.broadcast(qlang))
+        .select(
+            "doc_id",
+            "rrf",
+            F.when(F.col("lang") == F.col("qlang"), 1).otherwise(0).alias("rel"),
+        )
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id")),
+        )
+    )
+    wts = rel.withColumn(
+        "w",
+        F.expr(
+            "CAST(FLOOR(1e9 / (LN(CAST(pos + 1 AS DOUBLE)) / LN(2.0)))"
+            " AS BIGINT)"
+        ),
+    )
+    ideal = rel.withColumn(
+        "ipos", F.row_number().over(Window.orderBy(F.desc("rel"), "rel"))
+    ).withColumn(
+        "iw",
+        F.expr(
+            "CAST(FLOOR(1e9 / (LN(CAST(ipos + 1 AS DOUBLE)) / LN(2.0)))"
+            " AS BIGINT)"
+        ),
+    )
+    dcg = wts.agg(F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg"))
+    idcg = ideal.agg(
+        F.sum(F.col("rel") * F.col("iw")).cast("bigint").alias("idcg")
+    )
+    nrel = rel.agg(F.sum("rel").cast("bigint").alias("n_rel"))
+    return (
+        nrel.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_rel",
+            "dcg",
+            "idcg",
+            F.expr(
+                "CAST(CASE WHEN idcg > 0 THEN (1000000 * dcg) DIV idcg"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("ndcg_ppm"),
+        )
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
