@@ -12136,6 +12136,99 @@ def q_consistent_hash_reshard_audit(spark, sf_dir):
     return modm.unionAll(ringm)
 
 
+@register(
+    "skew_salt_planner",
+    """
+    WITH f AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM lineitem GROUP BY l_suppkey),
+    s AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST((SUM(freq) + 31) // 32 AS BIGINT) AS target
+      FROM f),
+    marked AS (
+      SELECT f.key, f.freq, s.target, s.n_keys,
+             (f.freq > s.target) AS skewed,
+             CASE WHEN f.freq > s.target
+                  THEN (f.freq + s.target - 1) // s.target ELSE 1 END AS salt
+      FROM f CROSS JOIN s),
+    summ AS (
+      SELECT CAST(SUM(CASE WHEN skewed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_skewed,
+             CAST(MAX(salt) AS BIGINT) AS max_salt
+      FROM marked),
+    top AS (
+      SELECT key, freq, CAST(salt AS BIGINT) AS salt,
+             row_number() OVER (ORDER BY freq DESC, key) AS rnk
+      FROM marked)
+    SELECT t.key, t.freq, t.salt, CAST(t.rnk AS BIGINT) AS rnk,
+           m.n_keys, m2.n_skewed, m2.max_salt
+    FROM top t CROSS JOIN (SELECT n_keys FROM s) m CROSS JOIN summ m2
+    WHERE t.rnk <= 20
+    """,
+)
+def q_skew_salt_planner(spark, sf_dir):
+    """Join-skew diagnosis with a pinned salting PLAN — the planning half
+    of salted_join_skew (which demonstrates the salted execution): profile
+    the join-key frequency distribution, flag every key whose row count
+    exceeds the per-task target (⌈total/32 partitions⌉ — the row volume
+    one reducer should hold), and recommend its exact salt factor
+    ⌈freq/target⌉, i.e. how many subkeys to explode the hot key into so
+    no task exceeds the target. Emits the top-20 keys by frequency with
+    their salt factors plus corpus-level columns (key count, skewed-key
+    count, max salt) — at 100 TB this table IS the input to the salted
+    join (broadcast it, explode matching build-side rows salt-ways), and
+    pinning it hash-exact means the skew decision is reproducible, not
+    heuristic drift. On the uniform sf0.01 fixture no key is flagged
+    (honest negative); at sf0.001 the 10-supplier key space makes every
+    key hot (salt 4) — both regimes hash-checked.
+
+    Scale shape: one map-side-combined frequency aggregate over the fact
+    table; everything downstream runs on the key-domain-sized relation;
+    the top-20 cut is TakeOrdered-bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("key")
+    )
+    f = li.groupBy("key").agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    s = f.agg(
+        F.sum("freq").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.expr("CAST((SUM(freq) + 31) DIV 32 AS BIGINT)").alias("target"),
+    )
+    marked = f.crossJoin(F.broadcast(s)).select(
+        "key",
+        "freq",
+        "n_keys",
+        (F.col("freq") > F.col("target")).alias("skewed"),
+        F.when(
+            F.col("freq") > F.col("target"),
+            F.expr("(freq + target - 1) DIV target"),
+        )
+        .otherwise(F.lit(1))
+        .cast("bigint")
+        .alias("salt"),
+    )
+    summ = marked.agg(
+        F.sum(F.when(F.col("skewed"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skewed"),
+        F.max("salt").cast("bigint").alias("max_salt"),
+    )
+    top = marked.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("freq"), "key"))
+    ).filter(F.col("rnk") <= 20)
+    return top.crossJoin(F.broadcast(summ)).select(
+        "key",
+        "freq",
+        "salt",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "n_keys",
+        "n_skewed",
+        "max_salt",
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
