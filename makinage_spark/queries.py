@@ -12440,6 +12440,124 @@ def q_pipeline_provenance_funnel(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_merge_apply",
+    """
+    WITH base AS (
+      SELECT c_custkey AS key,
+             CAST(FLOOR(100 * CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS val
+      FROM customer),
+    log AS (
+      SELECT CASE WHEN user_id % 10 = 0 THEN user_id + 1000000
+                  ELSE user_id END AS key,
+             ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup') THEN 'upsert'
+                  WHEN event_type = 'error' THEN 'delete' END AS op,
+             CAST(FLOOR(100 * CAST(value AS DOUBLE)) AS BIGINT) AS val
+      FROM events
+      WHERE event_type IN ('purchase', 'signup', 'error')),
+    last AS (
+      SELECT key, op, val FROM (
+        SELECT key, op, val,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log) WHERE rn = 1),
+    merged AS (
+      SELECT COALESCE(b.key, l.key) AS key,
+             CASE WHEN l.key IS NULL THEN 'kept'
+                  WHEN l.op = 'delete' THEN 'deleted'
+                  WHEN b.key IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS status,
+             CASE WHEN l.key IS NULL THEN b.val ELSE l.val END AS val
+      FROM base b FULL OUTER JOIN last l ON l.key = b.key),
+    fin AS (SELECT key, status, val FROM merged WHERE status <> 'deleted'),
+    summ AS (
+      SELECT (SELECT CAST(SUM(CASE WHEN status='kept' THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM fin) AS n_kept,
+             (SELECT CAST(SUM(CASE WHEN status='updated' THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM fin) AS n_updated,
+             (SELECT CAST(SUM(CASE WHEN status='inserted' THEN 1 ELSE 0 END)
+                   AS BIGINT) FROM fin) AS n_inserted,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM merged
+              WHERE status='deleted') AS n_deleted)
+    SELECT f.key, f.status, f.val,
+           s.n_kept, s.n_updated, s.n_inserted, s.n_deleted
+    FROM fin f CROSS JOIN summ s
+    """,
+)
+def q_cdc_merge_apply(spark, sf_dir):
+    """Change-data-capture MERGE: apply an ordered upsert/delete changelog
+    onto a base table with last-writer-wins semantics — the ingestion
+    primitive behind every incrementally-maintained table (Delta/Iceberg
+    MERGE INTO, CDC replication). The changelog is the event stream
+    (purchase/signup → upsert with the new value, error → delete; a
+    synthetic key offset exercises the insert path); per key the WINNING
+    change is elected by a (ts, event_id)-ordered rank within the key
+    partition, then one full-outer join against the base classifies every
+    row kept / updated / inserted / deleted. Values are cents-bigints,
+    and the class counts ride along hash-checked — so the MERGE semantics
+    themselves (who wins, who survives) are oracle-pinned, not assumed.
+
+    Scale shape: the rank window is keyed (no global sort); one key-keyed
+    shuffle each for the election and the merge join. At production scale
+    the same plan runs per micro-batch with the base as the
+    streaming-state / storage side; election cost is O(changes), merge
+    cost O(changed keys), never O(base)."""
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.lit(100) * F.col("c_acctbal").cast("double"))
+        .cast("bigint")
+        .alias("val"),
+        F.lit(1).alias("in_base"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.filter(
+        F.col("event_type").isin("purchase", "signup", "error")
+    ).select(
+        F.when(F.col("user_id") % 10 == 0, F.col("user_id") + 1000000)
+        .otherwise(F.col("user_id"))
+        .alias("key"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("upsert"))
+        .otherwise(F.lit("delete"))
+        .alias("op"),
+        F.floor(F.lit(100) * F.col("value").cast("double"))
+        .cast("bigint")
+        .alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", F.col("val").alias("lval"))
+    )
+    merged = base.join(last, "key", "full_outer").select(
+        "key",
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "delete", F.lit("deleted"))
+        .when(F.col("in_base").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("status"),
+        F.when(F.col("op").isNull(), F.col("val"))
+        .otherwise(F.col("lval"))
+        .alias("val"),
+    )
+    fin = merged.filter(F.col("status") != "deleted")
+    summ = merged.agg(
+        *[
+            F.sum(F.when(F.col("status") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{k}")
+            for k in ("kept", "updated", "inserted", "deleted")
+        ]
+    )
+    return fin.crossJoin(F.broadcast(summ)).select(
+        "key", "status", "val", "n_kept", "n_updated", "n_inserted", "n_deleted"
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
