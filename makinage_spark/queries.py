@@ -12558,6 +12558,118 @@ def q_cdc_merge_apply(spark, sf_dir):
     )
 
 
+def _kcore_oracle_sql() -> str:
+    ks, rounds = (2, 4, 8, 16, 32), 12
+    steps = []
+    for k in ks:
+        for r in range(1, rounds + 1):
+            prev = f"k{k}_a{r - 1}" if r > 1 else "a0"
+            steps.append(f"""
+    k{k}_a{r} AS MATERIALIZED (
+      SELECT s FROM (
+        SELECT u.s, COUNT(*) AS d FROM und u
+        JOIN {prev} p1 ON p1.s = u.s JOIN {prev} p2 ON p2.s = u.t
+        GROUP BY u.s) WHERE d >= {k})""")
+    sel = " UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS k,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM k{k}_a{rounds}) AS core_size,
+        ((SELECT COUNT(*) FROM k{k}_a{rounds - 1}) =
+         (SELECT COUNT(*) FROM k{k}_a{rounds})) AS converged"""
+        for k in ks
+    )
+    return f"""
+    WITH e0 AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    co AS (SELECT a.s AS x, b.s AS y, COUNT(*) AS cnt
+      FROM e0 a JOIN e0 b ON a.c = b.c AND a.s < b.s GROUP BY x, y),
+    tope AS MATERIALIZED (SELECT x, y FROM co
+      ORDER BY cnt DESC, x, y LIMIT 2000),
+    und AS MATERIALIZED (SELECT x AS s, y AS t FROM tope
+      UNION ALL SELECT y, x FROM tope),
+    a0 AS MATERIALIZED (SELECT DISTINCT s FROM und),
+    {",".join(steps)},
+    prof AS ({sel})
+    SELECT p.k, p.core_size, p.converged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a0) AS n_nodes
+    FROM prof p
+    """
+
+
+@register("kcore_decomposition_profile", _kcore_oracle_sql())
+def q_kcore_decomposition_profile(spark, sf_dir):
+    """k-core DECOMPOSITION profile of the supplier co-occurrence graph —
+    the degeneracy curve (surviving core size at k = 2, 4, 8, 16, 32
+    after 12 rounds of peeling) that community/spam/cohesion analysis
+    reads before picking a threshold: each round removes every node whose
+    degree among survivors is below k, and the cascade (removing a node
+    lowers its neighbours' degrees) is what distinguishes a k-core from a
+    simple degree filter. Fourth graph family after PageRank/HITS,
+    connected components, and triangle counting. Rounds are BOUNDED at 12
+    with a per-k convergence flag hash-checked into the result: on this
+    fixture every k converges except the sf0.1 k=4 cascade, which is
+    still peeling at round 12 — the flag reports exactly that (production
+    loops until fixpoint; the fixed unroll here is what makes the
+    iterative algorithm oracle-comparable).
+
+    Scale shape: one edge-list build (same top-2000 sparsifier as
+    graph_triangle_count), then per round ONE join of the undirected edge
+    list to the survivor set and one map-side-combined degree count —
+    survivor sets are localCheckpoint-ed each round so 60 tiny iterations
+    don't compound plan depth (the CC-loop discipline). Peeling cost per
+    round is O(m) on the sparsified graph, independent of the corpus."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = e0.alias("a"), e0.alias("b")
+    tope = (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "x", "y")
+        .limit(2000)
+        .select("x", "y")
+    )
+    und = (
+        tope.select(F.col("x").alias("s"), F.col("y").alias("t"))
+        .unionAll(tope.select(F.col("y").alias("s"), F.col("x").alias("t")))
+        .localCheckpoint()
+    )
+    a0 = und.select("s").distinct().localCheckpoint()
+    n_nodes = a0.count()
+    rounds = 12
+    profile = None
+    for k in (2, 4, 8, 16, 32):
+        alive = a0
+        prev_cnt = None
+        for _ in range(rounds):
+            prev_cnt = alive.count()
+            alive = (
+                und.join(alive.select(F.col("s")), "s")
+                .join(
+                    alive.select(F.col("s").alias("t")),
+                    "t",
+                )
+                .groupBy("s")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= k)
+                .select("s")
+                .localCheckpoint()
+            )
+        core_size = alive.count()
+        row = spark.range(1).select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(core_size).cast("bigint").alias("core_size"),
+            F.lit(core_size == prev_cnt).alias("converged"),
+            F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        )
+        profile = row if profile is None else profile.unionAll(row)
+    return profile
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
