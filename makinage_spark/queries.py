@@ -12670,6 +12670,106 @@ def q_kcore_decomposition_profile(spark, sf_dir):
     return profile
 
 
+@register(
+    "ks_test_cohorts",
+    """
+    WITH ev AS (SELECT value AS v, user_id % 2 AS grp FROM events
+                WHERE value IS NOT NULL),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM ev),
+    pv AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+      FROM ev GROUP BY v),
+    cum AS (
+      SELECT v,
+             SUM(na_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM pv),
+    d AS (
+      SELECT CAST(MAX(ABS(ca * n.nb - cb * n.na)) AS BIGINT) AS d_scaled
+      FROM cum CROSS JOIN n)
+    SELECT n.na, n.nb, d.d_scaled,
+           CAST((1000000 * d.d_scaled) // (n.na * n.nb) AS BIGINT) AS ks_ppm,
+           (1000000 * CAST(d.d_scaled AS HUGEINT) * d.d_scaled >
+            1844164 * CAST(n.na + n.nb AS HUGEINT) * n.na * n.nb)
+             AS significant
+    FROM n CROSS JOIN d
+    """,
+)
+def q_ks_test_cohorts(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test between user cohorts on the
+    event-value distribution — the nonparametric drift detector that
+    complements ab_test_proportions (composition) and the χ² family
+    (categorical): D = max |F_A(v) − F_B(v)| over the pooled empirical
+    CDFs, computed ENTIRELY in integer rank arithmetic — the supremum is
+    max|c_A·n_B − c_B·n_A| over distinct values (cross-multiplied, no
+    division), the statistic is one integer DIV, and the α=0.05 verdict
+    is the exact integer comparison 10⁶·D² > 1.358²·10⁶·(n_A+n_B)·n_A·n_B
+    (widened to 128-bit/decimal intermediates). No float exists anywhere
+    in the test, so the whole result row is hash-exact by construction.
+    The hash-split cohorts make it an A/A calibration: the uniform
+    generator reads not-significant at every SF.
+
+    Scale shape: one per-distinct-value count aggregate (map-side
+    combined), then the global CDF cumsum via smath.global_running_sum —
+    both cohort cumulative counts ride ONE two-phase pass by packing
+    (na_v·10⁹ + nb_v) into a single running value and unpacking with
+    DIV/% (exact: partial sums stay far under 2⁶³) — and a 1-row max.
+    No single-reducer window over the value domain."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(F.col("value").alias("v"), (F.col("user_id") % 2).alias("grp"))
+    n = ev.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    pv = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb_v"),
+    )
+    packed = smath.global_running_sum(
+        pv,
+        ["v"],
+        F.col("na_v") * F.lit(1000000000) + F.col("nb_v"),
+        out="cum",
+    )
+    cum = packed.select(
+        F.expr("cum DIV 1000000000").alias("ca"),
+        F.expr("cum % 1000000000").alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("bigint")
+        .alias("d_scaled")
+    )
+    return n.crossJoin(F.broadcast(d)).select(
+        "na",
+        "nb",
+        "d_scaled",
+        F.expr("CAST((1000000 * d_scaled) DIV (na * nb) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * d_scaled * d_scaled >"
+            " CAST(1844164 AS DECIMAL(38,0)) * (na + nb) * na * nb"
+        ).alias("significant"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
