@@ -12857,6 +12857,100 @@ def q_gini_concentration(spark, sf_dir):
     )
 
 
+@register(
+    "compaction_bin_plan",
+    """
+    WITH files AS (
+      SELECT doc_id AS file_id, CAST(n_chars AS BIGINT) AS bytes
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    ordered AS (
+      SELECT file_id, bytes,
+             SUM(bytes) OVER (ORDER BY bytes DESC, file_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM files),
+    plan AS (
+      SELECT file_id, bytes, (cum - bytes) // 65536 AS bin
+      FROM ordered),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(bytes) AS BIGINT) AS fill
+      FROM plan GROUP BY bin),
+    mx AS (SELECT CAST(MAX(bytes) AS BIGINT) AS maxf,
+                  CAST(SUM(bytes) AS BIGINT) AS total FROM files),
+    summ AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+             CAST(MAX(fill) AS BIGINT) AS max_fill,
+             CAST(MIN(fill) AS BIGINT) AS min_fill
+      FROM bins)
+    SELECT b.bin, b.n_files, b.fill, s.n_bins, s.max_fill,
+           (b.fill <= 65536 + m.maxf) AS fill_ok,
+           (s.n_bins = (m.total + 65536 - 1) // 65536) AS bin_count_ok
+    FROM bins b CROSS JOIN summ s CROSS JOIN mx m
+    """,
+)
+def q_compaction_bin_plan(spark, sf_dir):
+    """Small-file COMPACTION planning — the table-maintenance pass every
+    Iceberg/Delta-style store schedules: group input files into
+    target-size output bins (64 KiB here; 128 MB in production) by
+    cumulative-fill assignment over the size-descending order:
+    bin = ⌊cum_before / target⌋, so bins fill to the target with bounded
+    overshoot. Two invariants ride along hash-checked: every bin's fill
+    ≤ target + max_file (the overshoot bound of cumulative binning) and
+    the bin count equals ⌈total/target⌉ EXACTLY (cumulative assignment
+    wastes zero capacity — unlike first-fit, whose bin count is
+    data-dependent). Emits the per-bin manifest a compactor would
+    execute.
+
+    Scale shape: file manifests are metadata (control-plane) even for a
+    100 TB table, but the plan still avoids the single-reducer cumsum:
+    the running total comes from smath.global_running_sum under the
+    (bytes DESC, file_id) total order, then one bin-keyed count. The
+    size-descending order co-locates similar sizes so bins are
+    near-uniform (max_fill/min_fill within one file of target)."""
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").isNotNull() & (F.col("n_chars") > 0))
+        .select(
+            F.col("doc_id").alias("file_id"),
+            F.col("n_chars").cast("bigint").alias("bytes"),
+        )
+    )
+    ordered = smath.global_running_sum(
+        files, [F.desc("bytes"), F.col("file_id")], F.col("bytes"), out="cum"
+    )
+    plan = ordered.select(
+        "file_id", "bytes", F.expr("(cum - bytes) DIV 65536").alias("bin")
+    )
+    bins = plan.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("fill"),
+    )
+    mx = files.agg(
+        F.max("bytes").cast("bigint").alias("maxf"),
+        F.sum("bytes").cast("bigint").alias("total"),
+    )
+    summ = bins.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.max("fill").cast("bigint").alias("max_fill"),
+        F.min("fill").cast("bigint").alias("min_fill"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "bin",
+            "n_files",
+            "fill",
+            "n_bins",
+            "max_fill",
+            (F.col("fill") <= F.lit(65536) + F.col("maxf")).alias("fill_ok"),
+            F.expr("n_bins = (total + 65536 - 1) DIV 65536").alias(
+                "bin_count_ok"
+            ),
+        )
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
