@@ -12951,6 +12951,113 @@ def q_compaction_bin_plan(spark, sf_dir):
     )
 
 
+@register(
+    "mannwhitney_u_cohorts",
+    """
+    WITH ev AS (SELECT value AS v, user_id % 2 AS grp FROM events
+                WHERE value IS NOT NULL),
+    n AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM ev),
+    pv AS (
+      SELECT v,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb_v
+      FROM ev GROUP BY v),
+    cum AS (
+      SELECT v, na_v, nb_v, na_v + nb_v AS t_v,
+             SUM(na_v + nb_v) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctot
+      FROM pv),
+    terms AS (
+      SELECT SUM(na_v * (2 * (ctot - t_v) + t_v + 1)) AS sr2a,
+             SUM(t_v * t_v * t_v - t_v) AS tsum
+      FROM cum),
+    u AS (
+      SELECT n.na, n.nb, CAST(t.sr2a - n.na * (n.na + 1) AS BIGINT) AS u2,
+             CAST(t.tsum AS BIGINT) AS tsum, n.na + n.nb AS nn
+      FROM terms t CROSS JOIN n)
+    SELECT na, nb, u2,
+           CAST((1000000 * u2) // (2 * na * nb) AS BIGINT) AS cles_ppm,
+           (10000 * CAST(u2 - na * nb AS HUGEINT) * (u2 - na * nb) * 12
+              * nn * (nn - 1) >
+            38416 * 4 * CAST(na AS HUGEINT) * nb
+              * ((nn + 1) * nn * (nn - 1) - tsum)) AS significant
+    FROM u
+    """,
+)
+def q_mannwhitney_u_cohorts(spark, sf_dir):
+    """Mann–Whitney U rank-sum test between user cohorts on event values
+    — the third leg of the cohort battery (χ² categorical, KS
+    distribution shape, U stochastic dominance), again with NO float
+    anywhere: average ranks under ties are half-integers, so the doubled
+    rank 2·c_lt(v) + t_v + 1 is exact integer and 2U = Σ r2 − n_A(n_A+1)
+    follows; the effect size is the common-language statistic
+    U/(n_A·n_B) as a ppm DIV (measured ≈ 0.5 at every SF — no dominance,
+    the honest A/A read); and the α=0.05 verdict uses the tie-CORRECTED
+    normal variance as one exact 128-bit cross-multiplied comparison
+    (tie term Σ(t³−t) summed exactly — heavy here, since event values
+    repeat). Nothing is approximated except the normal asymptotics the
+    test itself is defined by.
+
+    Scale shape: identical to ks_test_cohorts — one distinct-value count
+    aggregate, one two-phase global cumsum for c_lt, then 1-row
+    map-side-combined moment sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(F.col("value").alias("v"), (F.col("user_id") % 2).alias("grp"))
+    n = ev.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    pv = ev.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na_v"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb_v"),
+    )
+    cum = smath.global_running_sum(
+        pv, ["v"], F.col("na_v") + F.col("nb_v"), out="ctot"
+    ).withColumn("t_v", F.col("na_v") + F.col("nb_v"))
+    terms = cum.agg(
+        F.sum(
+            F.col("na_v")
+            * (2 * (F.col("ctot") - F.col("t_v")) + F.col("t_v") + 1)
+        ).alias("sr2a"),
+        F.sum(
+            F.col("t_v") * F.col("t_v") * F.col("t_v") - F.col("t_v")
+        ).alias("tsum"),
+    )
+    u = terms.crossJoin(F.broadcast(n)).select(
+        "na",
+        "nb",
+        F.expr("CAST(sr2a - na * (na + 1) AS BIGINT)").alias("u2"),
+        F.col("tsum").cast("bigint").alias("tsum"),
+        (F.col("na") + F.col("nb")).alias("nn"),
+    )
+    return u.select(
+        "na",
+        "nb",
+        "u2",
+        F.expr("CAST((1000000 * u2) DIV (2 * na * nb) AS BIGINT)").alias(
+            "cles_ppm"
+        ),
+        F.expr(
+            "CAST(10000 AS DECIMAL(38,0)) * (u2 - na * nb) * (u2 - na * nb)"
+            " * 12 * nn * (nn - 1) >"
+            " CAST(38416 AS DECIMAL(38,0)) * 4 * na * nb"
+            " * ((nn + 1) * nn * (nn - 1) - tsum)"
+        ).alias("significant"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
