@@ -13058,6 +13058,79 @@ def q_mannwhitney_u_cohorts(spark, sf_dir):
     )
 
 
+@register(
+    "decayed_heavy_hitters",
+    """
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    ref AS (SELECT MAX(ts) AS mx FROM ev),
+    w AS (
+      SELECT e.user_id,
+             LEAST(date_diff('day', e.ts, r.mx) // 7, 8) AS bucket
+      FROM ev e CROSS JOIN ref r),
+    dec AS (
+      SELECT user_id,
+             CAST(SUM(1 << (8 - bucket)) AS BIGINT) AS decayed,
+             CAST(COUNT(*) AS BIGINT) AS plain
+      FROM w GROUP BY user_id),
+    rk AS (
+      SELECT user_id, decayed, plain,
+             row_number() OVER (ORDER BY decayed DESC, user_id) AS r_dec,
+             row_number() OVER (ORDER BY plain DESC, user_id) AS r_plain
+      FROM dec)
+    SELECT user_id, decayed, plain, CAST(r_dec AS BIGINT) AS r_dec,
+           CAST(r_plain AS BIGINT) AS r_plain
+    FROM rk WHERE r_dec <= 10
+    """,
+)
+def q_decayed_heavy_hitters(spark, sf_dir):
+    """Time-DECAYED heavy hitters — trending detection: activity counts
+    with an exponential half-life of one week, so the top-10 ranks what
+    is hot NOW rather than what was big ever (on the fixture the decayed
+    leader sits at plain-count rank 42 — recency genuinely reorders).
+    Exponential decay is normally float-doomed; here the decayed mass is
+    EXACT integer arithmetic because weights are powers of two over
+    capped week-buckets: weight = 1 << (8 − min(age_weeks, 8)), summed
+    as bigints — the fixed-point decay trick that also makes the measure
+    mergeable across shards (sums of integer masses). Both rankings
+    (decayed and plain) are emitted so the reordering itself is
+    hash-checked.
+
+    Scale shape: one 1-row max-timestamp broadcast and one
+    map-side-combined per-user sum see the event stream; the two rank
+    windows then run over the USER-domain aggregate, not events. At
+    extreme user cardinality the decayed top-10 becomes a TakeOrdered cut
+    and the plain rank of those 10 a count-of-greater join — the window
+    form here is the oracle-matched shape at the profiled domain size. In
+    streaming the same bucketed weights make the measure foldable per
+    micro-batch with a periodic rescale (shift right by elapsed weeks)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    ref = ev.agg(F.max("ts").alias("mx"))
+    w = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.least(
+            F.expr("datediff(mx, ts) DIV 7"), F.lit(8)
+        ).alias("bucket"),
+    )
+    dec = w.groupBy("user_id").agg(
+        F.sum(F.expr("shiftleft(1, CAST(8 - bucket AS INT))"))
+        .cast("bigint")
+        .alias("decayed"),
+        F.count(F.lit(1)).cast("bigint").alias("plain"),
+    )
+    rk = dec.withColumn(
+        "r_dec", F.row_number().over(Window.orderBy(F.desc("decayed"), "user_id"))
+    ).withColumn(
+        "r_plain", F.row_number().over(Window.orderBy(F.desc("plain"), "user_id"))
+    )
+    return rk.filter(F.col("r_dec") <= 10).select(
+        "user_id",
+        "decayed",
+        "plain",
+        F.col("r_dec").cast("bigint").alias("r_dec"),
+        F.col("r_plain").cast("bigint").alias("r_plain"),
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
