@@ -13214,6 +13214,113 @@ def q_conformal_accept_audit(spark, sf_dir):
     )
 
 
+@register(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS tot
+          FROM daily),
+    h AS (SELECT nd, tot,
+                 CAST(5 * nd * CAST(FLOOR(SQRT(CAST(tot // nd AS DOUBLE)))
+                      AS BIGINT) AS BIGINT) AS h
+          FROM n),
+    dev AS (
+      SELECT daily.d, daily.x, h.nd, h.tot, h.h,
+             h.nd * daily.x - h.tot AS dx
+      FROM daily CROSS JOIN h),
+    cum AS (
+      SELECT d, x, nd, tot, h,
+             SUM(dx) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM dev),
+    s AS (
+      SELECT d, x, h, c,
+             c - LEAST(COALESCE(MIN(c) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0)
+               AS s_pos,
+             -(c - GREATEST(COALESCE(MAX(c) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0))
+               AS s_neg
+      FROM cum)
+    SELECT d, x, s_pos, s_neg, (s_pos > h OR s_neg > h) AS alarm, h
+    FROM s
+    """,
+)
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on the daily event-count series — the
+    statistical-process-control complement of daily_count_anomalies
+    (which flags single outlier days): CUSUM accumulates small sustained
+    drifts that no single day would trip. The textbook recursion
+    S_t = max(0, S_{t-1} + dev_t) is sequential, but its CLOSED FORM is
+    pure windows: S⁺_t = cum_t − min(prefix cums) and S⁻ mirrored with
+    max — so the whole detector is two cumulative windows over one
+    running sum, no recursion, no state. Everything is integer: daily
+    deviations are scaled by the day count (nd·x − tot — exact zero-mean
+    without dividing), and the alarm threshold is 5·nd·⌊√mean⌋
+    (Poisson-noise scaling; one identically-shaped sqrt floor). Alarm
+    flags are pinned as data — the uniform generator trips 0–16 alarms
+    depending on SF, all hash-checked.
+
+    Scale shape: one map-side-combined daily count sees the corpus; the
+    detector runs entirely on the day-domain relation (control-plane —
+    30 rows here, a few thousand for a decade of telemetry). For
+    key-partitioned monitoring, the same windows run per key."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    n = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("x").cast("bigint").alias("tot"),
+    )
+    h = n.select(
+        "nd",
+        "tot",
+        F.expr(
+            "CAST(5 * nd * CAST(FLOOR(SQRT(CAST(tot DIV nd AS DOUBLE)))"
+            " AS BIGINT) AS BIGINT)"
+        ).alias("h"),
+    )
+    dev = daily.crossJoin(F.broadcast(h)).select(
+        "d",
+        "x",
+        "h",
+        (F.col("nd") * F.col("x") - F.col("tot")).alias("dx"),
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wprev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dev.withColumn("c", F.sum("dx").over(wcum))
+    s = cum.select(
+        "d",
+        "x",
+        "h",
+        (
+            F.col("c")
+            - F.least(F.coalesce(F.min("c").over(wprev), F.lit(0)), F.lit(0))
+        ).alias("s_pos"),
+        (
+            -(
+                F.col("c")
+                - F.greatest(
+                    F.coalesce(F.max("c").over(wprev), F.lit(0)), F.lit(0)
+                )
+            )
+        ).alias("s_neg"),
+    )
+    return s.select(
+        "d",
+        "x",
+        "s_pos",
+        "s_neg",
+        ((F.col("s_pos") > F.col("h")) | (F.col("s_neg") > F.col("h"))).alias(
+            "alarm"
+        ),
+        "h",
+    )
+
+
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
