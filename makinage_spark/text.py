@@ -173,6 +173,49 @@ def rolling_fingerprint(c: ColumnLike, n: int = 8, keep: int = 4) -> Column:
     return F.concat_ws("|", F.slice(F.array_sort(hashes), 1, keep))
 
 
+def gram_hashes_of(norm: Column, k: int = 8) -> Column:
+    """POSITIONAL 32-bit ``k``-gram hashes (md5 prefix) of an
+    ALREADY-normalized string column — one entry per gram start position,
+    NOT deduplicated (winnowing needs the positional sequence, unlike the
+    set-semantics :func:`char_ngrams_of`). Docs shorter than ``k`` yield one
+    truncated gram, so the array is never empty. Cross-engine reproducible:
+    DuckDB ``CAST('0x'||substr(md5(substr(norm,i,k)),1,8) AS BIGINT)``.
+    Same hot-path contract as :func:`char_ngrams_of`: pass a materialized
+    column reference, not the normalize() subtree."""
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1)))
+    return F.transform(
+        idx,
+        lambda i: F.conv(F.substring(F.md5(F.substring(norm, i, F.lit(k))), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
+
+
+def winnow_positions_of(hs: Column, w: int = 4) -> Column:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 §4) over a
+    materialized positional gram-hash array: slide a window of ``w``
+    consecutive hashes and keep the RIGHTMOST minimum's 1-based position per
+    window; return the distinct selected positions ascending.
+
+    Guarantee (the reason this beats the bottom-k sketch in
+    :func:`rolling_fingerprint`): any substring of length >= w+k-1 shared by
+    two documents contributes at least one identical selected gram hash, so
+    fingerprint intersection detects local plagiarism/quotation, not just
+    whole-document similarity. Density is ~2/(w+1) of all grams.
+
+    Pure in-row array algebra over a single pre-materialized array — a narrow
+    map stage, embarrassingly parallel at 100 TB."""
+    n = F.size(hs)
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(w - 1)))
+
+    def _rightmost_min(j: Column) -> Column:
+        ps = F.sequence(j, F.least(j + F.lit(w - 1), n))
+        m = F.array_min(F.transform(ps, lambda p: F.element_at(hs, p)))
+        return F.array_max(F.filter(ps, lambda p: F.element_at(hs, p) == m))
+
+    return F.array_sort(F.array_distinct(F.transform(starts, _rightmost_min)))
+
+
 def add_text_features(col: str = "text"):
     """Operator: append the full text-analysis feature set (language guess,
     quality features + score, token count, fingerprint) to a documents
