@@ -147,6 +147,81 @@ def pagerank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan/Albert/Kumara
+    2007) — community detection as the fourth graph fixpoint family after
+    :func:`pagerank`, :func:`hits` and connected components.
+
+    Every node starts labeled with its own id; each round, SYNCHRONOUSLY,
+    every node adopts the label most frequent among its neighbors' current
+    labels, ties broken by the SMALLEST label. Both the synchronous schedule
+    and the min-tie-break are part of the operator contract: the textbook
+    asynchronous/random-tie variant is non-deterministic, which would make
+    the result partitioning-dependent and oracle-uncheckable. All counts are
+    integers, so every iterate is bitwise partitioning-invariant.
+
+    Per iteration: one hash join of the |V|-row label vector to the edge
+    list on ``dst`` + one shuffle-aggregate on ``(src, label)`` + the argmax
+    fold — the argmax is a ``max(struct(count, -label))`` single groupBy, NOT
+    a row_number window, so it map-side combines and never materializes the
+    per-label ranking. Same scale shape as pagerank (edge list persists as
+    the loop invariant; label vector is |V| rows). For iterations ≳ 8 on a
+    real cluster, checkpoint the label vector every few rounds to truncate
+    the unrolled lineage.
+
+    Caching contract: the persisted edge list materializes when the caller
+    evaluates the returned plan and is not unpersisted here; call
+    ``spark.catalog.clearCache()`` between repeated invocations (the same
+    contract as pagerank/hits).
+
+    Returns ``(id, community)`` — community = the node's label after
+    ``iterations`` rounds. Isolated endpoints cannot occur (every node in an
+    edge list has degree ≥ 1); nodes never referenced by any edge are absent.
+    """
+    if iterations < 1:
+        raise ValueError("label_propagation needs at least 1 iteration")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        # duplicate edges would double-weight a neighbor's vote
+        e = e.distinct()
+    e = e.persist()
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(iterations):
+        votes = e.join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("nb_label")),
+            "dst",
+        )
+        cnt = votes.groupBy(F.col("src").alias("id"), "nb_label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        # argmax(count) with min-label tie-break as one associative aggregate:
+        # max over (c, -label) structs == highest count, then smallest label
+        new = (
+            cnt.groupBy("id")
+            .agg(
+                F.max(F.struct(F.col("c"), (-F.col("nb_label")).alias("nl"))).alias("m")
+            )
+            .select("id", (-F.col("m.nl")).cast("bigint").alias("new_label"))
+        )
+        # sink-only nodes (no out-edges in a directed graph) receive no votes
+        # and keep their current label; on symmetric graphs this is a no-op
+        labels = labels.join(new, "id", "left").select(
+            "id", F.coalesce("new_label", "label").cast("bigint").alias("label")
+        )
+    return labels.select("id", F.col("label").alias("community"))
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

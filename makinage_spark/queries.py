@@ -6246,6 +6246,76 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def _label_prop_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label-propagation oracle: each round counts
+    neighbor labels per node and takes argmax with min-label tie-break
+    (row_number over (c DESC, label ASC)) — the windowed twin of the
+    engine's max(struct(c, -label)) fold."""
+    ctes = [
+        """e0 AS (
+      SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+                      CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"""
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""c{t} AS (
+      SELECT e.src AS id, l.label, COUNT(*) AS c
+      FROM e JOIN l{t - 1} l ON e.dst = l.id
+      GROUP BY e.src, l.label),
+    l{t} AS (
+      SELECT id, label FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+        FROM c{t})
+      WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT l.id, l.label AS community, s.comm_size
+    FROM l{iters} l
+    JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS comm_size
+          FROM l{iters} GROUP BY label) s ON l.label = s.label"""
+    )
+
+
+@register("graph_label_propagation", _label_prop_sql(3))
+def q_graph_label_propagation(spark, sf_dir):
+    """Community detection via deterministic synchronous label propagation
+    (3 rounds, min-label tie-break) over the same symmetric
+    customer↔supplier fulfillment graph as graph_pagerank — the fourth graph
+    fixpoint family (after PR / HITS / CC), covering the corpus-analysis use
+    of grouping a link graph into communities for mixture balancing.
+
+    graphs.label_propagation keeps the whole fixpoint in integer arithmetic
+    (label ids + vote counts), so every iterate is bitwise
+    partitioning-invariant and the 3-round unrolled window oracle matches
+    exactly. The final community-size annotation is one |V|-row self-agg
+    join. Per iteration: one hash join of the |V|-row label vector to the
+    edge list + one map-side-combined (id, label) count + a single-struct
+    argmax groupBy — no row_number window anywhere in the engine plan."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).cast("bigint").alias("src"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comm = graphs.label_propagation(sym, iterations=3, assume_distinct=True)
+    sizes = comm.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("comm_size")
+    )
+    return comm.join(sizes, "community").select("id", "community", "comm_size")
+
+
 def _pagerank_dangling_sql(iters: int = 3) -> str:
     """Unrolled fixed-point oracle for pagerank(dangling='redistribute'):
     each round adds the exact bigint mass held by out-degree-0 nodes,
@@ -12388,6 +12458,85 @@ def q_skew_salt_planner(spark, sf_dir):
         "n_keys",
         "n_skewed",
         "max_salt",
+    )
+
+
+@register(
+    "range_partition_plan",
+    """
+    WITH li AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS k, l_linenumber AS tb FROM lineitem),
+    samp AS (
+      SELECT k, tb FROM li
+      WHERE CAST(concat('0x', substr(md5(concat(k, ':', tb)), 1, 15)) AS BIGINT)
+            % 16 = 0),
+    tiles AS (SELECT k, ntile(8) OVER (ORDER BY k, tb) AS tile FROM samp),
+    bnd AS (SELECT tile, MAX(k) AS hi FROM tiles GROUP BY tile),
+    his AS (SELECT list_sort(list(hi)) AS his FROM bnd WHERE tile < 8),
+    pidt AS (
+      SELECT k, 1 + len(list_filter(his.his, h -> k > h)) AS pid
+      FROM li, his),
+    cnt AS (
+      SELECT pid, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+      FROM pidt GROUP BY pid),
+    tot AS (SELECT CAST(SUM(n_rows) AS DOUBLE) AS total FROM cnt)
+    SELECT pid, n_rows, min_k, max_k,
+           ROUND(n_rows * 8 / total, 4) AS balance_ratio
+    FROM cnt, tot
+    """,
+)
+def q_range_partition_plan(spark, sf_dir):
+    """Sampled range-partition planning — the mechanism behind Spark's own
+    RangePartitioner / global ORDER BY exchanges, surfaced as an auditable
+    operator: draw a DETERMINISTIC hash sample of the sort key (md5 of the
+    unique (l_orderkey, l_linenumber) row key, mod 16 — reproducible across
+    engines, unlike reservoir sampling), compute exact 8-quantile boundaries
+    on the sample via ntile, then score the plan by range-joining the FULL
+    table against the boundary list and reporting per-planned-partition row
+    counts and balance (n·P/total; 1.0 = perfectly even).
+
+    Scale shape: the only global-sort window (ntile) runs on the SAMPLE —
+    the operator contract is that the caller picks the sample modulus so the
+    sample stays bounded (Spark's RangePartitioner caps at ~20·P rows the
+    same way), so the single-task sort is a control-plane cost, not a data
+    cost. The P-1 boundaries collapse to a 1-row sorted array kept IN-PLAN
+    (broadcast cross-join, no driver collect); partition assignment for the
+    full table is then a narrow map — ``1 + #{h in boundaries : k > h}`` in
+    pure array algebra. The audit aggregate is one map-side-combined groupBy
+    on 8 keys."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("bigint").alias("k"),
+        F.col("l_linenumber").alias("tb"),
+    )
+    P = 8
+    rowkey = F.concat_ws(":", F.col("k").cast("string"), F.col("tb").cast("string"))
+    samp = li.filter(text.md5_hash64(rowkey) % 16 == 0)
+    tiles = samp.select(
+        "k", F.ntile(P).over(Window.orderBy("k", "tb")).alias("tile")
+    )
+    bnd = tiles.groupBy("tile").agg(F.max("k").alias("hi"))
+    his = bnd.filter(F.col("tile") < P).agg(
+        F.sort_array(F.collect_list("hi")).alias("his")
+    )
+    pidt = li.crossJoin(F.broadcast(his)).select(
+        "k",
+        (
+            1 + F.size(F.filter(F.col("his"), lambda h: F.col("k") > h))
+        ).alias("pid"),
+    )
+    cnt = pidt.groupBy("pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )
+    tot = cnt.agg(F.sum("n_rows").cast("double").alias("total"))
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "pid",
+        "n_rows",
+        "min_k",
+        "max_k",
+        F.round(F.col("n_rows") * P / F.col("total"), 4).alias("balance_ratio"),
     )
 
 
