@@ -3521,6 +3521,86 @@ def q_stream_stream_join(spark, sf_dir):
 
 
 @register(
+    "stream_stream_left_join",
+    """
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS maxts FROM events),
+    c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+      FROM events, mx
+      WHERE event_type = 'click'
+        AND CAST(ts AS TIMESTAMP) <= maxts - INTERVAL 4 HOUR),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+             value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.click_id, p.purchase_id,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           (p.purchase_id IS NULL) AS unmatched
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.p_ts >= c.c_ts
+     AND p.p_ts < c.c_ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER join with watermarks — a genuinely different
+    state-machine path from the inner ``stream_stream_join``: unmatched left
+    rows are held in the state store and emitted with NULL right columns only
+    once the event-time watermark passes their joinable range (c_ts + 1h), so
+    this pins Spark's watermark-driven outer-eviction semantics against the
+    batch LEFT JOIN oracle, null rows included.
+
+    Outer-join completeness contract: rows whose joinable range the final
+    watermark never clears stay in state forever (they are not wrong, just
+    unemitted), so BOTH sides restrict the left stream to clicks at least
+    4h (> watermark delay 2h + join range 1h) before the corpus max
+    timestamp — the same bounded-tail reasoning a production pipeline applies
+    when draining an outer join. The max-ts lookup is a 1-value control-plane
+    read (same pattern as the watermark-lateness audit)."""
+    ev = load_table(spark, sf_dir, "events")
+    maxts = ev.agg(F.max("ts").alias("m")).collect()[0][0]
+    from datetime import timedelta
+
+    cutoff = maxts - timedelta(hours=4)
+    clicks = _stream_events(spark, sf_dir).filter("event_type = 'click'")
+    purchases = _stream_events(spark, sf_dir).filter("event_type = 'purchase'")
+    # watermark BEFORE the tail cutoff: the global watermark is the MIN over
+    # both inputs' (max event time - delay), so filtering first would cap the
+    # click side's max at the cutoff and permanently hold the watermark 4h
+    # behind — the unmatched tail would never evict. Watermarking the full
+    # click stream lets the final no-data batch advance the watermark to
+    # maxts-2h, which clears every kept click's joinable range (maxts-3h).
+    c = (
+        clicks.withWatermark("ts", "2 hours")
+        .filter(F.col("ts") <= F.lit(cutoff))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = purchases.withWatermark("ts", "2 hours").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    return _drain(joined).select(
+        "click_id",
+        "purchase_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+        F.col("purchase_id").isNull().alias("unmatched"),
+    )
+
+
+@register(
     "posexplode_tokens",
     f"""
     WITH toks AS (
@@ -12537,6 +12617,125 @@ def q_range_partition_plan(spark, sf_dir):
         "min_k",
         "max_k",
         F.round(F.col("n_rows") * P / F.col("total"), 4).alias("balance_ratio"),
+    )
+
+
+@register(
+    "zonemap_skipping_audit",
+    """
+    WITH base AS (
+      SELECT CAST(l_orderkey AS BIGINT) AS k, l_linenumber AS tb,
+             date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS d
+      FROM lineitem),
+    rng AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM base),
+    tagged AS (
+      SELECT 'clustered' AS layout,
+             least(63, CAST(floor((d - dmin) * 64.0
+                                  / (dmax - dmin + 1)) AS BIGINT)) AS file_id,
+             d
+      FROM base, rng
+      UNION ALL
+      SELECT 'scattered' AS layout,
+             CAST(concat('0x', substr(md5(concat(k, ':', tb)), 1, 15)) AS BIGINT)
+               % 64 AS file_id,
+             d
+      FROM base),
+    files AS (
+      SELECT layout, file_id, MIN(d) AS min_d, MAX(d) AS max_d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d BETWEEN 517 AND 546 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_match
+      FROM tagged GROUP BY layout, file_id),
+    agg AS (
+      SELECT layout,
+             CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(CASE WHEN max_d < 517 OR min_d > 546 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS files_scanned,
+             CAST(SUM(CASE WHEN max_d < 517 OR min_d > 546 THEN 0 ELSE n END)
+                  AS BIGINT) AS rows_scanned,
+             CAST(SUM(n_match) AS BIGINT) AS rows_matching,
+             CAST(SUM(n) AS BIGINT) AS total_rows
+      FROM files GROUP BY layout)
+    SELECT layout, n_files, files_scanned, rows_scanned, rows_matching,
+           ROUND(1 - rows_scanned / CAST(total_rows AS DOUBLE), 4) AS skip_ratio
+    FROM agg
+    """,
+)
+def q_zonemap_skipping_audit(spark, sf_dir):
+    """Zone-map (min/max statistics) data-skipping audit — quantifies WHY
+    layout clustering matters for scan pruning at 100 TB by simulating two
+    physical layouts of lineitem into 64 files and measuring how many files
+    a 30-day ``l_shipdate`` predicate can skip from their per-file min/max
+    alone: the value-range-clustered layout (each file owns a shipdate
+    bracket — what a sort or Z-order write produces) vs a scattered layout
+    (files assigned by row hash — what unordered ingest produces). The
+    companion to ``zorder_locality`` (which scores multi-column locality)
+    and ``compaction_bin_plan`` (which plans the rewrite): this one measures
+    the read-side payoff, the same skipping mechanism parquet row-group
+    stats / Iceberg manifests give for free once data is clustered.
+
+    Plan shape: per-layout file assignment is a narrow map (the clustered
+    bucket needs only a 1-row min/max aggregate broadcast back in-plan —
+    range bucketing, NOT a global sort); then one (layout, file) aggregate
+    and one 2×64-row rollup. Dates are reduced to exact integer day offsets
+    from 1995-01-01 (517..546 = June 1996) so every comparison is
+    integer-exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").cast("bigint").alias("k"),
+        F.col("l_linenumber").alias("tb"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d"),
+    )
+    rng = base.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    clustered = base.crossJoin(F.broadcast(rng)).select(
+        F.lit("clustered").alias("layout"),
+        F.least(
+            F.lit(63),
+            F.floor(
+                (F.col("d") - F.col("dmin"))
+                * 64.0
+                / (F.col("dmax") - F.col("dmin") + 1)
+            ),
+        )
+        .cast("bigint")
+        .alias("file_id"),
+        "d",
+    )
+    rowkey = F.concat_ws(":", F.col("k").cast("string"), F.col("tb").cast("string"))
+    scattered = base.select(
+        F.lit("scattered").alias("layout"),
+        (text.md5_hash64(rowkey) % 64).cast("bigint").alias("file_id"),
+        "d",
+    )
+    tagged = clustered.union(scattered)
+    hit = F.col("d").between(517, 546)
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_match"),
+    )
+    skippable = (F.col("max_d") < 517) | (F.col("min_d") > 546)
+    agg = files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(skippable, 0).otherwise(1)).cast("bigint").alias("files_scanned"),
+        F.sum(F.when(skippable, 0).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_match").cast("bigint").alias("rows_matching"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+    )
+    return agg.select(
+        "layout",
+        "n_files",
+        "files_scanned",
+        "rows_scanned",
+        "rows_matching",
+        F.round(
+            1 - F.col("rows_scanned") / F.col("total_rows").cast("double"), 4
+        ).alias("skip_ratio"),
     )
 
 
