@@ -3601,6 +3601,42 @@ def q_stream_stream_left_join(spark, sf_dir):
 
 
 @register(
+    "stream_static_enrich",
+    """
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           c.c_nationkey AS nationkey, CAST(e.value AS DOUBLE) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrich — the reference's
+    ``with_latest_from``/stream-static join shape (SURVEY §2.2 'Combine
+    streams', A27) registered as a first-class streaming query: an unbounded
+    event stream hash-enriched per micro-batch against a bounded dimension
+    table, no state store, no watermark (stream-static inner joins are
+    stateless — each batch joins against the static relation as-of that
+    batch). The dimension side carries an explicit broadcast hint: dims that
+    fit in executor memory should ship once per executor rather than shuffle
+    every micro-batch's events; for dims that outgrow broadcast, drop the
+    hint and Spark falls back to a per-batch shuffled hash join with the
+    same semantics."""
+    ev = _stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).select(
+        "event_id",
+        "user_id",
+        "segment",
+        "nationkey",
+        F.col("value").cast("double").alias("value"),
+    )
+    return _drain(joined)
+
+
+@register(
     "posexplode_tokens",
     f"""
     WITH toks AS (
@@ -11722,6 +11758,100 @@ def q_markov_stationary_profile(spark, sf_dir):
         F.col("v").alias("v_ppb"),
         "delta_ppb",
         (F.col("delta_ppb") < 1000000).alias("converged"),
+    )
+
+
+@register(
+    "temperature_mixture_alloc",
+    """
+    WITH src AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM src),
+    sc AS (
+      SELECT lang, n_docs,
+             ROUND(n_docs / n, 6) AS share,
+             ROUND(pow(n_docs / n, 0.7), 6) AS scaled
+      FROM src, tot),
+    z AS (SELECT SUM(scaled) AS zsum FROM sc),
+    q AS (
+      SELECT lang, n_docs, share,
+             ROUND(scaled / zsum, 6) AS scaled_share,
+             ROUND(1000 * scaled / zsum, 6) AS quota
+      FROM sc, z),
+    base AS (
+      SELECT lang, n_docs, share, scaled_share, quota,
+             CAST(FLOOR(quota) AS BIGINT) AS fl,
+             quota - FLOOR(quota) AS rem
+      FROM q),
+    lk AS (
+      SELECT CAST(1000 - SUM(fl) AS BIGINT) AS leftover FROM base),
+    rk AS (
+      SELECT b.*, lk.leftover,
+             row_number() OVER (ORDER BY rem DESC, lang ASC) AS rnk
+      FROM base b CROSS JOIN lk)
+    SELECT lang, n_docs, share, scaled_share, quota,
+           CAST(fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM rk
+    """,
+)
+def q_temperature_mixture_alloc(spark, sf_dir):
+    """Temperature-scaled multilingual sampling allocation (the mC4/XLM-R
+    recipe): upsample low-resource languages by sampling proportional to
+    p_i^α (α = 0.7) instead of p_i, then turn the real-valued quotas over a
+    1000-slot budget into EXACT integers with largest-remainder (Hamilton)
+    apportionment — floor every quota, hand the leftover slots to the
+    largest fractional remainders (ties by language asc). Completes the
+    mixture-planning family: ``domain_mixture_weights`` (observed shares),
+    ``mixture_waterfill_alloc`` (capacity-constrained), this one
+    (temperature-rebalanced).
+
+    Engine-portability: the only transcendental is pow(share, 0.7), rounded
+    to 6 dp immediately (ulp-level engine differences sit ~1e-16, nine
+    orders below the rounding grain); everything downstream — floors,
+    remainders, the apportionment rank — is exact arithmetic on those
+    rounded values. Scale shape: one map-side-combined count by language;
+    all windows run on the language-domain relation (dozens of rows at any
+    corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").cast("double").alias("n"))
+    sc = src.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n"), 6).alias("share"),
+        F.round(F.pow(F.col("n_docs") / F.col("n"), 0.7), 6).alias("scaled"),
+    )
+    z = sc.agg(F.sum("scaled").alias("zsum"))
+    q = sc.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "share",
+        F.round(F.col("scaled") / F.col("zsum"), 6).alias("scaled_share"),
+        F.round(1000 * F.col("scaled") / F.col("zsum"), 6).alias("quota"),
+    )
+    base = q.select(
+        "*",
+        F.floor("quota").cast("bigint").alias("fl"),
+        (F.col("quota") - F.floor("quota")).alias("rem"),
+    )
+    lk = base.agg((1000 - F.sum("fl")).cast("bigint").alias("leftover"))
+    rk = base.crossJoin(F.broadcast(lk)).withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("lang")))
+    )
+    return rk.select(
+        "lang",
+        "n_docs",
+        "share",
+        "scaled_share",
+        "quota",
+        (
+            F.col("fl")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
     )
 
 
