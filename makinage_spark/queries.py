@@ -4990,6 +4990,81 @@ def q_cross_source_contamination(spark, sf_dir):
 
 
 @register(
+    "ngram_decontaminate",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(t[i:i+12], ' '))
+                     FOR i IN range(1, len(t) - 11)]) AS g
+      FROM tok WHERE len(t) >= 13),
+    ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+    cnt AS (
+      SELECT tr.doc_id, COUNT(*) AS n_grams, COUNT(ev.g) AS n_dirty
+      FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dirty AS BIGINT) AS n_dirty,
+           CAST((1000000 * n_dirty) // n_grams AS BIGINT) AS dirty_ppm,
+           n_dirty > 0 AS contaminated
+    FROM cnt
+    """,
+)
+def q_ngram_decontaminate(spark, sf_dir):
+    """Benchmark decontamination by sliding 13-gram overlap — the GPT-3/PaLM
+    protocol: any training document sharing one 13-token window with the
+    held-out eval split (here the deterministic doc_id%10==0 slice) is
+    flagged, with the dirty-window fraction reported so the pipeline can
+    choose flag-vs-drop per contamination severity. Complements
+    cross_source_contamination (prefix fingerprints catch whole-document
+    twins; sliding grams catch a single quoted eval passage buried mid-
+    document).
+
+    Scale shape: windows leave the plan as 16-byte md5 fingerprints
+    immediately (text never shuffles); the eval-side gram set is
+    benchmark-sized (millions of grams, not corpus-sized) so AQE broadcasts
+    the probe join at 100 TB — no hint needed, same policy as the LM
+    tables. The per-doc tally is a map-side-combined count over the join
+    output. Fingerprint collisions: md5's 2^-128 — absorbed by the audit
+    semantics (a false dirty gram flags, never drops silently)."""
+    N = 13
+    docs = load_wide(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+    ).withColumn("n", F.size("t"))
+    grams = base.where(F.col("n") >= N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (N - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, N), " ")),
+            )
+        ).alias("g"),
+    )
+    ev = grams.where(F.col("doc_id") % 10 == 0).select("g").distinct()
+    tr = grams.where(F.col("doc_id") % 10 != 0)
+    return (
+        tr.join(ev.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("hit").cast("bigint").alias("n_dirty"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dirty",
+            F.expr("(1000000 * n_dirty) DIV n_grams").cast("bigint").alias(
+                "dirty_ppm"
+            ),
+            (F.col("n_dirty") > 0).alias("contaminated"),
+        )
+    )
+
+
+@register(
     "stratified_sample",
     """
     WITH ranked AS (
@@ -5018,6 +5093,80 @@ def q_stratified_sample(spark, sf_dir):
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 100)
         .drop("rk")
+    )
+
+
+@register(
+    "curriculum_interleave_order",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN n < 32 THEN 0 WHEN n < 56 THEN 1
+                  WHEN n < 76 THEN 2 ELSE 3 END AS bucket,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM (SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS n
+            FROM documents)),
+    r AS (
+      SELECT doc_id, bucket,
+             CAST(row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id)
+                  AS BIGINT) AS within_rank
+      FROM d)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, within_rank,
+           CAST((within_rank - 1) * 4 + bucket + 1 AS BIGINT) AS sched_pos
+    FROM r
+    """,
+)
+def q_curriculum_interleave_order(spark, sf_dir):
+    """Deterministic curriculum interleave — the training-data ORDERING op:
+    documents are bucketed by difficulty (token-count bands, FIXED
+    thresholds so no global quantile pass gates the pipeline), ranked
+    within their bucket by a content hash (reproducible across runs and
+    engines, unlike RNG shuffles), and scheduled round-robin across buckets
+    (``sched_pos = (rank-1)·B + bucket``) so no difficulty band ever
+    clusters — the anti-catastrophic-ordering guarantee curriculum loaders
+    need. Positions are strictly increasing per bucket and cycle buckets
+    every B slots (sparse where buckets exhaust — the loader compacts by
+    sorting, order preserved).
+
+    Scale shape: the within-bucket rank is the TWO-PHASE distributed rank
+    (range-partition on (bucket, hash) + broadcast per-partition offsets —
+    joins.sorted_merge's machinery, no single-reducer window even though
+    B=4); the per-bucket start offsets are a 4-row broadcast. Text never
+    leaves the first projection."""
+    docs = load_wide(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        text.token_count(F.lower(F.col("text"))).alias("n"),
+    ).select(
+        "doc_id",
+        F.when(F.col("n") < 32, 0)
+        .when(F.col("n") < 56, 1)
+        .when(F.col("n") < 76, 2)
+        .otherwise(3)
+        .alias("bucket"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    seq = joins.sorted_merge(d, order=["bucket", "h", "doc_id"])
+    starts = (
+        seq.groupBy("bucket")
+        .agg(F.min("seq").alias("bucket_start"))
+    )
+    return (
+        seq.join(F.broadcast(starts), "bucket")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            (F.col("seq") - F.col("bucket_start") + 1).alias("within_rank"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "within_rank",
+            ((F.col("within_rank") - 1) * 4 + F.col("bucket") + 1)
+            .cast("bigint")
+            .alias("sched_pos"),
+        )
     )
 
 
@@ -6710,6 +6859,85 @@ def q_bpe_learn_merges(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     return text.bpe_learn_merges(vocab, "word", "n", rounds=3)
+
+
+#: Fixed BPE merge table — the shipped-tokenizer artifact bpe_encode applies.
+#: Learned once from the corpus vocabulary by the same iterated
+#: count -> argmax -> greedy-resegment loop bpe_learn_merges implements
+#: (rank order matters: 'mer' requires 'er', 'join' requires 'jo'+'in').
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+]
+
+
+def _bpe_encode_sql(merges: list[tuple[str, str]]) -> str:
+    rep = "array_to_string(regexp_extract_all(word, '.'), ' ')"
+    for left, right in merges:
+        nl = len(left)
+        rep = (
+            f"list_reduce(string_split({rep}, ' '), (acc, s) -> CASE"
+            f" WHEN (acc = '{left}' OR substr(acc, length(acc) - {nl},"
+            f" {nl + 1}) = ' {left}') AND s = '{right}'"
+            f" THEN substr(acc, 1, length(acc) - {nl}) || '{left}{right}'"
+            f" ELSE acc || ' ' || s END)"
+        )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS word
+      FROM documents),
+    enc AS (
+      SELECT word, CAST(len(string_split({rep}, ' ')) AS BIGINT) AS n_sub
+      FROM (SELECT DISTINCT word FROM words))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+           CAST((1000000 * SUM(n_sub)) // COUNT(*) AS BIGINT) AS fertility_ppm
+    FROM words JOIN enc USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register("bpe_encode_fertility", _bpe_encode_sql(_BPE_MERGES))
+def q_bpe_encode_fertility(spark, sf_dir):
+    """BPE tokenizer ENCODE — the inference half bpe_learn_merges trains:
+    apply a fixed 12-merge table (rank order, greedy leftmost per pass —
+    the reference BPE apply loop) and report per-document subword counts
+    and fertility (subwords per word, ppm) — the tokenizer-efficiency
+    signal a pipeline tracks per language/source before committing a vocab.
+
+    Scale shape: the merge chain encodes the DISTINCT VOCABULARY (zipf-
+    bounded however large the corpus), one whole-stage-codegen'd string
+    fold per merge, zero shuffle; the corpus pass collapses text to words
+    at the explode and joins the vocabulary-sized (word, n_sub) relation
+    back — AQE broadcasts it, no hint. Per-doc tallies are map-side
+    combined."""
+    docs = load_wide(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("word")
+    )
+    enc = words.select("word").distinct().select(
+        "word",
+        F.size(F.split(text.bpe_apply_merges("word", _BPE_MERGES), " "))
+        .cast("bigint")
+        .alias("n_sub"),
+    )
+    return (
+        words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_subwords",
+            F.expr("(1000000 * n_subwords) DIV n_words")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )
 
 
 @register(

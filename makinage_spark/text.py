@@ -351,6 +351,34 @@ def bpe_learn_merges(
     return out
 
 
+def bpe_apply_merges(word_col: str, merges: list[tuple[str, str]]) -> Column:
+    """ENCODE with a fixed merge table — the inference half of the BPE pair
+    (:func:`bpe_learn_merges` is the training half). ``merges`` is the
+    shipped-tokenizer artifact: an ordered list of ``(left, right)`` symbol
+    pairs applied in rank order, each pass greedy leftmost non-overlapping
+    ("aaaa" + (a,a) -> "aa aa"), exactly the reference BPE apply loop.
+
+    Returns a Column: the word's final space-joined symbol sequence. The
+    whole chain is ONE whole-stage-codegen'd expression (a string fold per
+    merge, nested textually) — no shuffle, no UDF; callers run it over the
+    zipf-bounded VOCABULARY and join the result back to the corpus, so
+    encode cost is vocabulary-scale however large the corpus."""
+    rep = (
+        f"concat_ws(' ', filter(split({word_col}, ''), x -> x != ''))"
+    )
+    for left, right in merges:
+        nl = len(left)
+        rep = (
+            f"aggregate(split({rep}, ' '), '', (acc, s) -> CASE"
+            f" WHEN acc = '' THEN s"
+            f" WHEN (acc = '{left}' OR substr(acc, length(acc) - {nl},"
+            f"       {nl + 1}) = ' {left}') AND s = '{right}'"
+            f" THEN concat(substr(acc, 1, length(acc) - {nl}), '{left}{right}')"
+            f" ELSE concat(acc, ' ', s) END)"
+        )
+    return F.expr(rep)
+
+
 def repeated_ngram_spans(
     docs: DataFrame,
     n: int = 8,

@@ -321,6 +321,38 @@ def test_bpe_learn_merges_classic_example(spark):
     ]
 
 
+def test_bpe_apply_merges_greedy_and_rank_order(spark):
+    words = spark.createDataFrame(
+        [("aaaa",), ("join",), ("low",)], "word string"
+    )
+    # greedy leftmost: "aaaa" + (a,a) -> "aa aa", never "a aa a"
+    one = words.select(
+        "word", text.bpe_apply_merges("word", [("a", "a")]).alias("rep")
+    )
+    got = {r.word: r.rep for r in one.collect()}
+    assert got["aaaa"] == "aa aa"
+    assert got["low"] == "l o w"
+    # rank order: later merges see earlier merges' symbols
+    chain = words.select(
+        "word",
+        text.bpe_apply_merges(
+            "word", [("a", "a"), ("aa", "aa"), ("j", "o"), ("i", "n"), ("jo", "in")]
+        ).alias("rep"),
+    )
+    got = {r.word: r.rep for r in chain.collect()}
+    assert got["aaaa"] == "aaaa"  # (a,a) twice then (aa,aa)
+    assert got["join"] == "join"  # (j,o) + (i,n) then (jo,in)
+
+
+def test_bpe_apply_no_false_tail_match(spark):
+    # last symbol "ba" must NOT satisfy a merge whose left is "a"
+    words = spark.createDataFrame([("bac",)], "word string")
+    out = words.select(
+        text.bpe_apply_merges("word", [("b", "a"), ("a", "c")]).alias("rep")
+    )
+    assert out.collect()[0].rep == "ba c"
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     docs_sets=st.lists(

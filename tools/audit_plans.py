@@ -45,7 +45,13 @@ ARROW_OK = re.compile(
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] = set()
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1 :])
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = mk.get_spark(
         app_name="plan_audit",
         master="local[8]",
@@ -59,7 +65,7 @@ def main():
     problems: list[str] = []
     infos: list[str] = []
     for name in sorted(QUERIES):
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -85,7 +91,10 @@ def main():
         for line in problems:
             print("PROB ", line)
         sys.exit(1)
-    print(f"OK: {sum(1 for q in QUERIES if q not in SKIP)} plans clean")
+    checked = sum(
+        1 for q in QUERIES if q not in SKIP and (not only or q in only)
+    )
+    print(f"OK: {checked} plans clean")
 
 
 if __name__ == "__main__":
