@@ -39,6 +39,68 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    divisor: int = 32,
+) -> DataFrame:
+    """Content-defined chunking (the storage-dedup primitive behind LBFS /
+    restic / borg, here over text payloads): cut a document into chunks
+    wherever the rolling ``k``-gram hash ≡ 0 (mod ``divisor``) — boundaries
+    are decided by CONTENT, so inserting one byte re-aligns within ~one
+    chunk instead of shifting every later boundary the way fixed-size
+    blocking does. Expected chunk length = ``divisor`` bytes.
+
+    Returns ``(id_col, fp, clen)`` — one row per chunk, fingerprint +
+    length. Everything up to the explode is in-row array algebra over the
+    positional gram-hash array (:func:`makinage_spark.text.gram_hashes_of`,
+    the same rolling hash winnowing rides) — a narrow map stage,
+    embarrassingly parallel at 100 TB; only 16-byte fingerprints and
+    lengths leave the plan. Production CDC adds min/max chunk bounds
+    (suppressing cuts is a sequential scan the textbook form omits);
+    the boundary law here is the pure gear form.
+    """
+    from makinage_spark.text import gram_hashes_of
+
+    base = (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"))
+        .withColumn("__L", F.length("__t"))
+        .withColumn("__hs", gram_hashes_of(F.col("__t"), k))
+    )
+    idxs = F.sequence(F.lit(2), F.greatest(F.lit(2), F.size("__hs")))
+    cuts = F.filter(
+        idxs,
+        lambda i: (i <= F.size("__hs"))
+        & (F.element_at("__hs", i) % divisor == 0),
+    )
+    bounds = F.concat(
+        F.array(F.lit(1)), cuts, F.array(F.col("__L") + 1)
+    )
+    chunked = base.withColumn("__b", bounds).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__b") - 1),
+                lambda j: F.struct(
+                    F.md5(
+                        F.substring(
+                            F.col("__t"),
+                            F.element_at("__b", j),
+                            F.element_at("__b", j + 1) - F.element_at("__b", j),
+                        )
+                    ).alias("fp"),
+                    (F.element_at("__b", j + 1) - F.element_at("__b", j))
+                    .cast("bigint")
+                    .alias("clen"),
+                ),
+            )
+        ).alias("__c"),
+    )
+    return chunked.select(id_col, F.col("__c.fp").alias("fp"), F.col("__c.clen").alias("clen"))
+
+
 def exact_dedup_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup returning the full surviving rows (lowest id per fingerprint
     wins — deterministic, unlike ``dropDuplicates`` which keeps an arbitrary

@@ -5065,6 +5065,76 @@ def q_ngram_decontaminate(spark, sf_dir):
 
 
 @register(
+    "cdc_chunk_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id, text, length(text) AS L,
+             [CAST('0x'||substr(md5(substr(text, i, 16)),1,8) AS BIGINT)
+              FOR i IN range(1, greatest(1, length(text)-15)+1)] AS hs
+      FROM documents),
+    c AS (
+      SELECT doc_id, text, L,
+             list_concat(list_concat([1],
+                 [i FOR i IN range(2, len(hs)+1) IF hs[i] % 32 = 0]), [L+1]) AS b
+      FROM g),
+    ch AS (
+      SELECT doc_id,
+             unnest([md5(text[b[j] : b[j+1]-1]) FOR j IN range(1, len(b))]) AS fp,
+             unnest([CAST(b[j+1]-b[j] AS BIGINT) FOR j IN range(1, len(b))]) AS clen
+      FROM c),
+    fps AS (SELECT fp, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY fp)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks,
+           CAST(SUM(clen) AS BIGINT) AS doc_bytes,
+           CAST(SUM(CASE WHEN nd > 1 THEN clen ELSE 0 END) AS BIGINT) AS shared_bytes,
+           CAST((1000000 * SUM(CASE WHEN nd > 1 THEN clen ELSE 0 END)) // SUM(clen)
+                AS BIGINT) AS shared_ppm
+    FROM ch JOIN fps USING (fp)
+    GROUP BY doc_id
+    """,
+)
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined-chunking dedup audit (dedup.cdc_chunks): gear-style
+    boundaries every ~32 bytes wherever the rolling 16-gram hash ≡ 0
+    (mod 32), chunk fingerprints counted across documents, per-document
+    shared-byte fraction reported — the storage/multimodal dedup primitive
+    (byte-shift-robust, unlike fixed blocking) applied at corpus scale.
+    At sf0.01 ~18% of chunk instances are shared — the near-dup groups'
+    common spans re-sync to identical chunks despite differing prefixes.
+
+    Scale shape: chunking is one narrow in-row map stage (array algebra
+    over the positional gram-hash array); only (fp, clen) pairs shuffle,
+    once, on the 32-char fingerprint; the doc-frequency relation joins
+    back fingerprint-keyed. Text never crosses an exchange."""
+    docs = load_wide(spark, sf_dir, "documents")
+    ch = dedup.cdc_chunks(docs, "text", "doc_id", k=16, divisor=32)
+    fps = ch.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    shared_len = F.sum(F.when(F.col("nd") > 1, F.col("clen")).otherwise(0))
+    return (
+        ch.join(fps, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("shared_chunks"),
+            F.sum("clen").cast("bigint").alias("doc_bytes"),
+            shared_len.cast("bigint").alias("shared_bytes"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "shared_chunks",
+            "doc_bytes",
+            "shared_bytes",
+            F.expr("(1000000 * shared_bytes) DIV doc_bytes")
+            .cast("bigint")
+            .alias("shared_ppm"),
+        )
+    )
+
+
+@register(
     "stratified_sample",
     """
     WITH ranked AS (

@@ -321,6 +321,38 @@ def test_bpe_learn_merges_classic_example(spark):
     ]
 
 
+def test_cdc_chunks_byte_shift_robust(spark):
+    # one-char PREFIX insertion: fixed-size blocking would misalign every
+    # block; content-defined boundaries re-sync within ~one chunk, so most
+    # chunk bytes of the shifted twin are still shared with the original
+    body = (
+        "key agg row scan slow fast table value part hash merge batch line "
+        "sort window order data column join small customer query big group "
+        "stream spark key agg row scan slow fast table value part hash"
+    )
+    docs = spark.createDataFrame(
+        [(1, body), (2, "z" + body)], "doc_id long, text string"
+    )
+    ch = dedup.cdc_chunks(docs, "text", "doc_id", k=16, divisor=32)
+    fps = ch.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
+    rows = (
+        ch.join(fps, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("clen").alias("total"),
+            F.sum(F.when(F.col("nd") > 1, F.col("clen")).otherwise(0)).alias(
+                "shared"
+            ),
+        )
+        .collect()
+    )
+    got = {r.doc_id: r.shared / r.total for r in rows}
+    assert got[2] > 0.5, got  # most of the shifted twin re-syncs
+    # chunks reassemble exactly: per-doc lengths sum to document length
+    lens = {r.doc_id: r.total for r in rows}
+    assert lens[1] == len(body) and lens[2] == len(body) + 1
+
+
 def test_bpe_apply_merges_greedy_and_rank_order(spark):
     words = spark.createDataFrame(
         [("aaaa",), ("join",), ("low",)], "word string"
