@@ -5401,6 +5401,101 @@ def q_range_bracket_join(spark, sf_dir):
 
 
 @register(
+    "interval_overlap_join",
+    """
+    WITH iv AS (
+      SELECT l_suppkey AS s, l_orderkey*8 + l_linenumber AS iid,
+             CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                  AS BIGINT) AS lo,
+             CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                  + CAST(l_quantity AS INT) % 7 + 1 AS BIGINT) AS hi
+      FROM lineitem WHERE l_returnflag = 'R'),
+    p AS (
+      SELECT a.s, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS ov
+      FROM iv a JOIN iv b
+      ON a.s = b.s AND a.iid < b.iid AND a.lo <= b.hi AND b.lo <= a.hi)
+    SELECT s AS suppkey,
+           (SELECT COUNT(*) FROM iv i WHERE i.s = p.s) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(ov) AS BIGINT) AS sum_overlap_days
+    FROM p GROUP BY s
+    """,
+)
+def q_interval_overlap_join(spark, sf_dir):
+    """Big-big INTERVAL OVERLAP join — the scale path range_bracket_join's
+    docstring defers to ('with a big-big range join the scale path is
+    bucketize-then-equi-join'), demonstrated: shipment activity windows
+    [shipdate, shipdate + qty%7 + 1 days] self-joined per supplier for
+    overlapping in-transit pairs. The naive θ-join is a per-supplier cross
+    product; here each interval explodes to its covered WEEK bins (≤3 —
+    bounded because interval width is bounded), pairs form only within
+    (supplier, week) equi-join buckets, an exact overlap predicate verifies,
+    and pair dedup (a pair straddling a week boundary co-occurs in 2 bins)
+    runs BEFORE aggregation. Oracle = the direct θ-join — DuckDB can afford
+    it at oracle scale; the binned plan must match it exactly.
+
+    Scale shape: shuffle keys are (suppkey, week) — time-sliced, so one hot
+    supplier spreads across its active weeks rather than landing on one
+    reducer; pair volume is Σ per-bin k², bounded by bin width × interval
+    density, never n²."""
+    li = load_table(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01").cast("date")
+    iv = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_suppkey").alias("s"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("iid"),
+        F.datediff(F.to_date("l_shipdate"), epoch).cast("bigint").alias("lo"),
+        (
+            F.datediff(F.to_date("l_shipdate"), epoch)
+            + F.col("l_quantity").cast("int") % 7
+            + 1
+        )
+        .cast("bigint")
+        .alias("hi"),
+    )
+    binned = iv.select(
+        "s", "iid", "lo", "hi",
+        F.explode(
+            F.sequence(F.floor(F.col("lo") / 7), F.floor(F.col("hi") / 7))
+        ).alias("wk"),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.iid") < F.col("b.iid"))
+            & (F.col("a.lo") <= F.col("b.hi"))
+            & (F.col("b.lo") <= F.col("a.hi")),
+        )
+        .select(
+            F.col("a.s").alias("s"),
+            F.col("a.iid").alias("ai"),
+            F.col("b.iid").alias("bi"),
+            (
+                F.least(F.col("a.hi"), F.col("b.hi"))
+                - F.greatest(F.col("a.lo"), F.col("b.lo"))
+                + 1
+            ).alias("ov"),
+        )
+        .distinct()
+    )
+    per_s = iv.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals"))
+    return (
+        pairs.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("ov").cast("bigint").alias("sum_overlap_days"),
+        )
+        .join(per_s, "s")
+        .select(
+            F.col("s").alias("suppkey"), "n_intervals", "n_pairs", "sum_overlap_days"
+        )
+    )
+
+
+@register(
     "unpivot_measures",
     f"""
     WITH agg AS (
