@@ -13838,6 +13838,286 @@ def _kcore_oracle_sql() -> str:
     """
 
 
+@register(
+    "binary_file_ingest",
+    """
+    SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents WHERE doc_id < 40
+    """,
+)
+def q_binary_file_ingest(spark, sf_dir):
+    """Opaque-asset ingestion via Spark's ``binaryFile`` source — the
+    multimodal on-ramp: assets sitting as individual files on storage
+    (images, audio, shards) are read as (path, length, content: binary)
+    rows with NO decode, ids recovered from filenames, payload provenance
+    pinned by md5 over the raw bytes. The fixture stages the first 40
+    documents' UTF-8 bytes as one file each (atomic-rename publication, the
+    same contract as the streaming fixtures), and the oracle recomputes
+    length+md5 from the source table — so the hash match proves the bytes
+    survived the disk→JVM→binary-column path untouched.
+
+    Scale shape: binaryFile is a FileFormat scan — files split across
+    tasks like any other source, column pruning applies (dropping
+    ``content`` prunes IO entirely), and the md5 runs JVM-side. The
+    pathGlobFilter/recursiveFileLookup options cover the real layouts."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _fixture_tag(sf_dir, "documents")
+
+    def _build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        rows = (
+            docs.filter(F.col("doc_id") < 40).select("doc_id", "text").collect()
+        )  # bounded control-plane read: 40 fixture rows, staging only
+        for r in rows:
+            with open(os.path.join(tmp, f"{r.doc_id}.bin"), "wb") as f:
+                f.write(r.text.encode("utf-8"))
+
+    d = _fixture_stage("binfiles", tag, _build)
+    bf = spark.read.format("binaryFile").load(d)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@register(
+    "epoch_shuffle_independence",
+    """
+    WITH r1 AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY md5('e1:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS s1
+      FROM documents),
+    r2 AS (
+      SELECT doc_id, CAST(row_number() OVER (
+               ORDER BY md5('e2:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS s2
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(s1 - s2)) AS BIGINT) AS footrule,
+           CAST((3000000 * SUM(ABS(s1 - s2))) //
+                (COUNT(*) * COUNT(*) - 1) AS BIGINT) AS ratio_ppm,
+           ABS((3000000 * SUM(ABS(s1 - s2))) //
+               (COUNT(*) * COUNT(*) - 1) - 1000000) < 100000 AS independent
+    FROM r1 JOIN r2 USING (doc_id)
+    """,
+)
+def q_epoch_shuffle_independence(spark, sf_dir):
+    """Epoch-reshuffle QUALITY audit: training loaders reshuffle per epoch
+    by ranking on a salted content hash (md5('e<N>:'||id) — deterministic,
+    resumable, no RNG state to checkpoint); this audit proves consecutive
+    epochs' orders are actually independent by measuring the Spearman
+    footrule D = Σ|rank₁ − rank₂| against its exact expectation for
+    independent uniform permutations, E[D] = (n²−1)/3 — ratio pinned in
+    ppm, verdict at ±10% (sd(D)/E[D] ≈ 3% at n=500, so the gate has
+    3σ headroom). A correlated shuffle (e.g. same salt both epochs, or a
+    salt that only perturbs low bits) fails immediately: D = 0 gives
+    ratio 0.
+
+    Scale shape: each epoch's rank is the TWO-PHASE distributed rank
+    (range exchange + broadcast partition offsets — joins.sorted_merge),
+    the epochs join on doc_id, and the footrule folds to ONE row
+    map-side. No global single-reducer sort anywhere."""
+    docs = load_wide(spark, sf_dir, "documents")
+
+    def ranks(e: int, out: str):
+        d = docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit(f"e{e}:"), F.col("doc_id").cast("string"))).alias(
+                "h"
+            ),
+        )
+        return joins.sorted_merge(d, order=["h", "doc_id"]).select(
+            "doc_id", F.col("seq").alias(out)
+        )
+
+    j = ranks(1, "s1").join(ranks(2, "s2"), "doc_id")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("s1") - F.col("s2"))).cast("bigint").alias("footrule"),
+    )
+    return agg.select(
+        "n",
+        "footrule",
+        F.expr("(3000000 * footrule) DIV (n * n - 1)")
+        .cast("bigint")
+        .alias("ratio_ppm"),
+        (
+            F.abs(F.expr("(3000000 * footrule) DIV (n * n - 1)") - 1000000)
+            < 100000
+        ).alias("independent"),
+    )
+
+
+@register(
+    "acf_periodicity_audit",
+    """
+    WITH hours AS (
+      SELECT CAST(datediff('hour', TIMESTAMP '2024-01-01',
+                           CAST(ts AS TIMESTAMP)) AS BIGINT) AS h
+      FROM events),
+    dom AS (SELECT unnest(range(0, (SELECT MAX(h) FROM hours) + 1)) AS h),
+    x AS (
+      SELECT dom.h, CAST(COUNT(hours.h) AS BIGINT) AS x
+      FROM dom LEFT JOIN hours ON hours.h = dom.h GROUP BY dom.h),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+           FROM x),
+    d AS (SELECT h, n*x - s AS dev FROM x, st),
+    den AS (SELECT SUM(dev*dev) AS den FROM d),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+    num AS (
+      SELECT lag, SUM(a.dev * b.dev) AS num, COUNT(*) AS n_terms
+      FROM lags, d a JOIN d b ON b.h = a.h + lag GROUP BY lag)
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(CASE WHEN num < 0
+                THEN -((1000000 * CAST(ABS(num) AS HUGEINT)) // CAST(den AS HUGEINT))
+                ELSE (1000000 * CAST(num AS HUGEINT)) // CAST(den AS HUGEINT)
+                END AS BIGINT) AS r_ppm
+    FROM num, den
+    """,
+)
+def q_acf_periodicity_audit(spark, sf_dir):
+    """Autocorrelation of the hourly event-rate series at lags
+    {1,2,3,6,12,24} — the periodicity probe a pipeline runs before choosing
+    training-window sampling strides (a lag-24 spike means diurnal
+    structure; sampling every 24h would alias it). Exact integer Pearson
+    ACF: deviations are scaled by n (n·x_t − S), the num/den ratio lands as
+    sign-split ppm so truncation matches across engines at negative
+    correlations. This corpus is time-uniform, so the honest result is
+    near-zero at every lag — the estimator, not the seasonality, is what
+    the hash pins.
+
+    Scale shape: the series is the HOUR DOMAIN (720 points for a month —
+    time-domain-sized, not event-sized, whatever the corpus); only the one
+    count aggregate sees events. The lag self-join runs on the tiny series
+    relation; deviations stay bigint, the final ratio widens to
+    decimal(38,0) before the integral divide."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        F.expr(
+            "CAST(timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', ts) AS BIGINT)"
+        ).alias("h")
+    )
+    hmax = hours.agg(F.max("h").alias("m"))
+    dom = hmax.select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("m"))).alias("h")
+    )
+    x = (
+        dom.join(hours.groupBy("h").agg(F.count(F.lit(1)).alias("c")), "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("bigint").alias("x"))
+    )
+    st = x.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    d = x.crossJoin(F.broadcast(st)).select(
+        "h", (F.col("n") * F.col("x") - F.col("s")).alias("dev")
+    )
+    den = d.agg(F.sum(F.col("dev") * F.col("dev")).cast("bigint").alias("den"))
+    lags = spark.createDataFrame([(1,), (2,), (3,), (6,), (12,), (24,)], "lag long")
+    a = d.alias("a").crossJoin(F.broadcast(lags))
+    num = (
+        a.join(
+            d.alias("b"),
+            F.col("b.h") == F.col("a.h") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.dev") * F.col("b.dev")).cast("bigint").alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_terms",
+        F.when(
+            F.col("num") < 0,
+            -F.expr(
+                "CAST(1000000 * ABS(num) AS DECIMAL(38,0)) DIV CAST(den AS DECIMAL(38,0))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "CAST(1000000 * num AS DECIMAL(38,0)) DIV CAST(den AS DECIMAL(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("r_ppm"),
+    )
+
+
+@register(
+    "ivm_agg_delta",
+    """
+    WITH base AS (SELECT * FROM events WHERE event_id % 4 <> 0),
+    ins AS (SELECT * FROM events WHERE event_id % 4 = 0),
+    eff AS (
+      SELECT user_id, value FROM base WHERE event_type <> 'error'
+      UNION ALL
+      SELECT user_id, value FROM ins)
+    SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(100 * CAST(value AS DOUBLE)) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM eff GROUP BY user_id
+    """,
+)
+def q_ivm_agg_delta(spark, sf_dir):
+    """Incremental VIEW maintenance for an aggregate — the materialized-view
+    delta algebra (count/sum are self-maintainable: apply +1/-1
+    multiplicities, never rescan the base): the stored per-user view over
+    the base slice is merged with a changelog (inserts = the new event
+    slice at +1, retractions = the base's error rows at -1) by a full-outer
+    join + additive coalesce; groups whose maintained count reaches zero
+    vanish. The oracle RECOMPUTES the view from scratch over
+    (base ∖ deletes) ∪ inserts, so the hash match proves the delta path
+    equals recomputation — the IVM correctness contract itself.
+
+    Scale shape: at production the base aggregate is the stored view (no
+    scan); the per-batch cost here is one delta-sized partial aggregate +
+    one key-keyed merge join against view rows that changed — O(changes),
+    never O(base). cdc_merge_apply is the row-level half; this is the
+    aggregate half."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.lit(100) * F.col("value").cast("double")).cast("bigint")
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    view = base.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+    )
+    changes = (
+        ev.filter(F.col("event_id") % 4 == 0)
+        .select("user_id", cents.alias("c"), F.lit(1).alias("mult"))
+        .unionByName(
+            base.filter(F.col("event_type") == "error").select(
+                "user_id", cents.alias("c"), F.lit(-1).alias("mult")
+            )
+        )
+    )
+    delta = changes.groupBy(F.col("user_id").alias("key")).agg(
+        F.sum("mult").cast("bigint").alias("dn"),
+        F.sum(F.col("mult") * F.col("c")).cast("bigint").alias("ds"),
+    )
+    return (
+        view.join(delta, "key", "full_outer")
+        .select(
+            "key",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n_events"
+            ),
+            (F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias(
+                "sum_cents"
+            ),
+        )
+        .filter(F.col("n_events") > 0)
+    )
+
+
 @register("kcore_decomposition_profile", _kcore_oracle_sql())
 def q_kcore_decomposition_profile(spark, sf_dir):
     """k-core DECOMPOSITION profile of the supplier co-occurrence graph —
