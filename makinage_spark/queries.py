@@ -14053,6 +14053,150 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "kmv_overlap_estimate",
+    """
+    WITH cells AS (
+      SELECT DISTINCT event_type,
+             user_id*100 + CAST(datediff('day', DATE '2024-01-01',
+                                         CAST(ts AS DATE)) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    h AS (
+      SELECT event_type, x,
+             CAST('0x' || substr(md5('kmv:' || CAST(x AS VARCHAR)), 1, 12)
+                  AS BIGINT) AS h
+      FROM cells),
+    ska AS (SELECT h FROM h WHERE event_type = 'click' ORDER BY h LIMIT 256),
+    skb AS (SELECT h FROM h WHERE event_type = 'purchase' ORDER BY h LIMIT 256),
+    sku AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+            ORDER BY h LIMIT 256),
+    est AS (
+      SELECT (SELECT (255 * 281474976710656) // MAX(h) FROM ska) AS est_a,
+             (SELECT (255 * 281474976710656) // MAX(h) FROM skb) AS est_b,
+             (SELECT (255 * 281474976710656) // MAX(h) FROM sku) AS est_union,
+             (SELECT COUNT(*) FROM sku
+              WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+             AS n_both),
+    tru AS (
+      SELECT (SELECT COUNT(*) FROM h WHERE event_type='click') AS true_a,
+             (SELECT COUNT(*) FROM h WHERE event_type='purchase') AS true_b,
+             (SELECT COUNT(DISTINCT x) FROM cells) AS true_union,
+             (SELECT COUNT(*) FROM
+                (SELECT x FROM cells WHERE event_type='click') ca
+                JOIN (SELECT x FROM cells WHERE event_type='purchase') cb
+                USING (x)) AS true_inter)
+    SELECT CAST(est_a AS BIGINT) AS est_a, CAST(true_a AS BIGINT) AS true_a,
+           CAST(est_b AS BIGINT) AS est_b, CAST(true_b AS BIGINT) AS true_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(true_union AS BIGINT) AS true_union,
+           CAST((n_both * est_union) // 256 AS BIGINT) AS est_inter,
+           CAST(true_inter AS BIGINT) AS true_inter,
+           CAST((1000000 * n_both) // 256 AS BIGINT) AS jaccard_est_ppm,
+           CAST((1000000 * true_inter) // true_union AS BIGINT)
+             AS jaccard_true_ppm
+    FROM est, tru
+    """,
+)
+def q_kmv_overlap_estimate(spark, sf_dir):
+    """KMV (bottom-k / k-minimum-values) sketch SET ALGEBRA with its exact
+    audit — the corpus-overlap estimator (how much does crawl A overlap
+    crawl B?) that, unlike HLL (union-only, hll_merge_audit), supports
+    INTERSECTION: cardinality from the kth-smallest hash ((k−1)·M / h_k),
+    union by merging sketches and re-taking bottom-k, Jaccard as the
+    fraction of the union sketch present in both sides, intersection as
+    J·|A∪B|. 48-bit md5 hashes keep every estimate in exact bigint
+    arithmetic; truth (exact distinct counts + exact intersection) rides in
+    the same row, so the sketch's error is itself hash-pinned (~6% at
+    k=256).
+
+    Caching contract: the hashed cell relation is persisted (it feeds five
+    plan branches) and not unpersisted here — the result is lazy; callers
+    running repeatedly in one session should ``spark.catalog.clearCache()``
+    between evaluations (bench.py does; same contract as pagerank).
+
+    Scale shape: each bottom-k is a TakeOrderedAndProject (per-partition
+    partial top-k, no global sort — 256 rows cross the exchange); sketch
+    algebra runs on 256-row relations. Only the distinct-cell pass and the
+    exact-truth audit see the corpus; production drops the truth side."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    cells = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            (
+                F.col("user_id") * 100
+                + F.datediff(F.to_date("ts"), epoch).cast("bigint")
+            ).alias("x"),
+        )
+        .distinct()
+    )
+    h = cells.select(
+        "event_type",
+        "x",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("x").cast("string"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).persist()
+    M = 281474976710656  # 16^12
+    ska = h.filter(F.col("event_type") == "click").select("h").orderBy("h").limit(256)
+    skb = (
+        h.filter(F.col("event_type") == "purchase").select("h").orderBy("h").limit(256)
+    )
+    sku = ska.unionByName(skb).distinct().orderBy("h").limit(256)
+    est_a = ska.agg(F.expr(f"(255 * {M}) DIV MAX(h)").alias("est_a"))
+    est_b = skb.agg(F.expr(f"(255 * {M}) DIV MAX(h)").alias("est_b"))
+    est_u = sku.agg(F.expr(f"(255 * {M}) DIV MAX(h)").alias("est_union"))
+    both = (
+        sku.join(ska, "h", "left_semi")
+        .join(skb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ca = h.filter(F.col("event_type") == "click").select("x")
+    cb = h.filter(F.col("event_type") == "purchase").select("x")
+    tru = (
+        ca.agg(F.count(F.lit(1)).cast("bigint").alias("true_a"))
+        .crossJoin(cb.agg(F.count(F.lit(1)).cast("bigint").alias("true_b")))
+        .crossJoin(
+            h.select("x").distinct().agg(
+                F.count(F.lit(1)).cast("bigint").alias("true_union")
+            )
+        )
+        .crossJoin(
+            ca.join(cb, "x").agg(
+                F.count(F.lit(1)).cast("bigint").alias("true_inter")
+            )
+        )
+    )
+    out = (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .crossJoin(both)
+        .crossJoin(tru)
+        .select(
+            F.col("est_a").cast("bigint").alias("est_a"),
+            "true_a",
+            F.col("est_b").cast("bigint").alias("est_b"),
+            "true_b",
+            F.col("est_union").cast("bigint").alias("est_union"),
+            "true_union",
+            F.expr("(n_both * est_union) DIV 256").cast("bigint").alias("est_inter"),
+            "true_inter",
+            F.expr("(1000000 * n_both) DIV 256")
+            .cast("bigint")
+            .alias("jaccard_est_ppm"),
+            F.expr("(1000000 * true_inter) DIV true_union")
+            .cast("bigint")
+            .alias("jaccard_true_ppm"),
+        )
+    )
+    return out
+
+
+@register(
     "ivm_agg_delta",
     """
     WITH base AS (SELECT * FROM events WHERE event_id % 4 <> 0),
