@@ -14053,6 +14053,217 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "pq_encode_distortion",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             [CAST(FLOOR(10000 * CAST(x AS DOUBLE)) AS BIGINT)
+              FOR x IN embedding] AS e
+      FROM embeddings),
+    subs AS (
+      SELECT vec_id, s, e[s*16+1 : s*16+16] AS sub
+      FROM q, (SELECT unnest([0, 1, 2, 3]) AS s) sp),
+    anch AS (SELECT s, vec_id AS code, sub AS asub FROM subs WHERE vec_id < 16),
+    keys AS (
+      SELECT subs.vec_id, subs.s,
+             MIN(list_sum([(sub[i]-asub[i])*(sub[i]-asub[i])
+                           FOR i IN range(1, 17)]) * 100 + code) AS key
+      FROM subs JOIN anch ON subs.s = anch.s
+      GROUP BY subs.vec_id, subs.s),
+    en AS (
+      SELECT s, SUM(list_sum([v*v FOR v IN sub])) AS energy,
+             COUNT(*) AS n_vecs
+      FROM subs GROUP BY s)
+    SELECT k.s AS subspace, CAST(en.n_vecs AS BIGINT) AS n_vecs,
+           CAST(SUM(k.key // 100) AS BIGINT) AS pq_dist,
+           CAST(en.energy AS BIGINT) AS energy,
+           CAST((1000000 * SUM(k.key // 100)) // en.energy AS BIGINT)
+             AS dist_ppm
+    FROM keys k JOIN en ON en.s = k.s
+    GROUP BY k.s, en.n_vecs, en.energy
+    """,
+)
+def q_pq_encode_distortion(spark, sf_dir):
+    """Product quantization ENCODE + distortion audit — the vector-
+    compression path between SQ8 (embedding_quantize_sq8: 8 bits/dim) and
+    IVF: the 64-dim embedding splits into 4 subspaces × 16 dims, each
+    encoded as the argmin over a 16-entry codebook → 4 bytes per vector
+    (64× compression vs f32). The codebook here is SAMPLED (the first 16
+    vectors' subvectors — the PQ variant that skips Lloyd training;
+    kmeans_lloyd_clusters / semantic_dedup already pin the trained-codebook
+    path), so every distance is exact integer arithmetic on 1e4-scaled
+    components and the per-subspace distortion-to-energy ratio is
+    hash-pinned, ties broken by smallest code via the dist·100+code
+    key-packing (min of ONE bigint — no struct-min cross-engine risk).
+
+    Scale shape: the codebook is a 64-row broadcast; encode is one
+    broadcast join + a (vec, subspace)-keyed min — a narrow map-combine
+    pass however many vectors; nothing quadratic anywhere."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(F.lit(10000) * x.cast("double")).cast("bigint"),
+        ).alias("e"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("bigint").alias("s"),
+                        F.slice("e", s * 16 + 1, 16).alias("sub"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sub").alias("sub"))
+    anch = subs.filter(F.col("vec_id") < 16).select(
+        "s", F.col("vec_id").alias("code"), F.col("sub").alias("asub")
+    )
+    dist = F.aggregate(
+        F.zip_with("sub", "asub", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    keys = (
+        subs.join(F.broadcast(anch), "s")
+        .select("vec_id", "s", (dist * 100 + F.col("code")).alias("k"))
+        .groupBy("vec_id", "s")
+        .agg(F.min("k").alias("key"))
+    )
+    en = subs.select(
+        "s",
+        F.aggregate(
+            "sub", F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("e2"),
+    ).groupBy("s").agg(
+        F.sum("e2").cast("bigint").alias("energy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    return (
+        keys.groupBy("s")
+        .agg(F.sum(F.expr("key DIV 100")).cast("bigint").alias("pq_dist"))
+        .join(en, "s")
+        .select(
+            F.col("s").alias("subspace"),
+            "n_vecs",
+            "pq_dist",
+            "energy",
+            F.expr("(1000000 * pq_dist) DIV energy").cast("bigint").alias(
+                "dist_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "wau_sliding_distinct",
+    """
+    WITH cells AS (
+      SELECT DISTINCT user_id,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d
+      FROM events),
+    span AS (SELECT MAX(d) AS dmax FROM cells),
+    contrib AS (
+      SELECT user_id, unnest(range(d, least(d + 7,
+                 (SELECT dmax FROM span) + 1))) AS day
+      FROM cells),
+    wau AS (
+      SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM contrib GROUP BY day)
+    SELECT day, wau FROM wau WHERE day >= 6
+    """,
+)
+def q_wau_sliding_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT count — the op window frames cannot express
+    (distinct does not slide associatively): 7-day active users per day
+    (WAU). The scale-correct formulation: activity collapses to (user, day)
+    cells FIRST (one distinct pass — cells are bounded by users × days, not
+    events), each cell then contributes to the ≤7 window endpoints it
+    covers via an in-row explode, and one (user, day)-level dedup +
+    day-keyed count finishes. Days before a full window exist are dropped
+    (day ≥ 6). No per-day re-scan, no window function over the event
+    stream, no single-reducer.
+
+    Scale shape: the only corpus-scale term is the first distinct; the
+    explode multiplies the CELL relation by ≤7. The count-distinct
+    shuffles (user, day) pairs — day-partitioned, users spread within."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    cells = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), epoch).cast("bigint").alias("d"),
+    ).distinct()
+    dmax = cells.agg(F.max("d").alias("dmax"))
+    contrib = cells.crossJoin(F.broadcast(dmax)).select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("d"), F.least(F.col("d") + 6, F.col("dmax"))
+            )
+        ).alias("day"),
+    )
+    return (
+        contrib.groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .filter(F.col("day") >= 6)
+        .select("day", "wau")
+    )
+
+
+@register(
+    "user_contribution_capping",
+    """
+    WITH ranked AS (
+      SELECT event_type, user_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events),
+    capped AS (SELECT event_type FROM ranked WHERE rk <= 10)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS raw_n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM capped c
+            WHERE c.event_type = e.event_type) AS capped_n
+    FROM events e GROUP BY e.event_type
+    """,
+)
+def q_user_contribution_capping(spark, sf_dir):
+    """Per-user contribution BOUNDING — the preprocessing step every
+    differential-privacy release and every user-level-robust statistic
+    needs: each user contributes at most C=10 events (selected by content
+    hash, deterministic and order-free — not 'first 10', which would bias
+    toward early behavior), then the capped histogram rides next to the
+    raw one so the distortion the cap introduces is itself hash-checked.
+    With the cap in place, one user's total influence on any released
+    count is ≤ C — the bounded-sensitivity property DP noise calibration
+    assumes.
+
+    Scale shape: the per-user rank is a user-keyed window (millions of
+    small partitions, no global sort); both histograms are map-side
+    combined counts on the 5-value type key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    capped = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("capped_n"))
+    )
+    raw = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_n")
+    )
+    return raw.join(capped, "event_type").select("event_type", "raw_n", "capped_n")
+
+
+@register(
     "kmv_overlap_estimate",
     """
     WITH cells AS (
