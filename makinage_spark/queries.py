@@ -14053,6 +14053,295 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "winnow_overlap_pairs",
+    r"""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(1, length(norm) - 23)),
+               i -> CAST(concat('0x', substr(md5(substr(norm, i, 24)), 1, 8))
+                         AS BIGINT)
+             ) AS hs
+      FROM d),
+    s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_distinct(list_transform(
+                 generate_series(1, greatest(1, len(hs) - 7)),
+                 j -> list_max(list_filter(
+                        generate_series(j, least(j + 7, len(hs))),
+                        p -> hs[p] = list_min(list_transform(
+                               generate_series(j, least(j + 7, len(hs))),
+                               q -> hs[q])))))),
+               p -> hs[p])) AS vals
+      FROM h),
+    fp AS (SELECT doc_id, unnest(vals) AS v FROM s),
+    freq AS (SELECT v, COUNT(*) AS df FROM fp GROUP BY v),
+    fp2 AS (SELECT doc_id, v FROM fp JOIN freq USING (v) WHERE df <= 20)
+    SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared_fp
+    FROM fp2 a JOIN fp2 b ON a.v = b.v AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3
+    """,
+)
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Local-plagiarism PAIR mining on winnowing fingerprints — the
+    guarantee-carrying dedup candidate generator (winnowing_fingerprints
+    emits the per-doc sets; this joins them): with 24-char grams and
+    window w=8, ANY shared substring of ≥ w+k−1 = 31 characters yields a
+    shared selected fingerprint (SIGMOD'03 §4 guarantee) — so a quoted
+    passage is caught even when whole-document similarity (MinHash) stays
+    below every threshold. Pairs must share ≥3 selected fingerprints; a
+    df ≤ 20 frequency cap drops boilerplate fingerprints before the
+    self-join (same hot-bucket guard as minhash bucket_cap — a fingerprint
+    in ten thousand docs would otherwise put 10⁸ pairs on one key).
+
+    Scale shape: fingerprint selection is the zero-shuffle winnowing map;
+    the join runs on (fingerprint → doc) postings bounded by the cap;
+    everything past the explode is 8-byte hashes.
+
+    The selected-values relation is PERSISTED before the explode — load-
+    bearing, not a cache nicety: the explode's inferred ``size(vals) > 0``
+    filter otherwise collapses projections and re-inlines the positional
+    gram-hash transform inside every ``element_at`` of the winnow loop
+    (O(L²·w²) md5s per document — measured as a >100× blow-up). The cache
+    is also correct reuse: three plan branches (frequency, both join
+    sides) read it. Callers should ``spark.catalog.clearCache()`` between
+    repeated evaluations (bench.py does)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    d = docs.select("doc_id", text.normalize("text").alias("__norm"))
+    d = d.select("doc_id", text.gram_hashes_of(F.col("__norm"), 24).alias("__hs"))
+    hs = F.col("__hs")
+    vals = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                text.winnow_positions_of(hs, 8), lambda p: F.element_at(hs, p)
+            )
+        ).alias("vals"),
+    ).persist()
+    fp = vals.select("doc_id", F.explode("vals").alias("v"))
+    freq = fp.groupBy("v").agg(F.count(F.lit(1)).alias("df"))
+    fp2 = fp.join(freq.filter(F.col("df") <= 20), "v").select("doc_id", "v")
+    a = fp2.alias("a")
+    b = fp2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
+
+
+@register(
+    "bitmap_index_intersect",
+    """
+    WITH m AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_type IN ('click', 'purchase', 'view')
+      GROUP BY event_type, user_id HAVING COUNT(*) >= 15),
+    bm AS (
+      SELECT event_type, user_id // 32 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
+      FROM m GROUP BY event_type, w),
+    pairs AS (
+      SELECT a.event_type AS ta, c.event_type AS tb, a.bits AS ba, c.bits AS bb
+      FROM bm a JOIN bm c
+        ON a.w = c.w AND a.event_type < c.event_type),
+    bres AS (
+      SELECT ta, tb,
+             CAST(SUM(bit_count(ba & bb)) AS BIGINT) AS inter_bitmap
+      FROM pairs GROUP BY ta, tb),
+    tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM m
+            GROUP BY event_type),
+    ex AS (
+      SELECT a.event_type AS ta, c.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS inter_exact
+      FROM m a JOIN m c ON a.user_id = c.user_id AND a.event_type < c.event_type
+      GROUP BY ta, tb)
+    SELECT b.ta, b.tb, b.inter_bitmap, e.inter_exact,
+           ta_n.n + tb_n.n - b.inter_bitmap AS union_bitmap,
+           ta_n.n + tb_n.n - e.inter_exact AS union_exact,
+           b.inter_bitmap = e.inter_exact AS bitmaps_exact
+    FROM bres b
+    JOIN ex e ON e.ta = b.ta AND e.tb = b.tb
+    JOIN tot ta_n ON ta_n.event_type = b.ta
+    JOIN tot tb_n ON tb_n.event_type = b.tb
+    """,
+)
+def q_bitmap_index_intersect(spark, sf_dir):
+    """Bitmap-index set algebra — the Druid/ClickHouse/roaring acceleration
+    for cohort intersection: each cohort (heavy users per event type,
+    ≥15 events) compresses to one bigint WORD per 32-user block via a
+    bit_or aggregate; cohort intersection is then Σ bit_count(a & b) over
+    the word-aligned join — bit-parallel, 32 membership tests per CPU op,
+    and the bitmap relation is |user domain|/32 rows however many events.
+    The exact set join rides in the same row and the equality flag is
+    hash-checked: bitmaps are an EXACT index, not a sketch, and this query
+    pins that.
+
+    Scale shape: one (type, user) aggregate sees events; bitmaps build
+    with a second map-side-combined aggregate on (type, word); the
+    word-aligned join touches domain/32 rows. Union counts come from
+    inclusion-exclusion on the same row — no third pass."""
+    ev = load_table(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type").isin("click", "purchase", "view"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 15)
+        .select("event_type", "user_id")
+    )
+    bm = m.groupBy(
+        "event_type", F.expr("user_id DIV 32").alias("w")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))"
+        ).alias("bits")
+    )
+    a = bm.alias("a")
+    c = bm.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.w") == F.col("c.w"))
+        & (F.col("a.event_type") < F.col("c.event_type")),
+    ).select(
+        F.col("a.event_type").alias("ta"),
+        F.col("c.event_type").alias("tb"),
+        F.col("a.bits").alias("ba"),
+        F.col("c.bits").alias("bb"),
+    )
+    bres = pairs.groupBy("ta", "tb").agg(
+        F.sum(F.expr("bit_count(ba & bb)")).cast("bigint").alias("inter_bitmap")
+    )
+    tot = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ma = m.alias("ma")
+    mc = m.alias("mc")
+    ex = (
+        ma.join(
+            mc,
+            (F.col("ma.user_id") == F.col("mc.user_id"))
+            & (F.col("ma.event_type") < F.col("mc.event_type")),
+        )
+        .groupBy(
+            F.col("ma.event_type").alias("ta"),
+            F.col("mc.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter_exact"))
+    )
+    return (
+        bres.join(ex, ["ta", "tb"])
+        .join(
+            F.broadcast(tot.withColumnRenamed("event_type", "ta")
+                        .withColumnRenamed("n", "na")), "ta"
+        )
+        .join(
+            F.broadcast(tot.withColumnRenamed("event_type", "tb")
+                        .withColumnRenamed("n", "nb")), "tb"
+        )
+        .select(
+            "ta",
+            "tb",
+            "inter_bitmap",
+            "inter_exact",
+            (F.col("na") + F.col("nb") - F.col("inter_bitmap")).alias(
+                "union_bitmap"
+            ),
+            (F.col("na") + F.col("nb") - F.col("inter_exact")).alias(
+                "union_exact"
+            ),
+            (F.col("inter_bitmap") == F.col("inter_exact")).alias(
+                "bitmaps_exact"
+            ),
+        )
+    )
+
+
+@register(
+    "pareto_skyline_select",
+    f"""
+    WITH pts AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS x,
+             CAST((1000000 * len(list_distinct(
+                     regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))))
+                  // len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS y
+      FROM documents)
+    SELECT p.doc_id, p.x AS n_tokens, p.y AS distinct_ratio_ppm
+    FROM pts p WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE (q.x > p.x AND q.y >= p.y) OR (q.x >= p.x AND q.y > p.y))
+    """,
+)
+def q_pareto_skyline_select(spark, sf_dir):
+    """SKYLINE (Pareto frontier) selection — multi-criteria data picking
+    with no weighting to tune: keep every document not dominated in
+    (length, lexical diversity); a doc is dominated when another is ≥ on
+    both axes and strictly better on one. The naive formulation is the
+    oracle's O(n²) NOT EXISTS; the engine's 2-D skyline is closed-form
+    from suffix maxima over the X DOMAIN: dominated(p) ⟺
+    maxY(x' > x_p) ≥ y_p OR maxY(x' ≥ x_p) > y_p — so after one
+    (x → max y) aggregate, the frontier test is a broadcast join against a
+    domain-sized control table (≤90 distinct token counts here; bounded by
+    the length-filter band in production, never by corpus size).
+
+    Scale shape: one map-side-combined aggregate over the corpus, suffix
+    maxima via a window over the domain-sized relation only (the
+    mixture_waterfill pattern), one broadcast join back. The O(n²)
+    dominance test never runs on the engine side."""
+    docs = load_wide(spark, sf_dir, "documents")
+    pts = (
+        docs.select(
+            "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+        )
+        .select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("x"),
+            (
+                F.lit(1000000)
+                * F.size(F.array_distinct("t")).cast("bigint")
+            ).alias("num"),
+        )
+        .select(
+            "doc_id", "x", F.expr("num DIV x").cast("bigint").alias("y")
+        )
+    )
+    dom = pts.groupBy("x").agg(F.max("y").alias("my"))
+    wdesc = Window.orderBy(F.desc("x"))
+    aug = dom.select(
+        "x",
+        F.coalesce(
+            F.max("my").over(wdesc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(-1),
+        ).alias("mgt"),
+        F.max("my")
+        .over(wdesc.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("mge"),
+    )
+    return (
+        pts.join(F.broadcast(aug), "x")
+        .filter(~((F.col("mgt") >= F.col("y")) | (F.col("mge") > F.col("y"))))
+        .select(
+            "doc_id",
+            F.col("x").alias("n_tokens"),
+            F.col("y").alias("distinct_ratio_ppm"),
+        )
+    )
+
+
+@register(
     "pq_encode_distortion",
     """
     WITH q AS (
