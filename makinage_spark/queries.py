@@ -14053,6 +14053,164 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "good_turing_unseen_mass",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+             AS tok
+      FROM documents),
+    tf AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST((1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // SUM(c)
+                AS BIGINT) AS unseen_mass_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def q_good_turing_unseen_mass(spark, sf_dir):
+    """Good-Turing unseen-species mass per source — the coverage question a
+    corpus report answers before claiming a vocabulary is saturated: the
+    probability the NEXT token is previously unseen is estimated by the
+    singleton mass N₁/N (Good 1953), with N₂ carried for the discount
+    step. A near-zero unseen mass (this corpus: tiny closed vocabulary)
+    says more crawling adds no new types; web-scale text runs ~1e4–1e5
+    ppm. Exact integer throughout.
+
+    Scale shape: one (source, token) count — map-side combined, keyed by
+    the zipf-bounded vocabulary — then a source-keyed fold over frequency-
+    of-frequency classes. Text never shuffles."""
+    docs = load_wide(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "source", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "n1",
+            "n2",
+            F.expr("(1000000 * n1) DIV n_tokens").cast("bigint").alias(
+                "unseen_mass_ppm"
+            ),
+        )
+    )
+
+
+@register(
+    "heaps_law_fit",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+             AS tok
+      FROM documents),
+    firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS toks,
+             (SELECT COUNT(*) FROM firsts f WHERE f.first_doc = t.doc_id)
+               AS new_types
+      FROM toks t GROUP BY doc_id),
+    deciles AS (
+      SELECT CAST(doc_id * 10 // (SELECT MAX(doc_id) + 1 FROM per_doc)
+                  AS BIGINT) AS dec,
+             toks, new_types
+      FROM per_doc),
+    cum AS (
+      SELECT dec,
+             CAST(SUM(SUM(toks)) OVER (ORDER BY dec) AS BIGINT) AS n_cum,
+             CAST(SUM(SUM(new_types)) OVER (ORDER BY dec) AS BIGINT) AS v_cum
+      FROM deciles GROUP BY dec)
+    SELECT dec, n_cum, v_cum,
+           CAST(FLOOR(1000000 * ln(CAST(n_cum AS DOUBLE))) AS BIGINT)
+             AS ln_n_e6,
+           CAST(FLOOR(1000000 * ln(CAST(v_cum AS DOUBLE))) AS BIGINT)
+             AS ln_v_e6
+    FROM cum
+    """,
+)
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve — V(n) ≈ K·n^β, the saturation
+    diagnostic for crawl planning (β near 0 ⇒ closed vocabulary, more
+    data adds types sublinearly): cumulative token count and cumulative
+    NEW-TYPE count at each doc-id decile, emitted with floor(1e6·ln)
+    coordinates so the log–log points the fit runs on are themselves
+    hash-pinned (the regression slope is one more OLS over 10 points —
+    group_linear_regression owns that shape). New types are counted by
+    FIRST OCCURRENCE (min doc_id per token), so the cumulative curve
+    needs no repeated distinct-scan per prefix — one vocabulary-keyed
+    aggregate, one doc-keyed count, a 10-row running sum.
+
+    Scale shape: corpus passes are the two map-side-combined aggregates;
+    the cumulative window runs over the 10-row decile relation."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    new_types = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("toks"))
+        .join(new_types, "doc_id", "left")
+        .select(
+            "doc_id",
+            "toks",
+            F.coalesce("new_types", F.lit(0)).alias("new_types"),
+        )
+    )
+    dmax = per_doc.agg((F.max("doc_id") + 1).alias("dmx"))
+    deciles = (
+        per_doc.crossJoin(F.broadcast(dmax))
+        .select(
+            F.expr("CAST(doc_id * 10 DIV dmx AS BIGINT)").alias("dec"),
+            "toks",
+            "new_types",
+        )
+        .groupBy("dec")
+        .agg(
+            F.sum("toks").alias("st"),
+            F.sum("new_types").alias("sv"),
+        )
+    )
+    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    return deciles.select(
+        "dec",
+        F.sum("st").over(w).cast("bigint").alias("n_cum"),
+        F.sum("sv").over(w).cast("bigint").alias("v_cum"),
+    ).select(
+        "dec",
+        "n_cum",
+        "v_cum",
+        F.floor(F.lit(1000000) * F.log(F.col("n_cum").cast("double")))
+        .cast("bigint")
+        .alias("ln_n_e6"),
+        F.floor(F.lit(1000000) * F.log(F.col("v_cum").cast("double")))
+        .cast("bigint")
+        .alias("ln_v_e6"),
+    )
+
+
+@register(
     "winnow_overlap_pairs",
     r"""
     WITH d AS (
