@@ -14053,6 +14053,123 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "kneser_ney_bigram_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest([{{'w1': t[i], 'w2': t[i+1]}} FOR i IN range(1, len(t))]) AS bg
+      FROM toks WHERE len(t) >= 2),
+    db AS (
+      SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c
+      FROM big GROUP BY doc_id, bg.w1, bg.w2),
+    bc AS (SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS bcnt FROM db GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(bcnt) AS BIGINT) AS ctxc,
+                   CAST(COUNT(*) AS BIGINT) AS n1f FROM bc GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bc GROUP BY w2),
+    n11 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n11 FROM bc),
+    lp AS (
+      SELECT bc.w1, bc.w2,
+             CAST(FLOOR(1000000 * ln(CAST(4*ctx.ctxc*n11.n11 AS DOUBLE)))
+                  - FLOOR(1000000 * ln(CAST((4*bc.bcnt - 3)*n11.n11
+                                            + 3*ctx.n1f*cont.n1p AS DOUBLE)))
+                  AS BIGINT) AS nll_e6
+      FROM bc JOIN ctx ON ctx.w1 = bc.w1
+              JOIN cont ON cont.w2 = bc.w2
+              CROSS JOIN n11)
+    SELECT db.doc_id,
+           CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(db.c * lp.nll_e6) AS BIGINT) AS kn_nll_e6,
+           CAST(SUM(db.c * lp.nll_e6) // SUM(db.c) AS BIGINT) AS avg_nll_e6
+    FROM db JOIN lp ON lp.w1 = db.w1 AND lp.w2 = db.w2
+    GROUP BY db.doc_id
+    """,
+)
+def q_kneser_ney_bigram_score(spark, sf_dir):
+    """Kneser–Ney-smoothed bigram scoring — the state-of-the-art count-based
+    LM (Chen & Goodman 1999) above bigram_logprob_score's interpolated
+    model: absolute discount d=3/4 moved from seen bigrams to a
+    CONTINUATION distribution (how many contexts a word completes, not how
+    often it occurs — the 'San Francisco' correction). With d rational,
+    the probability is exactly num/den in integers:
+    num = (4c(vw)−3)·N₁₁ + 3·N₁₊(v·)·N₁₊(·w), den = 4c(v)·N₁₁, and the
+    per-bigram nll is pinned as floor(1e6·ln den) − floor(1e6·ln num) —
+    integer end-to-end, no decimal-rounding contract needed.
+
+    Scale shape: identical to the bigram LM — one in-row expansion, the
+    (doc, v, w) count serves as term vector AND (re-aggregated) the global
+    table; continuation/context tables are rollups of the bigram table;
+    all joins keyed on vocabulary-bounded words, shuffle-not-broadcast
+    (AQE decides, the r4 LM-table policy)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    big = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    db = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bc = db.groupBy("w1", "w2").agg(F.sum("c").cast("bigint").alias("bcnt"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("bcnt").cast("bigint").alias("ctxc"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1p"))
+    n11 = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n11"))
+    lp = (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n11))
+        .select(
+            "w1",
+            "w2",
+            (
+                F.floor(
+                    F.lit(1000000)
+                    * F.log(F.expr("CAST(4*ctxc*n11 AS DOUBLE)"))
+                )
+                - F.floor(
+                    F.lit(1000000)
+                    * F.log(
+                        F.expr(
+                            "CAST((4*bcnt - 3)*n11 + 3*n1f*n1p AS DOUBLE)"
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("nll_e6"),
+        )
+    )
+    return (
+        db.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nll_e6")).cast("bigint").alias("kn_nll_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "kn_nll_e6",
+            F.expr("kn_nll_e6 DIV n_bigrams").cast("bigint").alias("avg_nll_e6"),
+        )
+    )
+
+
+@register(
     "good_turing_unseen_mass",
     f"""
     WITH toks AS (
