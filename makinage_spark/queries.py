@@ -15973,17 +15973,21 @@ _SHOWCASE_50 = [
     "stream_neardup_screen",    # atomic-rename fixture staging
     # --- fixture staging change + never hashed ---
     "ivf_indexed_full_probe",   # materialized cell-partitioned IVF index
-    # --- never-hashed: ops parity (rx/rxsci small-op family) ---
-    "debounce_events",          # rx debounce
-    "ewma_smoothing",           # rs.math ewma
-    "distinct_until_changed",   # rx distinct_until_changed
-    "pairwise_deltas",          # rx pairwise
+    # --- round-6h new operators (never hashed; the session's headline) ---
+    "ngram_decontaminate",      # NEW: GPT-3-protocol 13-gram decontamination
+    "cdc_chunk_dedup",          # NEW: content-defined chunking dedup
+    "kneser_ney_bigram_score",  # NEW: KN-smoothed LM, exact rational
+    "kmv_overlap_estimate",     # NEW: bottom-k sketch set algebra + audit
+    "interval_overlap_join",    # NEW: big-big interval join, bin+verify
+    "pq_encode_distortion",     # NEW: product quantization + distortion
+    # --- never-hashed: ops parity (rx/rxsci small-op family; the evicted
+    #     six (debounce/ewma/distinct_until_changed/pairwise/take_last/
+    #     start_with) have driver-hashed streaming twins from r1-r5 and
+    #     rotate into the r7 window) ---
     "forward_fill",             # gap-fill with last observation
     "throttle_first_per_minute",  # rx throttle_first
-    "take_last_events",         # rx take_last
     "last_or_default_events",   # rx last_or_default
     "zip_by_index",             # rx zip
-    "start_with_seed",          # rx start_with
     "tap_observe_passthrough",  # rx do_action via df.observe, zero-perturbation
     # --- never-hashed: window functions / frames / set ops ---
     "window_value_functions",   # lead/lag/first/last value frames
