@@ -14052,6 +14052,94 @@ def q_acf_periodicity_audit(spark, sf_dir):
     )
 
 
+def _greedy_coverage_sql(rounds: int) -> str:
+    ctes = [
+        rf"""toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+      FROM documents),
+    dt AS (
+      SELECT DISTINCT doc_id, bg FROM (
+        SELECT doc_id,
+               unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+        FROM toks WHERE len(t) >= 2)),
+    c0 AS (SELECT NULL::VARCHAR AS bg WHERE false)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""g{r} AS (
+      SELECT dt.doc_id, COUNT(*) AS gain
+      FROM dt WHERE dt.bg NOT IN (SELECT bg FROM c{r - 1})
+      GROUP BY dt.doc_id ORDER BY gain DESC, dt.doc_id LIMIT 1),
+    c{r} AS (SELECT bg FROM c{r - 1}
+             UNION SELECT dt.bg FROM dt JOIN g{r} USING (doc_id))""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, doc_id,"
+        f" CAST(gain AS BIGINT) AS gain,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM c{r}) AS covered FROM g{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + sel
+
+
+@register("submodular_greedy_coverage", _greedy_coverage_sql(5))
+def q_submodular_greedy_coverage(spark, sf_dir):
+    """Submodular GREEDY data selection (facility location / max-coverage):
+    pick k=5 documents maximizing marginal bigram-type coverage — the
+    classic diverse-subset selector for fine-tuning data (greedy is
+    (1−1/e)-optimal, Nemhauser 1978). Per round: one left-anti join
+    against the covered set + one doc-keyed count + a 1-row argmax
+    (ties → smallest doc_id); the winner's types fold into the covered
+    set. The winner row is a bounded control-plane collect per round —
+    same contract as k-means centroid pulls (vectors.py) — so k driver
+    round-trips orchestrate k distributed aggregates; nothing else leaves
+    the cluster.
+
+    Scale shape: the (doc, type) relation is computed once and persisted
+    (k plan branches read it — the caching contract of pagerank applies);
+    the covered set is types-of-k-docs sized, broadcast by AQE into the
+    anti-join. Gains shrink monotonically (95→63 here) — the submodular
+    signature the output hash pins."""
+    docs = load_wide(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    dt = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ).alias("bg"),
+        )
+        .distinct()
+        .persist()
+    )
+    covered = None
+    rows = []
+    n_cov = 0
+    for r in range(1, 6):
+        uncov = dt if covered is None else dt.join(covered, "bg", "left_anti")
+        win = (
+            uncov.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.desc("gain"), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )  # bounded control-plane read: the 1-row argmax per round
+        n_cov += win.gain
+        rows.append((r, win.doc_id, int(win.gain), n_cov))
+        wtypes = dt.filter(F.col("doc_id") == win.doc_id).select("bg")
+        covered = (
+            wtypes if covered is None
+            else covered.union(wtypes).distinct()
+        ).persist()
+    return spark.createDataFrame(
+        rows, "round long, doc_id long, gain long, covered long"
+    )
+
+
 @register(
     "kneser_ney_bigram_score",
     f"""
