@@ -14052,6 +14052,82 @@ def q_acf_periodicity_audit(spark, sf_dir):
     )
 
 
+def _ipf_raking_sql(iters: int = 3) -> str:
+    ctes = [
+        """cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang),
+    w0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+    tot AS (SELECT CAST(SUM(n) * 1000000 AS BIGINT) AS tot,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS ns,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl FROM cells)"""
+    ]
+    k = 0
+    for _ in range(iters):
+        for dim, tcol in (("source", "ns"), ("lang", "nl")):
+            ctes.append(f"""m{k + 1} AS (
+      SELECT {dim}, CAST(SUM(w*n) AS BIGINT) AS mass FROM w{k} GROUP BY {dim}),
+    w{k + 1} AS (
+      SELECT w.source, w.lang, w.n,
+             CAST((w.w * (tot.tot // tot.{tcol})) // m.mass AS BIGINT) AS w
+      FROM w{k} w JOIN m{k + 1} m USING ({dim}) CROSS JOIN tot)""")
+            k += 1
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT source, lang, n AS n_docs, w AS w_ppm FROM w{k}"
+    )
+
+
+@register("ipf_raking_weights", _ipf_raking_sql(3))
+def q_ipf_raking_weights(spark, sf_dir):
+    """Iterative proportional fitting (raking) — the mixture-reweighting op
+    when TWO marginal targets must hold at once (uniform mass per source
+    AND per language here; neither alone fixes the joint): alternately
+    rescale cell weights to each target for 3 sweeps. Deming–Stephan 1940;
+    the same balancing act a training-mixture spec imposes when it pins
+    both domain and language shares. Weights are ppm bigints, every
+    rescale is exact integer multiply-then-DIV, so convergence itself is
+    hash-pinned (source masses land within 0.15% of target, language
+    masses within rounding, at sf0.01).
+
+    Scale shape: IPF runs on the CONTINGENCY TABLE, not the corpus — one
+    corpus-scale count builds the (source × lang) cells (~100 rows;
+    bounded by the domain whatever the corpus), then all six rescale
+    passes are groupBys over that domain-sized relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    tot = cells.agg(
+        (F.sum("n") * 1000000).cast("bigint").alias("tot"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+    )
+    w = cells.withColumn("w", F.lit(1000000).cast("bigint"))
+    for _ in range(3):
+        for dim, tcol in (("source", "ns"), ("lang", "nl")):
+            m = w.groupBy(dim).agg(
+                F.sum(F.col("w") * F.col("n")).cast("bigint").alias("mass")
+            )
+            w = (
+                w.join(m, dim)
+                .crossJoin(F.broadcast(tot))
+                .select(
+                    "source",
+                    "lang",
+                    "n",
+                    F.expr(f"CAST((w * (tot DIV {tcol})) DIV mass AS BIGINT)").alias(
+                        "w"
+                    ),
+                )
+            )
+    return w.select(
+        "source", "lang", F.col("n").alias("n_docs"), F.col("w").alias("w_ppm")
+    )
+
+
 def _greedy_coverage_sql(rounds: int) -> str:
     ctes = [
         rf"""toks AS (
