@@ -14052,6 +14052,73 @@ def q_acf_periodicity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "delta_encoding_audit",
+    """
+    WITH o AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+      FROM events),
+    d AS (
+      SELECT user_id,
+             tus - lag(tus) OVER (PARTITION BY user_id
+                                  ORDER BY tus, event_id) AS dlt
+      FROM o),
+    bits AS (
+      SELECT user_id,
+             CAST(length(bin(dlt)) AS BIGINT) AS dbits
+      FROM d WHERE dlt IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_deltas,
+           CAST(SUM(dbits) AS BIGINT) AS delta_bits,
+           CAST(COUNT(*) * 64 AS BIGINT) AS plain_bits,
+           CAST((1000000 * SUM(dbits)) // (COUNT(*) * 64) AS BIGINT)
+             AS ratio_ppm
+    FROM bits GROUP BY user_id
+    """,
+)
+def q_delta_encoding_audit(spark, sf_dir):
+    """Timestamp DELTA-encoding economics (the Gorilla/parquet
+    DELTA_BINARY_PACKED decision): per sort key (user), consecutive
+    event-time deltas need length(bin(δ)) bits instead of 64 — this audit
+    reports the achievable bit budget and the compression ratio in ppm,
+    exactly, per key. A ratio near 1e6 says the column is unsorted noise
+    (don't delta-encode); this corpus's per-user streams land ~0.5 —
+    the number a layout planner weighs against re-sorting cost
+    (zorder_locality's trade).
+
+    Scale shape: one user-keyed window (many small partitions, no global
+    sort), then a map-side-combined per-user fold. bin()-length is the
+    engine-portable bit count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    d = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("tus"),
+        "event_id",
+    ).select(
+        "user_id",
+        (F.col("tus") - F.lag("tus").over(w)).alias("dlt"),
+    )
+    return (
+        d.filter(F.col("dlt").isNotNull())
+        .select("user_id", F.length(F.bin("dlt")).cast("bigint").alias("dbits"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deltas"),
+            F.sum("dbits").cast("bigint").alias("delta_bits"),
+        )
+        .select(
+            "user_id",
+            "n_deltas",
+            "delta_bits",
+            (F.col("n_deltas") * 64).cast("bigint").alias("plain_bits"),
+            F.expr("(1000000 * delta_bits) DIV (n_deltas * 64)")
+            .cast("bigint")
+            .alias("ratio_ppm"),
+        )
+    )
+
+
 def _ipf_raking_sql(iters: int = 3) -> str:
     ctes = [
         """cells AS (
