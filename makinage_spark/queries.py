@@ -14053,6 +14053,67 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "schema_evolution_merge",
+    """
+    SELECT CASE WHEN doc_id < 100 THEN 'v1' ELSE 'v2' END AS schema_ver,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS lang_nulls,
+           CAST(SUM(length(text)) AS BIGINT) AS text_bytes
+    FROM documents WHERE doc_id < 200
+    GROUP BY 1
+    """,
+)
+def q_schema_evolution_merge(spark, sf_dir):
+    """Schema-evolution ingestion — the day-2 reality of every long-lived
+    dataset: an old shard written as (doc_id, text) and a new shard
+    written as (doc_id, text, lang) are read as ONE relation via parquet
+    ``mergeSchema``; rows from the old shard surface NULL lang (counted
+    and hash-checked against the source of truth), and byte totals prove
+    no column was silently dropped or coerced. The fixture stages both
+    vintages once (atomic-rename publication).
+
+    Scale shape: mergeSchema unions footer schemas at planning time (one
+    footer read per file — manifest-scale); the scan itself stays
+    columnar with per-file projection into the merged schema. No data
+    pass is spent on the merge."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = _fixture_tag(sf_dir, "documents")
+
+    def _build(tmp: str) -> None:
+        old = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+        new = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        ).select("doc_id", "text", "lang")
+        old.coalesce(1).write.parquet(os.path.join(tmp, "v1"), mode="overwrite")
+        new.coalesce(1).write.parquet(os.path.join(tmp, "v2"), mode="overwrite")
+
+    d = _fixture_stage("schema_evo", tag, _build)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{d}/v1", f"{d}/v2"
+    )
+    return (
+        merged.select(
+            F.when(F.col("doc_id") < 100, "v1").otherwise("v2").alias(
+                "schema_ver"
+            ),
+            "lang",
+            F.length("text").alias("tb"),
+        )
+        .groupBy("schema_ver")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("lang_nulls"),
+            F.sum("tb").cast("bigint").alias("text_bytes"),
+        )
+    )
+
+
+@register(
     "delta_encoding_audit",
     """
     WITH o AS (
@@ -14162,9 +14223,13 @@ def q_ipf_raking_weights(spark, sf_dir):
     bounded by the domain whatever the corpus), then all six rescale
     passes are groupBys over that domain-sized relation."""
     docs = load_table(spark, sf_dir, "documents")
+    # domain-sized relation (~100 cells): collapse to ONE partition after the
+    # corpus-scale count so the six rescale passes are single-task stages
+    # instead of 32-task shuffles over a hundred rows
     cells = (
         docs.groupBy("source", "lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .coalesce(1)
         .persist()
     )
     tot = cells.agg(
@@ -14178,8 +14243,11 @@ def q_ipf_raking_weights(spark, sf_dir):
             m = w.groupBy(dim).agg(
                 F.sum(F.col("w") * F.col("n")).cast("bigint").alias("mass")
             )
+            # broadcast the marginal relation: it is domain-sized (<= n_src
+            # rows) and a shuffle join per rescale pass would serialize six
+            # tiny-stage round-trips on the cell table
             w = (
-                w.join(m, dim)
+                w.join(F.broadcast(m), dim)
                 .crossJoin(F.broadcast(tot))
                 .select(
                     "source",
