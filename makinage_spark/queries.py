@@ -14053,6 +14053,104 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "rag_ingest_pipeline_e2e",
+    r"""
+    WITH fp AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+             doc_id, text
+      FROM documents),
+    keep AS (
+      SELECT doc_id, text FROM fp
+      WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)),
+    tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS t
+      FROM keep
+      WHERE len(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) >= 20),
+    ch AS (
+      SELECT doc_id, CAST((s-1)/24 AS BIGINT) AS chunk_idx,
+             array_to_string(t[s : least(s+31, len(t))], ' ') AS chunk
+      FROM tok, unnest([x FOR x IN range(1, len(t)+1) IF (x-1) % 24 = 0])
+           AS u(s)),
+    emb AS (
+      SELECT doc_id, chunk_idx,
+             [CAST('0x'||substr(md5(chunk || ':' || k), 1, 6) AS BIGINT) % 1001
+              FOR k IN range(0, 8)] AS v
+      FROM ch),
+    qv AS (
+      SELECT [CAST('0x'||substr(md5('rag query: spark table scan' || ':' || k),
+                    1, 6) AS BIGINT) % 1001
+              FOR k IN range(0, 8)] AS q),
+    scored AS (
+      SELECT doc_id, chunk_idx,
+             list_sum([v[i]*q[i] FOR i IN range(1, 9)]) AS dot
+      FROM emb, qv)
+    SELECT doc_id, chunk_idx, CAST(dot AS BIGINT) AS dot
+    FROM scored ORDER BY dot DESC, doc_id, chunk_idx LIMIT 10
+    """,
+)
+def q_rag_ingest_pipeline_e2e(spark, sf_dir):
+    """RAG corpus-build END-TO-END as one plan — the third flagship
+    composition next to dedup_pipeline_e2e and training_corpus_pipeline:
+    exact dedup (keep lowest id per normalized fingerprint) → length gate
+    (≥20 tokens) → overlapping 32/24 chunking → deterministic md5
+    embedding (the fake-codec contract: a closed function of the chunk
+    bytes, so the oracle reproduces every component) → maximum-inner-
+    product top-10 against a fixed query vector, ordered by the exact
+    total order (dot, doc, chunk). Integer dot products; the whole
+    retrieval is one TakeOrderedAndProject — per-partition partial top-k,
+    10 rows cross the exchange.
+
+    Scale shape: dedup is the one fingerprint-keyed shuffle; chunking and
+    embedding are in-row array algebra (text leaves the plan at the
+    embed); MIPS is scan + partial top-k — no index needed at query-once
+    semantics (the IVF family owns the repeated-query regime)."""
+    docs = load_wide(spark, sf_dir, "documents")
+    keep = dedup.exact_dedup_keep(docs)
+    tok = keep.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 20)
+    ch = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("s"),
+        "t",
+    ).select(
+        "doc_id",
+        F.expr("CAST((s-1) DIV 24 AS BIGINT)").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("t", F.col("s"), 32)).alias("chunk"),
+    )
+    def h6(prefix: F.Column, k) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(prefix, F.lit(":"), k.cast("string"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint") % 1001
+
+    emb = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)), lambda k: h6(F.col("chunk"), k)
+        ).alias("v"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda k: h6(F.lit("rag query: spark table scan"), k),
+        ).alias("q"),
+    )
+    scored = emb.select(
+        "doc_id",
+        "chunk_idx",
+        F.aggregate(
+            F.zip_with("v", "q", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    return scored.orderBy(
+        F.desc("dot"), "doc_id", "chunk_idx"
+    ).limit(10)
+
+
+@register(
     "schema_evolution_merge",
     """
     SELECT CASE WHEN doc_id < 100 THEN 'v1' ELSE 'v2' END AS schema_ver,
