@@ -97,6 +97,8 @@ HEADLINE = [
     # round-6g additions: 13-gram eval decontamination and CDC chunk dedup
     "ngram_decontaminate",
     "cdc_chunk_dedup",
+    # round-6h addition: the RAG corpus-build flagship composition
+    "rag_ingest_pipeline_e2e",
 ]
 
 

@@ -14053,6 +14053,191 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "dataset_card_summary",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS f,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
+                  AS BIGINT) AS nt
+      FROM documents),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT f) AS BIGINT) AS n_unique,
+             CAST(SUM(nt) AS BIGINT) AS total_tokens,
+             CAST(quantile_disc(nt, 0.5) AS BIGINT) AS median_tokens,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM base),
+    tl AS (
+      SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS top_lang_docs
+      FROM base GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1)
+    SELECT n_docs, n_unique,
+           CAST((1000000 * (n_docs - n_unique)) // n_docs AS BIGINT)
+             AS dup_ppm,
+           total_tokens, median_tokens, n_langs, n_sources,
+           top_lang,
+           CAST((1000000 * top_lang_docs) // n_docs AS BIGINT)
+             AS top_lang_share_ppm
+    FROM t, tl
+    """,
+)
+def q_dataset_card_summary(spark, sf_dir):
+    """Dataset CARD in one row — the release-note header every published
+    corpus ships (docs, exact-dup rate, token budget, median length,
+    language/source spread, dominant language share): the signals the
+    deeper audits in this registry each own individually, folded into the
+    single relation a catalog ingests. Exact integers; the median is the
+    exact discrete quantile; the dominant language is elected under a
+    deterministic (count desc, lang) order.
+
+    Scale shape: one pass computes every aggregate (the distinct counts
+    expand internally, no second scan); the language election is a
+    5-row TakeOrdered. Nothing but 1-row relations after the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        text.fingerprint("text").alias("f"),
+        text.token_count(F.lower(F.col("text"))).cast("bigint").alias("nt"),
+    )
+    t = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("f").cast("bigint").alias("n_unique"),
+        F.sum("nt").cast("bigint").alias("total_tokens"),
+        F.percentile_approx("nt", 0.5, 2147483647)
+        .cast("bigint")
+        .alias("median_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    tl = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("top_lang_docs"))
+        .orderBy(F.desc("top_lang_docs"), "lang")
+        .limit(1)
+        .withColumnRenamed("lang", "top_lang")
+    )
+    return t.crossJoin(F.broadcast(tl)).select(
+        "n_docs",
+        "n_unique",
+        F.expr("(1000000 * (n_docs - n_unique)) DIV n_docs")
+        .cast("bigint")
+        .alias("dup_ppm"),
+        "total_tokens",
+        "median_tokens",
+        "n_langs",
+        "n_sources",
+        "top_lang",
+        F.expr("(1000000 * top_lang_docs) DIV n_docs")
+        .cast("bigint")
+        .alias("top_lang_share_ppm"),
+    )
+
+
+@register(
+    "colbert_maxsim_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) >= 2),
+    dv AS (
+      SELECT doc_id,
+             [[CAST('0x'||substr(md5(w || ':' || k), 1, 6) AS BIGINT) % 1001
+               FOR k IN range(0, 8)]
+              FOR w IN list_distinct([t[i] || ' ' || t[i+1]
+                                      FOR i IN range(1, len(t))])] AS dvecs
+      FROM tok),
+    qv AS (
+      SELECT [[CAST('0x'||substr(md5(qw || ':' || k), 1, 6) AS BIGINT) % 1001
+               FOR k IN range(0, 8)]
+              FOR qw IN ['spark table', 'table scan',
+                         'merge join', 'sort order']] AS qvecs),
+    scored AS (
+      SELECT doc_id,
+             list_sum([list_max([list_sum([qv2[i]*dv2[i] FOR i IN range(1, 9)])
+                                 FOR dv2 IN dvecs]) FOR qv2 IN qvecs]) AS maxsim
+      FROM dv, qv)
+    SELECT doc_id, CAST(maxsim AS BIGINT) AS maxsim
+    FROM scored ORDER BY maxsim DESC, doc_id LIMIT 10
+    """,
+)
+def q_colbert_maxsim_topk(spark, sf_dir):
+    """Late-interaction retrieval (ColBERT MaxSim, Khattab & Zaharia 2020):
+    instead of ONE vector per document, every doc term keeps its own
+    embedding; score = Σ over query terms of the MAX dot product against
+    any doc term — token-level matching that single-vector cosine
+    (embedding_topk) and lexical tf·idf (hybrid_rrf_retrieval) both miss.
+    Terms here are word bigrams (369 distinct scores at sf0.01 — the
+    unit-vocabulary corpus makes unigram MaxSim degenerate), embeddings
+    the deterministic md5 family, so every max and sum is exact integer.
+
+    Scale shape: ZERO joins — the per-doc term-matrix and the 4-term
+    query matrix are in-row arrays; MaxSim is a nested in-row fold inside
+    whole-stage codegen, and the ranking is one TakeOrderedAndProject.
+    Per-doc cost is O(|terms|·|q|·d) exactly like the real thing; the
+    production path shards doc-term matrices the same embarrassing way."""
+    docs = load_wide(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+
+    def h6(prefix, k):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(prefix, F.lit(":"), k.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint") % 1001
+
+    def embed(term):
+        return F.transform(F.sequence(F.lit(0), F.lit(7)), lambda k: h6(term, k))
+
+    dv = tok.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i - 1], ' ', t[i]))"
+                )
+            ),
+            embed,
+        ).alias("dvecs"),
+    )
+    qvecs = F.transform(
+        F.array(
+            F.lit("spark table"),
+            F.lit("table scan"),
+            F.lit("merge join"),
+            F.lit("sort order"),
+        ),
+        embed,
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = dv.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(
+                qvecs,
+                lambda qv2: F.array_max(
+                    F.transform(F.col("dvecs"), lambda dv2: dot(qv2, dv2))
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("maxsim"),
+    )
+    return scored.orderBy(F.desc("maxsim"), "doc_id").limit(10)
+
+
+@register(
     "rag_ingest_pipeline_e2e",
     r"""
     WITH fp AS (
