@@ -353,6 +353,54 @@ def test_cdc_chunks_byte_shift_robust(spark):
     assert lens[1] == len(body) and lens[2] == len(body) + 1
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=1, max_size=120),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_reassembly_property(spark, texts):
+    # chunks partition the document exactly: per-doc lengths sum to the
+    # document length and every chunk is non-empty, for arbitrary text
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ch = dedup.cdc_chunks(docs, "text", "doc_id", k=16, divisor=8)
+    got = {
+        r.doc_id: (r.total, r.mn)
+        for r in ch.groupBy("doc_id")
+        .agg(F.sum("clen").alias("total"), F.min("clen").alias("mn"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i][0] == len(t)
+        assert got[i][1] >= 1
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=12),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_apply_reassembly_property(spark, words):
+    # merging never loses or reorders characters: symbols concatenate back
+    # to the original word under any merge table
+    docs = spark.createDataFrame([(w,) for w in words], "word string")
+    out = docs.select(
+        "word",
+        text.bpe_apply_merges(
+            "word", [("a", "b"), ("ab", "c"), ("c", "d"), ("a", "a")]
+        ).alias("rep"),
+    )
+    for r in out.collect():
+        assert r.rep.replace(" ", "") == r.word
+
+
 def test_bpe_apply_merges_greedy_and_rank_order(spark):
     words = spark.createDataFrame(
         [("aaaa",), ("join",), ("low",)], "word string"
