@@ -3689,7 +3689,8 @@ def q_stream_stream_left_join(spark, sf_dir):
     "stream_static_enrich",
     """
     SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
-           c.c_nationkey AS nationkey, CAST(e.value AS DOUBLE) AS value
+           CAST(c.c_nationkey AS BIGINT) AS nationkey,
+           CAST(e.value AS DOUBLE) AS value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     """,
 )
@@ -3709,7 +3710,7 @@ def q_stream_static_enrich(spark, sf_dir):
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"),
         F.col("c_mktsegment").alias("segment"),
-        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
     )
     joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).select(
         "event_id",
@@ -11426,7 +11427,8 @@ def q_cms_heavy_hitters(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS k_size,
              CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
       FROM q GROUP BY c_nationkey, bal_bracket)
-    SELECT c_nationkey, bal_bracket, k_size, l_div,
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, bal_bracket,
+           k_size, l_div,
            (k_size < 5 OR l_div < 2) AS risky
     FROM cls
     """,
@@ -11452,7 +11454,7 @@ def q_k_anonymity_audit(spark, sf_dir):
         F.count_distinct("c_mktsegment").cast("bigint").alias("l_div"),
     )
     return cls.select(
-        "c_nationkey",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
         "bal_bracket",
         "k_size",
         "l_div",
@@ -15220,7 +15222,8 @@ def q_pareto_skyline_select(spark, sf_dir):
       SELECT s, SUM(list_sum([v*v FOR v IN sub])) AS energy,
              COUNT(*) AS n_vecs
       FROM subs GROUP BY s)
-    SELECT k.s AS subspace, CAST(en.n_vecs AS BIGINT) AS n_vecs,
+    SELECT CAST(k.s AS BIGINT) AS subspace,
+           CAST(en.n_vecs AS BIGINT) AS n_vecs,
            CAST(SUM(k.key // 100) AS BIGINT) AS pq_dist,
            CAST(en.energy AS BIGINT) AS energy,
            CAST((1000000 * SUM(k.key // 100)) // en.energy AS BIGINT)
@@ -15906,7 +15909,7 @@ def q_gini_concentration(spark, sf_dir):
              CAST(MAX(fill) AS BIGINT) AS max_fill,
              CAST(MIN(fill) AS BIGINT) AS min_fill
       FROM bins)
-    SELECT b.bin, b.n_files, b.fill, s.n_bins, s.max_fill,
+    SELECT CAST(b.bin AS BIGINT) AS bin, b.n_files, b.fill, s.n_bins, s.max_fill,
            (b.fill <= 65536 + m.maxf) AS fill_ok,
            (s.n_bins = (m.total + 65536 - 1) // 65536) AS bin_count_ok
     FROM bins b CROSS JOIN summ s CROSS JOIN mx m
@@ -16268,7 +16271,9 @@ def q_conformal_accept_audit(spark, sf_dir):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), 0))
                AS s_neg
       FROM cum)
-    SELECT d, x, s_pos, s_neg, (s_pos > h OR s_neg > h) AS alarm, h
+    SELECT strftime(d, '%Y-%m-%d') AS d, x, CAST(s_pos AS BIGINT) AS s_pos,
+           CAST(s_neg AS BIGINT) AS s_neg,
+           (s_pos > h OR s_neg > h) AS alarm, h
     FROM s
     """,
 )
@@ -16334,10 +16339,10 @@ def q_cusum_changepoint(spark, sf_dir):
         ).alias("s_neg"),
     )
     return s.select(
-        "d",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
         "x",
-        "s_pos",
-        "s_neg",
+        F.col("s_pos").cast("bigint").alias("s_pos"),
+        F.col("s_neg").cast("bigint").alias("s_neg"),
         ((F.col("s_pos") > F.col("h")) | (F.col("s_neg") > F.col("h"))).alias(
             "alarm"
         ),
