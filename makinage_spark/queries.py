@@ -5157,7 +5157,7 @@ def q_ngram_decontaminate(spark, sf_dir):
       SELECT doc_id, text, length(text) AS L,
              [CAST('0x'||substr(md5(substr(text, i, 16)),1,8) AS BIGINT)
               FOR i IN range(1, greatest(1, length(text)-15)+1)] AS hs
-      FROM documents),
+      FROM documents WHERE length(text) > 0),
     c AS (
       SELECT doc_id, text, L,
              list_concat(list_concat([1],
@@ -5192,7 +5192,10 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     over the positional gram-hash array); only (fp, clen) pairs shuffle,
     once, on the 32-char fingerprint; the doc-frequency relation joins
     back fingerprint-keyed. Text never crosses an exchange."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.length("text") > 0  # an empty payload has no chunks (and would
+        # make the shared_ppm integer division degenerate)
+    )
     ch = dedup.cdc_chunks(docs, "text", "doc_id", k=16, divisor=32)
     fps = ch.groupBy("fp").agg(F.countDistinct("doc_id").alias("nd"))
     shared_len = F.sum(F.when(F.col("nd") > 1, F.col("clen")).otherwise(0))
@@ -15137,7 +15140,8 @@ def q_bitmap_index_intersect(spark, sf_dir):
                      regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))))
                   // len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))
                   AS BIGINT) AS y
-      FROM documents)
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) > 0)
     SELECT p.doc_id, p.x AS n_tokens, p.y AS distinct_ratio_ppm
     FROM pts p WHERE NOT EXISTS (
       SELECT 1 FROM pts q
@@ -15165,6 +15169,8 @@ def q_pareto_skyline_select(spark, sf_dir):
         docs.select(
             "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
         )
+        .filter(F.size("t") > 0)  # tokenless docs have no position on
+        # the diversity axis (and x=0 would poison the integer division)
         .select(
             "doc_id",
             F.size("t").cast("bigint").alias("x"),
