@@ -114,3 +114,35 @@ def test_shard_manifest_single_shard_exchange(spark):
 def test_code_detect_is_shuffle_free(spark):
     plan = plan_of(spark, "code_detect_signals")
     assert "Exchange" not in plan
+
+
+def test_colbert_maxsim_has_no_join(spark):
+    # late interaction is in-row array algebra: doc-term matrix and query
+    # matrix never meet in a join; ranking is a partial top-k
+    plan = plan_of(spark, "colbert_maxsim_topk")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rag_pipeline_retrieval_is_partial_topk(spark):
+    # MIPS must plan as TakeOrderedAndProject (10 rows cross the exchange),
+    # never a global sort of all chunk scores
+    plan = plan_of(spark, "rag_ingest_pipeline_e2e")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pareto_skyline_domain_table_broadcasts(spark):
+    # the dominance test joins against the x-domain suffix-max table
+    # (<=90 rows) — must be a broadcast, never a shuffle of the corpus
+    plan = plan_of(spark, "pareto_skyline_select")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_bottomk_is_partial_topk(spark):
+    # each bottom-k sketch is a TakeOrderedAndProject: per-partition
+    # partial top-k, 256 rows cross the exchange — three sketches minimum
+    plan = plan_of(spark, "kmv_overlap_estimate")
+    assert plan.count("TakeOrderedAndProject") >= 3
+    spark.catalog.clearCache()
