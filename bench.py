@@ -31,10 +31,11 @@ from makinage_spark.queries import QUERIES
 #: design: training_corpus_pipeline now leads with the repeated-span strip,
 #: and quality_ensemble gained the bigram-LM signal — their per-query r4→r5
 #: deltas are composition changes, not regressions (see VERDICT r4 tasks 8/9).
-#: r6 = 51 (added kmeans_table_assign, sorted_merge_strict, token_budget_pick,
+#: r6 = 52 (added kmeans_table_assign, sorted_merge_strict, token_budget_pick,
 #: bloom_prune_audit, incremental_ingest_pipeline, jl_projection_distortion,
-#: hybrid_rrf_retrieval, ngram_decontaminate, cdc_chunk_dedup — subtract the
-#: nine from "value" for r5-comparable totals).
+#: hybrid_rrf_retrieval, ngram_decontaminate, cdc_chunk_dedup,
+#: rag_ingest_pipeline_e2e — subtract the ten from "value" for r5-comparable
+#: totals).
 HEADLINE = [
     # relational: scan/filter/agg/join/subquery
     "q1_pricing_summary",
