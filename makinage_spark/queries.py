@@ -14058,6 +14058,188 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "seasonal_backtest_mae",
+    """
+    WITH daily AS (
+      SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1),
+    j AS (
+      SELECT cur.d, cur.x,
+             s.x AS f_seasonal, n.x AS f_naive
+      FROM daily cur
+      JOIN daily s ON s.d = cur.d - 7
+      JOIN daily n ON n.d = cur.d - 1),
+    e AS (
+      SELECT 'seasonal_naive' AS model, COUNT(*) AS n_days,
+             CAST(SUM(ABS(x - f_seasonal)) AS BIGINT) AS sum_abs_err
+      FROM j
+      UNION ALL
+      SELECT 'naive_1', COUNT(*),
+             CAST(SUM(ABS(x - f_naive)) AS BIGINT)
+      FROM j)
+    SELECT model, CAST(n_days AS BIGINT) AS n_days, sum_abs_err,
+           CAST((1000000 * sum_abs_err) // n_days AS BIGINT) AS mae_e6
+    FROM e
+    """,
+)
+def q_seasonal_backtest_mae(spark, sf_dir):
+    """Forecast BACKTEST — the evaluation loop behind capacity planning on
+    the event stream: seasonal-naive (ŷ_d = y_{d−7}) against the naive-1
+    baseline (ŷ_d = y_{d−1}), walk-forward over every day with both
+    references available, exact integer MAE (×1e6). MASE is the ratio of
+    the two rows — if seasonal-naive doesn't beat naive-1 (it doesn't on
+    this time-uniform corpus — the honest negative again), the series has
+    no weekly structure worth modeling, which is precisely what
+    acf_periodicity_audit's flat lag-24/lag-168 story predicts.
+
+    Scale shape: the corpus appears once (the daily count); the backtest
+    is two self-joins and two folds on the 30-row day domain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT)").alias(
+            "d"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    cur = daily.alias("cur")
+    s = daily.alias("s")
+    n = daily.alias("n")
+    j = (
+        cur.join(s, F.col("s.d") == F.col("cur.d") - 7)
+        .join(n, F.col("n.d") == F.col("cur.d") - 1)
+        .select(
+            F.col("cur.x").alias("x"),
+            F.col("s.x").alias("f_seasonal"),
+            F.col("n.x").alias("f_naive"),
+        )
+    )
+    e = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.abs(F.col("x") - F.col("f_seasonal")))
+        .cast("bigint")
+        .alias("err_seasonal"),
+        F.sum(F.abs(F.col("x") - F.col("f_naive")))
+        .cast("bigint")
+        .alias("err_naive"),
+    )
+    out = e.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("seasonal_naive").alias("model"),
+                    F.col("n_days"),
+                    F.col("err_seasonal").alias("sum_abs_err"),
+                ),
+                F.struct(
+                    F.lit("naive_1").alias("model"),
+                    F.col("n_days"),
+                    F.col("err_naive").alias("sum_abs_err"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select(
+        F.col("r.model").alias("model"),
+        F.col("r.n_days").alias("n_days"),
+        F.col("r.sum_abs_err").alias("sum_abs_err"),
+        F.expr("(1000000 * r.sum_abs_err) DIV r.n_days")
+        .cast("bigint")
+        .alias("mae_e6"),
+    )
+
+
+@register(
+    "psi_drift_audit",
+    """
+    WITH tagged AS (
+      SELECT CAST(value AS DOUBLE) AS v,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) // 7 AS wk
+      FROM events),
+    pool AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               AS cuts
+             FROM tagged WHERE wk IN (0, 3)),
+    binned AS (
+      SELECT wk, CAST(len([c FOR c IN cuts IF v > c]) AS BIGINT) AS bin
+      FROM tagged, pool WHERE wk IN (0, 3)),
+    cnt AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN wk = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN wk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM binned GROUP BY bin),
+    tot AS (SELECT CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb
+            FROM cnt)
+    SELECT bin, a, b,
+           CAST(FLOOR(1000000.0
+                * ((CAST(a+1 AS DOUBLE)/CAST(ta+10 AS DOUBLE))
+                   - (CAST(b+1 AS DOUBLE)/CAST(tb+10 AS DOUBLE)))
+                * ln((CAST(a+1 AS DOUBLE)/CAST(ta+10 AS DOUBLE))
+                     / (CAST(b+1 AS DOUBLE)/CAST(tb+10 AS DOUBLE))))
+                AS BIGINT) AS psi_term_e6
+    FROM cnt, tot
+    """,
+)
+def q_psi_drift_audit(spark, sf_dir):
+    """Population Stability Index — THE ML-ops drift score (banking
+    scorecards to feature monitoring): week-1 vs week-4 value
+    distributions over ten equi-height bins cut from the POOLED exact
+    deciles, per-bin term (pₐ−p_b)·ln(pₐ/p_b) with +1/+10 Laplace
+    smoothing (a zero bin at another scale must degrade the score, not
+    crash the ln). Per-bin terms are emitted (Σ < 0.1 = stable, > 0.25 =
+    action) — this time-uniform corpus honestly lands ~0.004. The float
+    path is the pinned floor(1e6·…) contract: identical IEEE expression
+    trees on both engines.
+
+    Scale shape: one pass tags and counts; the decile array is a 1-row
+    broadcast; everything after the two grouped counts is a 10-row
+    relation."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("2024-01-01").cast("date")
+    tagged = ev.select(
+        F.col("value").cast("double").alias("v"),
+        F.expr(
+            f"CAST(datediff(to_date(ts), date'2024-01-01') AS BIGINT) DIV 7"
+        ).alias("wk"),
+    ).filter(F.col("wk").isin(0, 3))
+    pool = tagged.agg(
+        F.percentile_approx("v", [i / 10.0 for i in range(1, 10)], 2147483647)
+        .alias("cuts")
+    )
+    binned = tagged.crossJoin(F.broadcast(pool)).select(
+        "wk",
+        F.size(F.filter("cuts", lambda c: F.col("v") > c))
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cnt = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).cast("bigint").alias("a"),
+        F.sum(F.when(F.col("wk") == 3, 1).otherwise(0)).cast("bigint").alias("b"),
+    )
+    tot = cnt.agg(
+        F.sum("a").cast("bigint").alias("ta"), F.sum("b").cast("bigint").alias("tb")
+    )
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "a",
+        "b",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.expr("CAST(a+1 AS DOUBLE)/CAST(ta+10 AS DOUBLE)")
+                - F.expr("CAST(b+1 AS DOUBLE)/CAST(tb+10 AS DOUBLE)")
+            )
+            * F.log(
+                F.expr("CAST(a+1 AS DOUBLE)/CAST(ta+10 AS DOUBLE)")
+                / F.expr("CAST(b+1 AS DOUBLE)/CAST(tb+10 AS DOUBLE)")
+            )
+        )
+        .cast("bigint")
+        .alias("psi_term_e6"),
+    )
+
+
+@register(
     "dataset_card_summary",
     rf"""
     WITH base AS (
