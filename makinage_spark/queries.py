@@ -14058,6 +14058,79 @@ def q_acf_periodicity_audit(spark, sf_dir):
 
 
 @register(
+    "hard_negative_mining",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             [CAST(FLOOR(10000 * CAST(x AS DOUBLE)) AS BIGINT)
+              FOR x IN embedding] AS e
+      FROM embeddings),
+    a AS (SELECT * FROM q WHERE vec_id < 100),
+    pairs AS (
+      SELECT a.vec_id AS anchor,
+             c.vec_id AS cand,
+             list_sum([a.e[i]*c.e[i] FOR i IN range(1, 65)]) AS dot
+      FROM a JOIN q c ON c.label <> a.label),
+    keyed AS (
+      SELECT anchor,
+             MAX((dot + 7000000000) * 1000000 + (999999 - cand)) AS key
+      FROM pairs GROUP BY anchor)
+    SELECT anchor, CAST(999999 - key % 1000000 AS BIGINT) AS hard_neg,
+           CAST(key // 1000000 - 7000000000 AS BIGINT) AS dot
+    FROM keyed
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Hard-negative MINING for contrastive training — for each anchor in
+    the current training batch (the first 100 vectors), the most similar
+    vector with a DIFFERENT label: the example family (SimCLR/DPR in-batch
+    hard negatives) that makes embedding training data actually hard.
+    Similarities are exact integer dots on 1e4-scaled components; the
+    per-anchor argmax packs (dot, lowest-candidate-id tie-break) into ONE
+    bigint key ((dot+7e9)·1e6 + (999999−id) — no struct-max cross-engine
+    risk, same trick as pq_encode_distortion).
+
+    Scale shape: the anchor set is BATCH-sized, so the candidate join is
+    O(batch · corpus) — linear in the corpus, never the all-pairs square;
+    at repeated-mining scale the IVF family (ivf_topk_search) supplies
+    the bucketed candidate generator and this stays the exact-rerank leg.
+    The argmax is a map-side-combined max per anchor."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(F.lit(10000) * x.cast("double")).cast("bigint"),
+        ).alias("e"),
+    )
+    a = q.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("anchor"),
+        F.col("label").alias("alabel"),
+        F.col("e").alias("ae"),
+    )
+    pairs = a.join(q, F.col("label") != F.col("alabel")).select(
+        "anchor",
+        "vec_id",
+        F.aggregate(
+            F.zip_with("ae", "e", lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    keyed = pairs.groupBy("anchor").agg(
+        F.max(
+            (F.col("dot") + 7000000000) * 1000000 + (999999 - F.col("vec_id"))
+        ).alias("key")
+    )
+    return keyed.select(
+        "anchor",
+        (999999 - F.col("key") % 1000000).cast("bigint").alias("hard_neg"),
+        (F.expr("key DIV 1000000") - 7000000000).cast("bigint").alias("dot"),
+    )
+
+
+@register(
     "seasonal_backtest_mae",
     """
     WITH daily AS (
