@@ -16795,6 +16795,23 @@ def q_horvitz_thompson_audit(spark, sf_dir):
     )
 
 
+#: r7 rotation plan (keep >=80% fresh): head the window with the remaining
+#: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
+#: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
+#: dataset_card_summary, psi_drift_audit, seasonal_backtest_mae,
+#: hard_negative_mining, histogram_selectivity_audit, ivm_agg_delta,
+#: acf_periodicity_audit, epoch_shuffle_independence, kmv_overlap_estimate,
+#: wau_sliding_distinct, user_contribution_capping, pareto_skyline_select,
+#: bitmap_index_intersect, winnow_overlap_pairs, good_turing_unseen_mass,
+#: heaps_law_fit, bpe_encode_fertility, curriculum_interleave_order,
+#: delta_encoding_audit, schema_evolution_merge, binary_file_ingest,
+#: stream_decontaminate_screen, stream_static_enrich,
+#: stream_stream_left_join, winnowing_fingerprints, dsir_importance_weights,
+#: graph_label_propagation, range_partition_plan, zonemap_skipping_audit,
+#: temperature_mixture_alloc), then the six rx small-ops evicted in r6
+#: (debounce_events, ewma_smoothing, distinct_until_changed,
+#: pairwise_deltas, take_last_events, start_with_seed), then the remaining
+#: never-hashed rows from COVERAGE.md's Registry audit ledger.
 _SHOWCASE_50 = [
     # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
     # driver-hash-green; the 6 previously-green rows are exactly the queries
