@@ -16795,6 +16795,293 @@ def q_horvitz_thompson_audit(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-6 continuation wave: retrieval / linkage / time-series regularization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_retrieval_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    qterms AS (SELECT DISTINCT t FROM toks WHERE doc_id = 0),
+    corpus AS (SELECT doc_id, t FROM toks WHERE doc_id <> 0),
+    tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM corpus GROUP BY 1, 2),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM corpus GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    dfreq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT t,
+                   CAST(floor(1000000.0 * ln(
+                        ((CAST(n_docs - df AS DOUBLE) + 0.5)
+                         / (CAST(df AS DOUBLE) + 0.5)) + 1.0)) AS BIGINT) AS idf_q
+            FROM dfreq, stats)
+    SELECT doc_id,
+           CAST(SUM(idf_q * CAST(floor(
+                 (1000000.0 * (CAST(tf AS DOUBLE) * 2.2))
+                 / (CAST(tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+               ) AS BIGINT)) AS BIGINT) AS bm25_q
+    FROM tf JOIN qterms USING (t) JOIN idf USING (t) JOIN dl USING (doc_id), stats
+    GROUP BY doc_id
+    ORDER BY bm25_q DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_bm25_retrieval_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval (k1=1.2, b=0.75) — the lexical ranker every
+    RAG/decontamination pipeline starts from, here with doc 0's term set as
+    the query against the rest of the corpus.
+
+    Determinism: idf and the per-term saturation weight are pinned as
+    floor(1e6·x) bigints; the only float ops are one ln and one
+    identically-parenthesized rational whose operands (tf, dl, avgdl) are
+    bit-identical in both engines (avgdl = exact bigint sum / count, one IEEE
+    division), so the scores are exact integers.
+
+    Scale shape: this is the inverted-index join — postings (tf) are hash-
+    joined with the broadcast query-term set FIRST (|q| bounded, so the join
+    prunes the posting list before any per-doc work), then with the idf table
+    (AQE picks broadcast when the vocabulary fits), then one groupBy(doc_id)
+    partial-agg and a TakeOrderedAndProject top-20 (per-partition heaps + one
+    k-sized merge — no global sort). Corpus statistics (n_docs, avgdl) ride a
+    1-row broadcast crossJoin. At 100 TB nothing here is corpus-quadratic:
+    cost is |postings ∩ q-terms| + one narrow agg."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    qterms = toks.filter(F.col("doc_id") == 0).select("t").distinct()
+    corpus = toks.filter(F.col("doc_id") != 0)
+    tf = corpus.groupBy("doc_id", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dl = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(stats.select("n_docs"))).select(
+        "t",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (
+                    ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                + F.lit(1.0)
+            )
+        )
+        .cast("bigint")
+        .alias("idf_q"),
+    )
+    tfn = F.col("tf").cast("double")
+    dln = F.col("dl").cast("double")
+    wq = F.floor(
+        (F.lit(1e6) * (tfn * F.lit(2.2)))
+        / (tfn + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dln / F.col("avgdl"))))
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qterms), "t")
+        .join(idf, "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_q") * wq).cast("bigint").alias("bm25_q"))
+    )
+    return scored.orderBy(F.desc("bm25_q"), "doc_id").limit(20)
+
+
+@register(
+    "record_linkage_blocked",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             ts[1] AS ftok,
+             CAST(len(ts) AS BIGINT) // 20 AS szb,
+             substr(lt, 1, 80) AS pfx
+      FROM (SELECT doc_id, lang, lower(text) AS lt,
+                   regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ts
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(ts) >= 1
+    ),
+    ok AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, ftok, szb) AS bsz FROM keyed
+      ) WHERE bsz <= 500
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+    FROM ok a JOIN ok b
+      ON a.lang = b.lang AND a.ftok = b.ftok AND a.szb = b.szb
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.pfx, b.pfx)
+          <= 1 + greatest(length(a.pfx), length(b.pfx)) // 10
+    """,
+)
+def q_record_linkage_blocked(spark, sf_dir):
+    """Blocked record linkage (entity resolution): candidate pairs come only
+    from matching BLOCKS — (lang, first token, token-count-bucket) — then an
+    edit-distance verifier on the 80-char prefix keeps pairs within a 10%
+    relative threshold. The classic Fellegi-Sunter blocking+comparison shape,
+    with blocking doing the scale work.
+
+    Scale shape: the pair generator is an equi-join on the block key, so
+    Catalyst plans a plain shuffle hash join — NO cartesian anywhere (contrast
+    `levenshtein_pairs`, the bounded toy). Cost is Σ_b |block_b|², bounded by
+    the bsz<=500 window guard computed in the same shuffle that the join needs
+    anyway (same guard the oracle applies, so comparison is exact); at 100 TB
+    the cap turns pathological blocks (stop-word first tokens) into a
+    documented drop rather than a straggler. Verification cost (levenshtein on
+    80-char prefixes) is O(80²) per candidate, map-side."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    keyed = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.lower(F.col("text")).alias("lt"),
+            text.tokens(F.lower(F.col("text"))).alias("ts"),
+        )
+        .filter(F.size("ts") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.element_at("ts", 1).alias("ftok"),
+            F.expr("CAST(size(ts) AS BIGINT) DIV 20").alias("szb"),
+            F.substring("lt", 1, 80).alias("pfx"),
+        )
+    )
+    bsz = F.count(F.lit(1)).over(Window.partitionBy("lang", "ftok", "szb"))
+    ok = keyed.withColumn("bsz", bsz).filter(F.col("bsz") <= 500)
+    a = ok.select(
+        F.col("doc_id").alias("a"), "lang", "ftok", "szb", F.col("pfx").alias("pa")
+    )
+    b = ok.select(
+        F.col("doc_id").alias("b"), "lang", "ftok", "szb", F.col("pfx").alias("pb")
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, ["lang", "ftok", "szb"])
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            dist
+            <= F.lit(1)
+            + F.expr("greatest(length(pa), length(pb)) DIV 10")
+        )
+        .select("a", "b", dist.cast("bigint").alias("dist"))
+    )
+
+
+@register(
+    "resample_interpolate_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // COUNT(*) AS obs_q
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+    grid AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+             FROM span),
+    j AS (SELECT g.user_id, g.d, daily.obs_q
+          FROM grid g LEFT JOIN daily ON daily.user_id = g.user_id AND daily.d = g.d),
+    f AS (
+      SELECT user_id, d, obs_q,
+        LAST_VALUE(obs_q IGNORE NULLS) OVER w_p AS pv,
+        LAST_VALUE(CASE WHEN obs_q IS NOT NULL THEN d END IGNORE NULLS) OVER w_p AS pd,
+        FIRST_VALUE(obs_q IGNORE NULLS) OVER w_n AS nv,
+        FIRST_VALUE(CASE WHEN obs_q IS NOT NULL THEN d END IGNORE NULLS) OVER w_n AS nd
+      FROM j
+      WINDOW
+        w_p AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_n AS (PARTITION BY user_id ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(d AS VARCHAR) AS day,
+           CAST(CASE WHEN obs_q IS NOT NULL THEN obs_q
+                     ELSE pv + ((nv - pv) * datediff('day', pd, d))
+                          // datediff('day', pd, nd)
+                END AS BIGINT) AS v_q,
+           (obs_q IS NOT NULL) AS observed
+    FROM f
+    """,
+)
+def q_resample_interpolate_daily(spark, sf_dir):
+    """Time-series regularization: resample each user's event stream onto a
+    daily grid between their first and last observation, LINEARLY interpolating
+    gap days between the bracketing observations — the standard
+    prepare-for-forecasting step (pandas `resample().interpolate()`), done
+    distributed.
+
+    Determinism: observations are integer cents (SUM of exact per-row cents
+    DIV count); interpolation is pure integer arithmetic
+    pv + ((nv-pv)·Δprev) DIV span — both engines truncate integer division
+    toward zero, verified.
+
+    Scale shape: one groupBy(user, day) partial-agg, one per-user min/max agg,
+    grid expansion via `sequence()` (in-row array algebra, no join against a
+    calendar table), then ONE window pass per direction over data partitioned
+    by user — Spark plans both window frames in a single sort of the same
+    Exchange (same partition key), so the whole query is two shuffles
+    regardless of corpus size. Grid rows are bounded by span-days × users,
+    independent of raw event count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("user_id", "d", F.expr("cents DIV n").alias("obs_q"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    j = grid.join(daily, ["user_id", "d"], "left")
+    w_p = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_n = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs_q").isNotNull(), F.col("d"))
+    f = j.select(
+        "user_id",
+        "d",
+        "obs_q",
+        F.last("obs_q", ignorenulls=True).over(w_p).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_p).alias("pd"),
+        F.first("obs_q", ignorenulls=True).over(w_n).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_n).alias("nd"),
+    )
+    interp = F.col("pv") + F.expr(
+        "((nv - pv) * datediff(d, pd)) DIV datediff(nd, pd)"
+    )
+    return f.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        F.when(F.col("obs_q").isNotNull(), F.col("obs_q"))
+        .otherwise(interp)
+        .cast("bigint")
+        .alias("v_q"),
+        F.col("obs_q").isNotNull().alias("observed"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
