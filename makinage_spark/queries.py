@@ -17082,6 +17082,269 @@ def q_resample_interpolate_daily(spark, sf_dir):
     )
 
 
+@register(
+    "rolling_correlation_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'view'
+                      THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT d,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+        SUM(x * y) OVER w AS sxy,
+        SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS VARCHAR) AS day, n,
+           CAST(floor((1000000.0 * CAST(n * sxy - sx * sy AS DOUBLE))
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT) AS corr_q
+    FROM win
+    WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_rolling_correlation_daily(spark, sf_dir):
+    """7-day rolling Pearson correlation between the daily click-revenue and
+    view-revenue series — the co-movement monitor of metric pipelines
+    (pandas `rolling(7).corr()`), distributed.
+
+    Determinism: the five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are
+    exact bigint window sums over integer cents; the correlation is assembled
+    from them in one identically-parenthesized float expression
+    floor(1e6·(nΣxy−ΣxΣy)/(√(nΣx²−Σx²)·√(nΣy²−Σy²))) — never a streaming
+    float accumulation, so window-evaluation order is irrelevant. (At 100 TB
+    scale the cents sums would be rescaled to whole units to keep
+    n·Σx² < 2⁶³; the shape is unchanged.)
+
+    Scale shape: one groupBy(day) partial-agg collapses the raw events to
+    ≤days rows BEFORE the window; the rolling frame then runs over the tiny
+    daily series — a single-partition sort of #days rows, which is the
+    correct plan when the window is global-ordered (the data is already
+    reduced; at 100 TB one would partition this window by metric/tenant)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(F.lit(0))).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    win = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    corr_q = F.floor(
+        (F.lit(1e6) * num)
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+    ).cast("bigint")
+    return (
+        win.filter((F.col("n") >= 3) & (varx > 0) & (vary > 0))
+        .select(F.col("d").cast("string").alias("day"), "n", corr_q.alias("corr_q"))
+    )
+
+
+#: RBO(p=0.9) per-depth weights (1-p)·p^(d-1)/d, pinned as floor(1e12·w)
+#: integers computed ONCE here and embedded as identical literals in both the
+#: Spark plan and the DuckDB oracle — the comparison never re-derives floats.
+_RBO_COEF = [
+    (1, 99999999999), (2, 44999999999), (3, 27000000000), (4, 18225000000),
+    (5, 13121999999), (6, 9841500000), (7, 7592014285), (8, 5978711250),
+    (9, 4782969000), (10, 3874204890),
+]
+
+
+@register(
+    "rank_biased_overlap",
+    f"""
+    WITH rev AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             c_nationkey,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+      GROUP BY 1, 2
+    ),
+    ra AS (SELECT c_nationkey, ROW_NUMBER() OVER (ORDER BY rev DESC, c_nationkey) AS r
+           FROM rev WHERE yr = 1995 QUALIFY r <= 10),
+    rb AS (SELECT c_nationkey, ROW_NUMBER() OVER (ORDER BY rev DESC, c_nationkey) AS r
+           FROM rev WHERE yr = 1996 QUALIFY r <= 10),
+    both_r AS (SELECT ra.c_nationkey, ra.r AS r_a, rb.r AS r_b
+               FROM ra JOIN rb USING (c_nationkey)),
+    coef(d, coef_q) AS (VALUES {", ".join(f"({d}, {c})" for d, c in _RBO_COEF)}),
+    od AS (
+      SELECT d, coef_q,
+             CAST((SELECT COUNT(*) FROM both_r WHERE r_a <= d AND r_b <= d) AS BIGINT)
+               AS overlap
+      FROM coef
+    )
+    SELECT d, overlap, CAST(coef_q * overlap AS BIGINT) AS contrib_q,
+           CAST(SUM(coef_q * overlap) OVER (ORDER BY d) AS BIGINT) AS rbo_prefix_q
+    FROM od
+    """,
+)
+def q_rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap (Webber et al. 2010) between two top-10 rankings —
+    nations ranked by 1995 vs 1996 revenue. RBO@p is THE ranking-drift metric
+    for retrieval/index regression testing: top-weighted (depth-d overlap
+    discounted by p^(d-1)/d), well-defined for non-conjoint lists.
+
+    Determinism: revenue is exact integer cents; per-depth weights are
+    module-constant floor(1e12·w) literals shared verbatim by both engines;
+    the score is Σ coef_d·|A_d ∩ B_d| — pure bigint.
+
+    Scale shape: each ranking collapses to ≤10 rows via
+    TakeOrderedAndProject-style rank windows over a pre-aggregated
+    (year, nation) relation, so the depth expansion (10 depths × ≤10 joined
+    rows) is constant work regardless of corpus size; the only data-scale
+    stage is the orders⇄customer join + groupBy, both key-partitioned."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("bigint").alias("yr"), "c_nationkey"
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)")).alias("rev")
+        )
+    )
+
+    def topk(yr: int, out: str) -> DataFrame:
+        w = Window.orderBy(F.desc("rev"), "c_nationkey")
+        return (
+            rev.filter(F.col("yr") == yr)
+            .select("c_nationkey", F.row_number().over(w).alias(out))
+            .filter(F.col(out) <= 10)
+        )
+
+    both = topk(1995, "r_a").join(topk(1996, "r_b"), "c_nationkey")
+    coef = spark.createDataFrame(_RBO_COEF, "d bigint, coef_q bigint")
+    od = (
+        F.broadcast(coef)
+        .join(F.broadcast(both), F.expr("r_a <= d AND r_b <= d"), "left")
+        .groupBy("d", "coef_q")
+        .agg(F.count("c_nationkey").cast("bigint").alias("overlap"))
+    )
+    return od.select(
+        "d",
+        "overlap",
+        (F.col("coef_q") * F.col("overlap")).cast("bigint").alias("contrib_q"),
+        F.sum(F.col("coef_q") * F.col("overlap"))
+        .over(Window.orderBy("d"))
+        .cast("bigint")
+        .alias("rbo_prefix_q"),
+    )
+
+
+@register(
+    "dp_geometric_noise_audit",
+    """
+    WITH counts AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY 1
+    ),
+    noise AS (
+      SELECT event_type, exact_n,
+        CAST(length(regexp_extract(
+               lpad(bin(CAST('0x' || substr(md5(event_type), 1, 8) AS BIGINT)),
+                    32, '0'),
+               '^1*')) AS BIGINT) AS mag,
+        CASE WHEN CAST('0x' || substr(md5(event_type), 9, 1) AS BIGINT) % 2 = 0
+             THEN 1 ELSE -1 END AS sign
+      FROM counts
+    )
+    SELECT event_type, exact_n,
+           CAST(exact_n + sign * mag AS BIGINT) AS noisy_n,
+           CAST(sign * mag AS BIGINT) AS noise,
+           (abs(sign * mag) <= 32) AS bounded_ok
+    FROM noise
+    """,
+)
+def q_dp_geometric_noise_audit(spark, sf_dir):
+    """Differentially-private release shape: per-group counts perturbed by the
+    two-sided GEOMETRIC mechanism (the integer-valued discrete analogue of
+    Laplace, Ghosh-Roughgarden-Sundararajan 2009) — with the geometric draw
+    realized EXACTLY from key-hash bits: magnitude = leading-1-run length of
+    the 32-bit md5 prefix (P(run=k)=2^-(k+1), a true Geometric(1/2) in exact
+    integer arithmetic — no ln(), no float inverse-CDF), sign = parity of the
+    next hex digit. Deterministic per key, so retries/stragglers release the
+    SAME noise — the reproducibility property a production DP pipeline needs
+    (noise derived from a keyed PRF, not executor-local RNG).
+
+    Scale shape: one partial-agg groupBy; the noise expression is per-GROUP
+    (not per-row) string/integer ops on the reduced relation. The audit
+    column checks the mechanism's support bound."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_n")
+    )
+    h32 = F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("bigint")
+    bits = F.lpad(F.bin(h32), 32, "0")
+    mag = F.length(F.regexp_extract(bits, "^1*", 0)).cast("bigint")
+    sign_src = F.conv(F.substring(F.md5("event_type"), 9, 1), 16, 10).cast("bigint")
+    sign = F.when(sign_src % 2 == 0, F.lit(1)).otherwise(F.lit(-1))
+    noise = (sign * mag).cast("bigint")
+    return counts.select(
+        "event_type",
+        "exact_n",
+        (F.col("exact_n") + noise).cast("bigint").alias("noisy_n"),
+        noise.alias("noise"),
+        (F.abs(noise) <= 32).alias("bounded_ok"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH qi AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+             user_id % 10 AS segment
+      FROM events
+    )
+    SELECT day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS group_n,
+           CAST(COUNT(DISTINCT segment) AS BIGINT) AS l_distinct,
+           (COUNT(DISTINCT segment) < 3) AS violates_l3
+    FROM qi GROUP BY day, event_type
+    """,
+)
+def q_l_diversity_audit(spark, sf_dir):
+    """l-diversity privacy audit (Machanavajjhala et al. 2007), the
+    k-anonymity companion: for every quasi-identifier group (day, event_type),
+    count DISTINCT sensitive values (user segment) and flag groups where a
+    joiner could infer the sensitive attribute (l < 3). Release gates of
+    aggregate datasets run exactly this before publishing.
+
+    Scale shape: count_distinct inside groupBy plans as the standard two-phase
+    expand/partial-agg — one shuffle on the QI key; no row explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    qi = ev.select(
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+        (F.col("user_id") % 10).alias("segment"),
+    )
+    return qi.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_n"),
+        F.count_distinct("segment").cast("bigint").alias("l_distinct"),
+        (F.count_distinct("segment") < 3).alias("violates_l3"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
