@@ -17345,6 +17345,155 @@ def q_l_diversity_audit(spark, sf_dir):
     )
 
 
+@register(
+    "equidepth_histogram",
+    """
+    WITH cents AS (
+      SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events
+    ),
+    binned AS (
+      SELECT c, ntile(10) OVER (ORDER BY c, event_id) AS bin FROM cents
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(c) AS lo_cents, MAX(c) AS hi_cents
+    FROM binned GROUP BY bin
+    """,
+)
+def q_equidepth_histogram(spark, sf_dir):
+    """Equi-DEPTH histogram (10 equal-frequency bins) — the statistics shape
+    CBOs and data-profiling layers actually store (contrast the equi-WIDTH
+    `histogram_values`): bin edges adapt to the distribution, so selectivity
+    estimates stay accurate under skew.
+
+    Determinism: ntile over a TOTAL order (cents, event_id tiebreak) is
+    uniquely defined; all outputs are exact integers.
+
+    Scale shape: ntile requires a global order — at this profile size that is
+    one sort; at 100 TB the production form samples first (range_partition_plan
+    shows the sampled planner) or uses approx quantile edges. The honest exact
+    version is still shuffle-bounded: one global sort + one partial-agg."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id", F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c")
+    )
+    binned = cents.select(
+        "c", F.ntile(10).over(Window.orderBy("c", "event_id")).alias("bin")
+    )
+    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("c").alias("lo_cents"),
+        F.max("c").alias("hi_cents"),
+    )
+
+
+@register(
+    "hashing_trick_features",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id < 100
+    )
+    SELECT doc_id,
+           CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 1024 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def q_hashing_trick_features(spark, sf_dir):
+    """Hashing-trick featurization (fastText/Vowpal-Wabbit style): tokens are
+    hashed into a FIXED 1024-dim bucket space — the vectorizer that lets a
+    quality/safety classifier run without a driver-coordinated vocabulary.
+    Collisions are part of the contract; the hash (md5 prefix, engine-portable)
+    makes the features reproducible across retries and engines.
+
+    Scale shape: no vocabulary table, no join, no driver state — ONE
+    groupBy(doc, bucket) partial-agg whose key space is bounded by
+    docs × 1024 regardless of corpus vocabulary. This is the property that
+    matters at 100 TB: the alternative (vocab_id_assignment) needs a
+    vocabulary build + join; the hashing trick is embarrassingly parallel."""
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 100)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("bigint") % 1024
+    ).alias("bucket")
+    return toks.groupBy("doc_id", bucket).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+@register(
+    "robust_scaler_features",
+    """
+    WITH cents AS (
+      SELECT event_id, event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(floor(100.0 * quantile_cont(c, 0.5)) AS BIGINT) AS med100,
+             CAST(floor(100.0 * quantile_cont(c, 0.25)) AS BIGINT) AS p25_100,
+             CAST(floor(100.0 * quantile_cont(c, 0.75)) AS BIGINT) AS p75_100
+      FROM cents GROUP BY 1
+    )
+    SELECT event_id, event_type,
+           CAST(((c * 100 - med100) * 1000)
+                // (p75_100 - p25_100) AS BIGINT) AS robust_z_q
+    FROM cents JOIN stats USING (event_type)
+    WHERE event_id < 2000 AND p75_100 - p25_100 > 0
+    """,
+)
+def q_robust_scaler_features(spark, sf_dir):
+    """Robust scaling (median/IQR) — the outlier-resistant feature
+    normalization (sklearn RobustScaler) used before quality-score ensembles:
+    z = (x − median) / (p75 − p25), per event-type group.
+
+    Determinism: type-7 interpolated quantiles over integer cents are exact
+    multiples of 0.25 (interpolation fractions on integer ranks), so
+    floor(100·q) pins them as exact bigints in both engines; the per-row
+    transform is then pure integer arithmetic (DIV truncation verified
+    identical).
+
+    Scale shape: exact quantiles need a per-group sort — Spark plans
+    `percentile` as a sort-based aggregate within the groupBy shuffle (no
+    global sort, no driver collect); the stats relation (one row per group) is
+    then a broadcast-sized join back onto the row stream. At 100 TB the
+    drop-in is `approx_percentile` with the same downstream shape."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.floor(F.lit(100.0) * F.percentile("c", F.lit(0.5)))
+        .cast("bigint")
+        .alias("med100"),
+        F.floor(F.lit(100.0) * F.percentile("c", F.lit(0.25)))
+        .cast("bigint")
+        .alias("p25_100"),
+        F.floor(F.lit(100.0) * F.percentile("c", F.lit(0.75)))
+        .cast("bigint")
+        .alias("p75_100"),
+    )
+    iqr = F.col("p75_100") - F.col("p25_100")
+    return (
+        cents.join(stats, "event_type")
+        .filter((F.col("event_id") < 2000) & (iqr > 0))
+        .select(
+            "event_id",
+            "event_type",
+            F.expr("((c * 100 - med100) * 1000) DIV (p75_100 - p25_100)").alias(
+                "robust_z_q"
+            ),
+        )
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
