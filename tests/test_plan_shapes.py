@@ -146,3 +146,40 @@ def test_kmv_bottomk_is_partial_topk(spark):
     plan = plan_of(spark, "kmv_overlap_estimate")
     assert plan.count("TakeOrderedAndProject") >= 3
     spark.catalog.clearCache()
+
+
+def test_bm25_postings_pruned_by_broadcast_query_terms(spark):
+    # the query-term set must reach the postings join as a broadcast (|q|
+    # bounded), and the top-20 must be a partial top-k, not a global sort
+    plan = plan_of(spark, "bm25_retrieval_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_pairs_via_equijoin_not_cartesian(spark):
+    # blocking must plan as an equi-join on the block key — any BNLJ or
+    # cartesian means the blocking key was lost to an expression rewrite
+    plan = plan_of(spark, "record_linkage_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_windows_share_one_user_exchange(spark):
+    # both interpolation frames (prev-carry and next-carry) are user-keyed:
+    # they must share a single hashpartitioning exchange of the grid, not
+    # re-shuffle per direction
+    plan = plan_of(spark, "resample_interpolate_daily")
+    assert "CartesianProduct" not in plan
+    grid_exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning(user_id" in ln
+    ]
+    assert len(set(grid_exchanges)) <= 2  # daily agg + one window exchange
+
+
+def test_hashing_trick_is_join_free(spark):
+    # the whole point vs vocab_id_assignment: no vocabulary relation, no join
+    plan = plan_of(spark, "hashing_trick_features")
+    assert "Join" not in plan
