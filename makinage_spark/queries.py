@@ -17494,6 +17494,294 @@ def q_robust_scaler_features(spark, sf_dir):
     )
 
 
+@register(
+    "negative_sampling_skipgram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    vocab AS (
+      SELECT t, CAST(floor(1000000.0 * pow(CAST(COUNT(*) AS DOUBLE), 0.75))
+                     AS BIGINT) AS w
+      FROM toks GROUP BY t
+    ),
+    cum AS (
+      SELECT t, w,
+             SUM(w) OVER (ORDER BY w DESC, t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_lo0,
+             SUM(w) OVER (ORDER BY w DESC, t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hi,
+             SUM(w) OVER () AS total
+      FROM vocab
+    ),
+    slots AS (
+      SELECT unnest(generate_series(
+               CAST((4096 * COALESCE(cum_lo0, 0)) // total AS BIGINT),
+               CAST((4096 * cum_hi) // total - 1 AS BIGINT))) AS slot,
+             t AS neg_token
+      FROM cum
+      WHERE (4096 * cum_hi) // total > (4096 * COALESCE(cum_lo0, 0)) // total
+    ),
+    anchors AS (
+      SELECT doc_id, pos, j,
+             CAST('0x' || substr(md5(doc_id || ':' || pos || ':' || j), 1, 8)
+                  AS BIGINT) % 4096 AS slot
+      FROM (SELECT doc_id, CAST(unnest(generate_series(1,
+                     len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))))
+                   AS BIGINT) AS pos
+            FROM documents WHERE text IS NOT NULL AND doc_id < 10),
+           (SELECT unnest([1, 2]) AS j)
+    )
+    SELECT doc_id, pos, CAST(j AS BIGINT) AS j, neg_token
+    FROM anchors JOIN slots USING (slot)
+    """,
+)
+def q_negative_sampling_skipgram(spark, sf_dir):
+    """word2vec-style negative sampling: draw k=2 negatives per (doc, token
+    position) from the unigram^0.75 distribution — realized as an ALIAS-SLOT
+    table (4096 slots apportioned to tokens by floor-division of the scaled
+    cumulative weights: telescoping, so slots partition exactly with no gaps)
+    and keyed-hash draws, making every draw reproducible across retries.
+
+    Determinism: weights floor(1e6·cnt^0.75) (one identically-shaped pow);
+    cumulative sums over the total order (w DESC, token); slot apportionment
+    and draws pure integer/md5.
+
+    Scale shape: THE point vs a naive sampler — the draw is an EQUI-join
+    against a fixed 4096-row slot table (broadcast), never a range join
+    against cumulative intervals and never a driver-side alias structure; the
+    vocabulary cumsum is one window over the vocab relation (zipf-bounded,
+    not corpus-bounded). Anchors expand in-row via sequence()."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
+    )
+    vocab = toks.groupBy("t").agg(
+        F.floor(F.lit(1e6) * F.pow(F.count(F.lit(1)).cast("double"), F.lit(0.75)))
+        .cast("bigint")
+        .alias("w")
+    )
+    w_ord = Window.orderBy(F.desc("w"), "t")
+    cum = vocab.select(
+        "t",
+        F.coalesce(
+            F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_lo0"),
+        F.sum("w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_hi"),
+        F.sum("w").over(Window.partitionBy()).alias("total"),
+    )
+    slots = (
+        cum.select(
+            F.col("t").alias("neg_token"),
+            F.expr("(4096 * cum_lo0) DIV total").alias("s_lo"),
+            F.expr("(4096 * cum_hi) DIV total - 1").alias("s_hi"),
+        )
+        .filter(F.col("s_hi") >= F.col("s_lo"))
+        .select(F.explode(F.sequence("s_lo", "s_hi")).alias("slot"), "neg_token")
+    )
+    # size guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty like
+    # DuckDB's generate_series — zero-token docs must be filtered, not exploded
+    anchors = (
+        docs.filter(
+            (F.col("doc_id") < 10)
+            & (F.size(text.tokens(F.lower(F.col("text")))) >= 1)
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size(text.tokens(F.lower(F.col("text")))))
+            ).alias("pos"),
+        )
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"))
+        .crossJoin(spark.createDataFrame([(1,), (2,)], "j bigint"))
+        .select(
+            "doc_id",
+            "pos",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("doc_id").cast("string"),
+                                F.col("pos").cast("string"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4096
+            ).alias("slot"),
+        )
+    )
+    return anchors.join(F.broadcast(slots), "slot").select(
+        "doc_id", "pos", "j", "neg_token"
+    )
+
+
+@register(
+    "cogroup_click_purchase_lag",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id, event_id,
+           CAST((ts_us - last_click_us) // 1000000 AS BIGINT) AS lag_s
+    FROM seq WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    """,
+)
+def q_cogroup_click_purchase_lag(spark, sf_dir):
+    """Two-relation stateful alignment via ``cogroup().applyInPandas`` — the
+    Spark API surface for per-key algorithms that need BOTH streams in memory
+    at once (the batch twin of rxsci's with_latest_from over two sources):
+    for every purchase, seconds since the user's most recent strictly-earlier
+    click ((ts, event_id) lexicographic, so ties are deterministic).
+
+    The pandas side is a single merged forward scan per user — O(|clicks| +
+    |purchases|) — on pre-converted epoch-µs int64 (no tz/unit ambiguity at
+    the Arrow boundary). The oracle is the equivalent carry-forward window.
+
+    Scale shape: cogroup shuffles each side ONCE on user_id (two Exchanges,
+    unavoidable for a two-source key alignment) and streams Arrow batches
+    per key group; per-key memory is that user's events, never the
+    partition's. At 100 TB the same plan holds — the risk is a single hot
+    user, which the pandas fn handles in O(n) not O(n²)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+
+    def align(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purch_pdf.empty or clicks_pdf.empty:
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype="int64"),
+                 "event_id": pd.Series(dtype="int64"),
+                 "lag_s": pd.Series(dtype="int64")}
+            )
+        c = clicks_pdf.sort_values(["ts_us", "event_id"]).itertuples(index=False)
+        p = purch_pdf.sort_values(["ts_us", "event_id"])
+        out_uid, out_eid, out_lag = [], [], []
+        last_click = None
+        ci = iter(c)
+        cur = next(ci, None)
+        for row in p.itertuples(index=False):
+            while cur is not None and (cur.ts_us, cur.event_id) < (
+                row.ts_us,
+                row.event_id,
+            ):
+                last_click = cur.ts_us
+                cur = next(ci, None)
+            if last_click is not None:
+                out_uid.append(row.user_id)
+                out_eid.append(row.event_id)
+                out_lag.append((row.ts_us - last_click) // 1_000_000)
+        return pd.DataFrame(
+            {"user_id": pd.Series(out_uid, dtype="int64"),
+             "event_id": pd.Series(out_eid, dtype="int64"),
+             "lag_s": pd.Series(out_lag, dtype="int64")}
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purch.groupBy("user_id"))
+        .applyInPandas(align, "user_id bigint, event_id bigint, lag_s bigint")
+    )
+
+
+@register(
+    "span_corruption_mask",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(unnest(generate_series(1,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))))
+             AS BIGINT) AS pos
+      FROM documents WHERE text IS NOT NULL
+    ),
+    marked AS (
+      SELECT doc_id, pos, (pos - 1) // 3 AS grp,
+             (CAST('0x' || substr(md5(doc_id || '#' || ((pos - 1) // 3)), 1, 8)
+                   AS BIGINT) % 10 = 0) AS masked
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(COUNT(DISTINCT CASE WHEN masked THEN grp END) AS BIGINT) AS n_spans,
+           CAST((1000000 * SUM(CASE WHEN masked THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS mask_frac_ppm
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_span_corruption_mask(spark, sf_dir):
+    """T5-style span corruption planning: partition each document's token
+    positions into aligned 3-token groups and mask ~10% of groups by keyed
+    hash — the deterministic span-selection step of a denoising-pretraining
+    data pipeline (reproducible across retries: the mask is a PRF of
+    (doc, group), not RNG). Reports per-doc mask coverage for the target-rate
+    audit.
+
+    Scale shape: positions expand in-row via sequence() (no join), the group
+    mask is a per-row expression, and one partial-agg groupBy(doc) collapses
+    back — embarrassingly parallel, zero vocabulary or driver state."""
+    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # size guard: Spark sequence(1, 0) = [1, 0] (descending), unlike DuckDB's
+    # empty generate_series — exclude zero-token docs before the expansion
+    toks = (
+        docs.filter(F.size(text.tokens(F.lower(F.col("text")))) >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size(text.tokens(F.lower(F.col("text")))))
+            ).alias("pos0"),
+        )
+        .select("doc_id", F.col("pos0").cast("bigint").alias("pos"))
+    )
+    grp = F.expr("(pos - 1) DIV 3")
+    masked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("doc_id").cast("string"), grp.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        == 0
+    )
+    m = toks.select("doc_id", grp.alias("grp"), masked.alias("masked"))
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("bigint").alias("n_masked"),
+        F.count_distinct(F.when(F.col("masked"), F.col("grp")))
+        .cast("bigint")
+        .alias("n_spans"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN masked THEN 1 ELSE 0 END)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mask_frac_ppm"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
