@@ -22,6 +22,7 @@ def pagerank(
     broadcast_ranks: bool = False,
     assume_distinct: bool = False,
     dangling: str = "drop",
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Damped power-iteration PageRank over a directed edge list.
 
@@ -62,6 +63,16 @@ def pagerank(
     cache. Callers running many pagerank calls in one session should
     ``spark.catalog.clearCache()`` between evaluations (bench.py does).
 
+    Personalized PageRank: pass ``personalize`` — a DataFrame whose first
+    column is the restart node-id set S — and all teleport mass (both the
+    initial vector and the per-iteration ``(1-d)`` term) concentrates
+    uniformly on S instead of on all nodes: the random-walk-with-restart
+    scores used for seed-relative relevance (e.g. propagating quality from
+    trusted seed domains through a web graph). S is broadcast (seed sets are
+    small by construction); non-seed nodes start at 0 and receive mass only
+    through edges. With ``dangling="drop"`` (required for now) dangling mass
+    vanishes exactly as in the uniform case.
+
     Dangling nodes (no out-edges): ``dangling="drop"`` (default) lets their
     mass vanish, matching the common sparse formulation;
     ``dangling="redistribute"`` applies the textbook correction — each
@@ -99,10 +110,44 @@ def pagerank(
     # of rank⋈outdeg followed by edges⋈emitting
     ew = e.join(outdeg, "src").persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    base = nodes.crossJoin(F.broadcast(n_df)).persist()
-    ranks = base.select(
-        "id", "n", half_up(F.lit(1.0e9) / F.col("n")).alias("rank_nanos")
-    )
+    if personalize is not None:
+        if dangling != "drop":
+            raise ValueError("personalize currently requires dangling='drop'")
+        seeds = personalize.select(
+            F.col(personalize.columns[0]).alias("id")
+        ).distinct()
+        s_df = seeds.agg(F.count(F.lit(1)).cast("double").alias("s"))
+        base = (
+            nodes.join(
+                F.broadcast(seeds.select("id", F.lit(1).alias("is_seed"))),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
+            .crossJoin(F.broadcast(n_df))
+            .crossJoin(F.broadcast(s_df))
+            .persist()
+        )
+        carry = ["id", "n", "s", "is_seed"]
+        ranks = base.select(
+            *carry,
+            F.when(
+                F.col("is_seed") == 1, half_up(F.lit(1.0e9) / F.col("s"))
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("rank_nanos"),
+        )
+        tele = F.when(
+            F.col("is_seed") == 1, (1.0 - damping) * 1.0e9 / F.col("s")
+        ).otherwise(F.lit(0.0))
+    else:
+        base = nodes.crossJoin(F.broadcast(n_df)).persist()
+        carry = ["id", "n"]
+        ranks = base.select(
+            *carry, half_up(F.lit(1.0e9) / F.col("n")).alias("rank_nanos")
+        )
+        tele = (1.0 - damping) * 1.0e9 / F.col("n")
     maybe_bc = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         emitting = ranks.select(F.col("id").alias("src"), "rank_nanos")
@@ -133,11 +178,9 @@ def pagerank(
                 F.col("dang_nanos").cast("double") / F.col("n")
             )
         ranks = updated.select(
-            "id",
-            "n",
+            *carry,
             half_up(
-                (1.0 - damping) * 1.0e9 / F.col("n")
-                + damping * received.cast("double")
+                tele + damping * received.cast("double")
             ).alias("rank_nanos"),
         )
     return ranks.select(

@@ -17782,6 +17782,189 @@ def q_span_corruption_mask(spark, sf_dir):
     )
 
 
+def _ppr_sql(iters: int = 3) -> str:
+    """Unrolled personalized-PageRank oracle: same fixed-point accounting as
+    the graph_pagerank oracle, but teleport mass concentrated on the seed
+    set (id % 50 = 0)."""
+    tele = (
+        "CASE WHEN nodes.id % 50 = 0 THEN "
+        "(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * 1e9 / sn.s "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    out = """
+    WITH e0 AS (
+      SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS src,
+                      CAST(2 * l_suppkey + 1 AS BIGINT) AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    sn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM nodes WHERE id % 50 = 0),
+    r0 AS (
+      SELECT nodes.id,
+             CASE WHEN nodes.id % 50 = 0
+                  THEN CAST(FLOOR(1e9 / sn.s + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS rank_nanos
+      FROM nodes CROSS JOIN sn)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        out += f""",
+    c{i} AS (
+      SELECT e.dst AS id,
+             SUM(CAST(FLOOR(CAST(r.rank_nanos AS DOUBLE) / d.outdeg + 0.5)
+                      AS BIGINT)) AS contrib
+      FROM {prev} r JOIN outdeg d ON r.id = d.src JOIN e ON e.src = r.id
+      GROUP BY e.dst)"""
+        update = f"""
+      SELECT nodes.id,
+             CAST(FLOOR({tele}
+                  + CAST(0.85 AS DOUBLE) * CAST(COALESCE(c{i}.contrib, 0) AS DOUBLE)
+                  + 0.5) AS BIGINT) AS rank_nanos
+      FROM nodes CROSS JOIN sn LEFT JOIN c{i} ON nodes.id = c{i}.id"""
+        if i < iters:
+            out += f""",
+    r{i} AS ({update})"""
+            prev = f"r{i}"
+        else:
+            out += f"""
+    SELECT id, rank_nanos, rank_nanos / 1e9 AS rank FROM ({update})"""
+    return out
+
+
+@register("graph_personalized_pagerank", _ppr_sql(3))
+def q_graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (random walk with restart, damping 0.85, 3
+    iterations): ALL teleport mass concentrates on the seed set (node ids
+    divisible by 50) instead of spreading uniformly — the seed-relative
+    relevance score used to propagate quality/trust from curated seed domains
+    through a web graph (the Common-Crawl-style quality-propagation shape),
+    or to rank entities around a query node.
+
+    Same fixed-point nano-unit accounting as graphs.pagerank (integer-exact,
+    partitioning-invariant, matches the unrolled CTE oracle bit-for-bit);
+    the restart vector rides the persisted node base as a broadcast-joined
+    0/1 flag, so the per-iteration update stays one join + one dst-agg.
+
+    Scale shape: identical to pagerank — the seed set is broadcast once; no
+    extra shuffle vs the uniform variant."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(
+            (2 * F.col("o_custkey")).cast("bigint").alias("src"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = (
+        sym.select(F.col("src").alias("id"))
+        .union(sym.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("id") % 50 == 0)
+    return graphs.pagerank(
+        sym,
+        damping=0.85,
+        iterations=3,
+        broadcast_ranks=True,
+        assume_distinct=True,
+        personalize=seeds,
+    )
+
+
+@register(
+    "stream_upsert_sink",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts_us AS last_ts_us,
+           cents AS last_cents
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_stream_upsert_sink(spark, sf_dir):
+    """Streaming keyed UPSERT sink via ``foreachBatch`` — the
+    merge-into-a-table pattern (Delta/Iceberg MERGE) every CDC/last-state
+    pipeline ends in, demonstrated with exactly-once-equivalent semantics:
+    the input is split into 4 files and streamed with maxFilesPerTrigger=1,
+    so FOUR separate micro-batches each (a) reduce the batch to one row per
+    key (argmax by (ts, event_id) — associative and commutative, so the
+    final store is independent of how rows landed in batches), (b) merge
+    with the current store, (c) publish the new store by atomic directory
+    rename (the local-fs stand-in for a transactional table commit). The
+    final store hash-matches the batch argmax oracle — the batch/stream
+    unification contract extended to a multi-batch stateful SINK.
+
+    Scale shape: per batch, one partial-agg groupBy(key) over the batch plus
+    one keyed merge against the store — both shuffles are key-partitioned and
+    store-sized, never corpus-sized; at 100 TB the store read/merge/write is
+    the table format's MERGE (bucketed on the key), and the argmax reduction
+    is unchanged."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    in_dir = tempfile.mkdtemp(prefix="mk_upsert_in_")
+    ck = tempfile.mkdtemp(prefix="mk_upsert_ck_")
+    store = os.path.join(tempfile.mkdtemp(prefix="mk_upsert_store_"), "state")
+    ev.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, ts_us bigint, cents bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    def upsert(batch_df, epoch_id):
+        upd = (
+            batch_df.groupBy("user_id")
+            .agg(F.max(F.struct("ts_us", "event_id", "cents")).alias("m"))
+            .select("user_id", "m.ts_us", "m.event_id", "m.cents")
+        )
+        if os.path.isdir(store):
+            cur = batch_df.sparkSession.read.parquet(store)
+            upd = (
+                cur.unionByName(upd)
+                .groupBy("user_id")
+                .agg(F.max(F.struct("ts_us", "event_id", "cents")).alias("m"))
+                .select("user_id", "m.ts_us", "m.event_id", "m.cents")
+            )
+        tmp = f"{store}_tmp_{epoch_id}"
+        upd.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(store):
+            shutil.rmtree(store)
+        os.rename(tmp, store)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(store).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("cents").alias("last_cents"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
