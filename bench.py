@@ -98,6 +98,9 @@ HEADLINE = [
     # round-6g additions: 13-gram eval decontamination and CDC chunk dedup
     "ngram_decontaminate",
     "cdc_chunk_dedup",
+    # round-6k additions: BM25 inverted-index retrieval and blocked linkage
+    "bm25_retrieval_topk",
+    "record_linkage_blocked",
     # round-6h addition: the RAG corpus-build flagship composition
     "rag_ingest_pipeline_e2e",
 ]

@@ -17965,6 +17965,141 @@ def q_stream_upsert_sink(spark, sf_dir):
     )
 
 
+@register(
+    "quantile_normalization",
+    """
+    WITH cents AS (
+      SELECT event_id, event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    pooled AS (
+      SELECT c AS pool_c,
+             ROW_NUMBER() OVER (ORDER BY c, event_id) AS rp
+      FROM cents
+    ),
+    ranked AS (
+      SELECT event_id, event_type, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, event_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_g,
+             COUNT(*) OVER () AS n_pool
+      FROM cents
+    )
+    SELECT event_id, event_type, c,
+           pool_c AS qnorm_c
+    FROM ranked JOIN pooled
+      ON ((r - 1) * n_pool) // n_g + 1 = rp
+    WHERE event_id < 1500
+    """,
+)
+def q_quantile_normalization(spark, sf_dir):
+    """Quantile normalization: map every group's value distribution onto the
+    POOLED distribution by rank (the microarray/feature-calibration
+    transform, and the score-calibration step that makes per-source quality
+    scores comparable before a global threshold — the cross-source
+    comparability problem source_score_calibration audits, solved here by
+    full distribution matching).
+
+    Determinism: ranks are total-ordered by (cents, event_id); the target
+    pooled rank ((r−1)·n_pool) DIV n_g + 1 is pure integer arithmetic.
+
+    Scale shape: one rank window per side (group-partitioned and pooled) and
+    ONE equi-join on the computed rank — no quadratic anything. The pooled
+    global row_number is the honest exact form (single ordered pass); at
+    100 TB the production swap is a sampled quantile TABLE (fixed q grid)
+    joined by bucket, same downstream shape. (The (r−1)·n_pool product
+    bounds the exact path to ~3e9 rows before bigint overflow — another
+    reason the grid variant takes over at scale.)"""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+    )
+    pooled = cents.select(
+        F.col("c").alias("pool_c"),
+        F.row_number().over(Window.orderBy("c", "event_id")).alias("rp"),
+    )
+    wg = Window.partitionBy("event_type")
+    ranked = cents.select(
+        "event_id",
+        "event_type",
+        "c",
+        F.row_number().over(wg.orderBy("c", "event_id")).alias("r"),
+        F.count(F.lit(1)).over(wg).alias("n_g"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pool"),
+    )
+    return (
+        ranked.join(
+            pooled,
+            F.expr("((r - 1) * n_pool) DIV n_g + 1") == F.col("rp"),
+        )
+        .filter(F.col("event_id") < 1500)
+        .select("event_id", "event_type", "c", F.col("pool_c").alias("qnorm_c"))
+    )
+
+
+@register(
+    "weighted_median_grouped",
+    """
+    WITH w AS (
+      SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c, event_id,
+             1 + user_id % 5 AS wt
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, c, event_id, wt,
+             SUM(wt) OVER (PARTITION BY event_type ORDER BY c, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(wt) OVER (PARTITION BY event_type) AS wtot
+      FROM w
+    )
+    SELECT event_type,
+           MIN(c) AS wmedian_cents,
+           CAST(MIN(wtot) AS BIGINT) AS total_weight
+    FROM cum WHERE 2 * cumw >= wtot
+    GROUP BY event_type
+    """,
+)
+def q_weighted_median_grouped(spark, sf_dir):
+    """Weighted median per group (lower weighted median: the first value, in
+    (cents, event_id) total order, whose cumulative weight reaches half the
+    group total) — the robust location estimate when observations carry
+    importance weights (sampling weights, duplicate multiplicities).
+
+    Determinism: integer weights, integer cumulative sums, total-ordered
+    tie-break — the crossing row is unique.
+
+    Scale shape: one group-partitioned ordered window (single shuffle+sort)
+    plus a filter-and-min fold — the min aggregates map-side; no per-group
+    sort ever leaves the window stage. MIN(c) over the crossing set equals
+    the crossing row's value because c is the window's own sort key —
+    no row_number materialization needed."""
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+        "event_id",
+        (1 + F.col("user_id") % 5).alias("wt"),
+    )
+    wg = Window.partitionBy("event_type")
+    cum = w.select(
+        "event_type",
+        "c",
+        F.sum("wt")
+        .over(wg.orderBy("c", "event_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumw"),
+        F.sum("wt").over(wg).alias("wtot"),
+    )
+    return (
+        cum.filter(2 * F.col("cumw") >= F.col("wtot"))
+        .groupBy("event_type")
+        .agg(
+            F.min("c").alias("wmedian_cents"),
+            F.min("wtot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
@@ -17978,7 +18113,14 @@ def q_stream_upsert_sink(spark, sf_dir):
 #: stream_decontaminate_screen, stream_static_enrich,
 #: stream_stream_left_join, winnowing_fingerprints, dsir_importance_weights,
 #: graph_label_propagation, range_partition_plan, zonemap_skipping_audit,
-#: temperature_mixture_alloc), then the six rx small-ops evicted in r6
+#: temperature_mixture_alloc), then the round-6k continuation wave (all
+#: never hashed: bm25_retrieval_topk, record_linkage_blocked,
+#: resample_interpolate_daily, rolling_correlation_daily,
+#: rank_biased_overlap, dp_geometric_noise_audit, l_diversity_audit,
+#: equidepth_histogram, hashing_trick_features, robust_scaler_features,
+#: negative_sampling_skipgram, cogroup_click_purchase_lag,
+#: span_corruption_mask, graph_personalized_pagerank, stream_upsert_sink),
+#: then the six rx small-ops evicted in r6
 #: (debounce_events, ewma_smoothing, distinct_until_changed,
 #: pairwise_deltas, take_last_events, start_with_seed), then the remaining
 #: never-hashed rows from COVERAGE.md's Registry audit ledger.

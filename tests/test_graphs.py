@@ -94,3 +94,55 @@ def test_dangling_redistribute_partitioning_invariance(spark):
     r1 = {r.id: r.rank_nanos for r in graphs.pagerank(df1, **kw).collect()}
     r2 = {r.id: r.rank_nanos for r in graphs.pagerank(df2, **kw).collect()}
     assert r1 == r2
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark):
+    # star: seed 's' -> {a, b}; a,b point back. All teleport mass lands on s.
+    edges = [("s", "a"), ("s", "b"), ("a", "s"), ("b", "s")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["id"])
+    r = {
+        row.id: row.rank_nanos
+        for row in graphs.pagerank(
+            df, iterations=3, personalize=seeds
+        ).collect()
+    }
+    # closed walk: no dangling loss; total mass conserved up to rounding
+    assert abs(sum(r.values()) - 1_000_000_000) <= len(r)
+    # iteration 0: s=1e9. i1: s=0.15e9, a=b=0.425e9. i2: s gets 0.15e9+0.85e9,
+    # a=b=0.85*0.075e9. i3: s=0.15e9+0.85*2*63.75e6=258.375e6, a=b=0.85*1e9/2
+    assert r["s"] == 258_375_000
+    assert r["a"] == r["b"] == 370_812_500
+    # non-seed teleport is zero: without in-edges a non-seed node would be 0
+
+
+def test_personalized_pagerank_nonseed_gets_zero_without_inedges(spark):
+    # c has no in-edges and is not a seed -> rank exactly 0 (no teleport)
+    edges = [("s", "a"), ("a", "s"), ("c", "s")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["id"])
+    r = {
+        row.id: row.rank_nanos
+        for row in graphs.pagerank(df, iterations=2, personalize=seeds).collect()
+    }
+    assert r["c"] == 0
+
+
+def test_personalized_pagerank_partitioning_invariance(spark):
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 17}") for i in range(17)]
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    df2 = df1.repartition(5, "dst")
+    seeds = spark.createDataFrame([("n0",), ("n5",)], ["id"])
+    kw = dict(iterations=3, personalize=seeds)
+    r1 = {r.id: r.rank_nanos for r in graphs.pagerank(df1, **kw).collect()}
+    r2 = {r.id: r.rank_nanos for r in graphs.pagerank(df2, **kw).collect()}
+    assert r1 == r2
+
+
+def test_personalized_requires_drop_dangling(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    with pytest.raises(ValueError, match="personalize"):
+        graphs.pagerank(df, personalize=seeds, dangling="redistribute")

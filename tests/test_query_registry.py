@@ -61,3 +61,34 @@ def test_bigram_logprob_short_docs_do_not_crash(spark, tmp_path):
     out = QUERIES["bigram_logprob_score"](spark, str(d)).collect()
     assert {r.doc_id for r in out} == {3}
     assert all(r.n_bigrams >= 1 for r in out)
+
+
+def test_cogroup_lag_user_without_clicks_emits_nothing(spark, tmp_path):
+    """cogroup alignment edge: a user with purchases but no clicks must
+    contribute zero rows (no null lag), and a click tied on ts with the
+    purchase counts only if strictly earlier in (ts, event_id) order."""
+    import pyspark.sql.functions as F
+
+    d = tmp_path / "sfmini"
+    d.mkdir()
+    rows = [
+        # user 1: click then purchase 10s later -> lag 10
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+        (2, "2024-01-01 00:00:10", 1, "purchase", 1.0, None),
+        # user 2: purchase only -> no output row
+        (3, "2024-01-01 00:00:00", 2, "purchase", 1.0, None),
+        # user 3: click at SAME ts as purchase, click event_id smaller ->
+        # strictly earlier in (ts, event_id) -> lag 0
+        (4, "2024-01-01 00:00:05", 3, "click", 1.0, None),
+        (5, "2024-01-01 00:00:05", 3, "purchase", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(d / "events.parquet"))
+    out = {
+        (r.user_id, r.event_id): r.lag_s
+        for r in QUERIES["cogroup_click_purchase_lag"](spark, str(d)).collect()
+    }
+    assert out == {(1, 2): 10, (3, 5): 0}
