@@ -16900,6 +16900,34 @@ def q_bm25_retrieval_topk(spark, sf_dir):
     return scored.orderBy(F.desc("bm25_q"), "doc_id").limit(20)
 
 
+#: shared linkage-pair CTE body: blocked candidate generation + edit-distance
+#: verification (used by record_linkage_blocked and entity_resolution_e2e)
+_LINKAGE_PAIRS_SQL = f"""keyed AS (
+      SELECT doc_id, lang,
+             ts[1] AS ftok,
+             CAST(len(ts) AS BIGINT) // 20 AS szb,
+             substr(lt, 1, 80) AS pfx
+      FROM (SELECT doc_id, lang, lower(text) AS lt,
+                   regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS ts
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(ts) >= 1
+    ),
+    ok AS (
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, ftok, szb) AS bsz FROM keyed
+      ) WHERE bsz <= 500
+    ),
+    linkage_pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+      FROM ok a JOIN ok b
+        ON a.lang = b.lang AND a.ftok = b.ftok AND a.szb = b.szb
+       AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx)
+            <= 1 + greatest(length(a.pfx), length(b.pfx)) // 10
+    )"""
+
+
 @register(
     "record_linkage_blocked",
     f"""
@@ -16942,6 +16970,11 @@ def q_record_linkage_blocked(spark, sf_dir):
     the cap turns pathological blocks (stop-word first tokens) into a
     documented drop rather than a straggler. Verification cost (levenshtein on
     80-char prefixes) is O(80²) per candidate, map-side."""
+    return _linkage_pairs(spark, sf_dir)
+
+
+def _linkage_pairs(spark, sf_dir) -> DataFrame:
+    """Shared blocked-linkage pair generator (see q_record_linkage_blocked)."""
     docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     keyed = (
         docs.select(
@@ -18097,6 +18130,66 @@ def q_weighted_median_grouped(spark, sf_dir):
             F.min("c").alias("wmedian_cents"),
             F.min("wtot").cast("bigint").alias("total_weight"),
         )
+    )
+
+
+@register(
+    "entity_resolution_e2e",
+    f"""
+    WITH RECURSIVE {_LINKAGE_PAIRS_SQL},
+    edges AS (SELECT a AS u, b AS v FROM linkage_pairs
+              UNION ALL SELECT b AS u, a AS v FROM linkage_pairs),
+    nodes AS (SELECT DISTINCT u AS id FROM edges),
+    walk(id, reach) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+    cc AS (SELECT id, MIN(reach) AS cluster_id FROM walk GROUP BY id)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rn = 1 THEN id END) AS rep_doc_id,
+           MIN(CASE WHEN rn = 1 THEN n_chars END) AS rep_n_chars
+    FROM (
+      SELECT cc.cluster_id, cc.id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+                                ORDER BY d.n_chars DESC, cc.id) AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.id
+    )
+    GROUP BY cluster_id
+    """,
+)
+def q_entity_resolution_e2e(spark, sf_dir):
+    """End-to-end entity resolution as ONE plan: blocked candidate generation
+    (lang/first-token/size blocks) → edit-distance verification →
+    connected-components clustering (linkage is not transitive — A≈B≈C chains
+    must merge) → GOLDEN-RECORD election per entity (longest record wins,
+    min-id tie-break). The master-data-management pipeline every
+    cross-source corpus merge runs, composed from the registry's own
+    operators: _linkage_pairs + dedup.connected_components.
+
+    Oracle: the same linkage CTE feeds a WITH RECURSIVE transitive closure —
+    different algorithm (naive closure vs pointer-jumping hash-to-min),
+    identical fixpoint.
+
+    Scale shape: pairs are block-key equi-joins (bsz≤500 guard); CC shuffles
+    are pair-graph-sized, O(log diameter) rounds with eager localCheckpoint;
+    the golden-record argmax is max(struct(n_chars, −id)) — a map-side
+    combinable aggregate, no per-cluster sort."""
+    pairs = _linkage_pairs(spark, sf_dir).select("a", "b")
+    cc = dedup.connected_components(pairs)
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = cc.join(meta, cc["id"] == meta["doc_id"]).select(
+        "cluster_id", "id", "n_chars"
+    )
+    agg = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.max(F.struct(F.col("n_chars"), (-F.col("id")).alias("neg_id"))).alias("m"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        (-F.col("m.neg_id")).cast("bigint").alias("rep_doc_id"),
+        F.col("m.n_chars").cast("bigint").alias("rep_n_chars"),
     )
 
 
