@@ -17690,13 +17690,18 @@ def q_cogroup_click_purchase_lag(spark, sf_dir):
     per key group; per-key memory is that user's events, never the
     partition's. At 100 TB the same plan holds — the risk is a single hot
     user, which the pandas fn handles in O(n) not O(n²)."""
-    ev = load_table(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
-    purch = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
-    )
+    # two INDEPENDENT scans, not two filters of one DataFrame: cogrouping two
+    # branches of the same plan trips Spark's right-side attribute
+    # de-duplication intermittently (observed: the right pandas frame arrived
+    # missing its event_id column at one scale and not another) — separate
+    # load_table calls give each side its own expression ids, which is also
+    # the plan shape a real two-source alignment has
+    clicks = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    purch = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
 
     def align(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
         if purch_pdf.empty or clicks_pdf.empty:
