@@ -454,3 +454,36 @@ def test_stream_neardup_screen_checkpoint_recovery(spark):
     # matches the static index
     assert run(f"{d}/b*") == [(1, 10), (1, 11)]
     shutil.rmtree(d), shutil.rmtree(ckpt), shutil.rmtree(outdir)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=400)
+)
+def test_negative_sampling_slot_apportionment_partitions_exactly(weights):
+    """The alias-slot construction in negative_sampling_skipgram: slot ranges
+    [ (K·cum_lo) DIV total, (K·cum_hi) DIV total ) telescope — contiguous,
+    disjoint, and covering [0, K) exactly — for ANY positive weight vector.
+    This is the property that makes the draw an equi-join with no misses."""
+    K = 4096
+    total = sum(weights)
+    prev_hi = 0
+    cum = 0
+    covered = 0
+    for w in weights:
+        lo = (K * cum) // total
+        cum += w
+        hi = (K * cum) // total
+        assert lo == prev_hi  # contiguous: no gap, no overlap
+        prev_hi = hi
+        covered += hi - lo
+    assert prev_hi == K
+    assert covered == K
+
+
+def test_rbo_coefficients_match_definition():
+    """_RBO_COEF literals (shared verbatim by the Spark plan and the DuckDB
+    oracle) must stay equal to floor(1e12·(1-p)·p^(d-1)/d) at p=0.9."""
+    from makinage_spark.queries import _RBO_COEF
+
+    p = 0.9
+    assert [(d, int(1e12 * (1 - p) * p ** (d - 1) / d)) for d, _ in _RBO_COEF] == _RBO_COEF
