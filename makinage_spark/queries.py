@@ -18198,6 +18198,112 @@ def q_entity_resolution_e2e(spark, sf_dir):
     )
 
 
+@register(
+    "split_leakage_embedding",
+    """
+    WITH qz AS (
+      -- NOT list_dot_product: DuckDB accumulates it in float32, which lost
+      -- ~2 decimal digits vs the exact integer sum (caught by this gate);
+      -- the explicit indexed fold stays in double = exact for these integers
+      SELECT vec_id, list_transform(embedding, e -> floor(10000.0 * e)) AS qv,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> floor(10000.0 * embedding[i]) * floor(10000.0 * embedding[i])))
+               AS n_self
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    t AS (
+      SELECT vec_id AS t_id, qv AS tv, n_self AS n_t
+      FROM qz WHERE vec_id % 100 = 0 AND n_self > 0
+    ),
+    tr AS (
+      SELECT vec_id AS train_id, qv, n_self AS n_tr
+      FROM qz WHERE vec_id % 100 <> 0 AND n_self > 0
+    ),
+    s AS (
+      SELECT t.t_id, tr.train_id,
+             CAST(floor((1000000000.0 *
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> tr.qv[i] * t.tv[i])))
+                 / (sqrt(tr.n_tr) * sqrt(t.n_t)))
+             AS BIGINT) AS cos_q
+      FROM t, tr
+    ),
+    m AS (SELECT t_id, MAX(cos_q) AS max_cos_q FROM s GROUP BY t_id)
+    SELECT m.t_id, m.max_cos_q,
+           MIN(s.train_id) AS nearest_train_id,
+           (m.max_cos_q >= 990000000) AS leak
+    FROM m JOIN s ON s.t_id = m.t_id AND s.cos_q = m.max_cos_q
+    GROUP BY m.t_id, m.max_cos_q
+    """,
+)
+def q_split_leakage_embedding(spark, sf_dir):
+    """SEMANTIC train/test split leakage: for every held-out vector (the
+    1%-by-id test fold), the exact maximum cosine against the train fold and
+    a leak flag at 0.99 — the embedding-space complement of the n-gram
+    decontamination ops (`split_leakage_audit`, `ngram_decontaminate`):
+    paraphrased or re-encoded eval items that share no 13-gram still light up
+    here. Reports the nearest train neighbor (min id among argmaxes) for
+    triage.
+
+    Determinism: embeddings are quantized to 1e4-scaled integers FIRST, so
+    dot products and norms are exact integers (≤ 64·1e8 ≪ 2⁵³ — exact in
+    double under ANY summation order; a raw-float fold differed between the
+    engines at the last ulp, caught by this query's own gate); the only
+    float section is one identically-shaped sqrt/divide under floor(1e9·x).
+    The argmax tie-break is max(struct(cos_q, −train_id)).
+
+    Scale shape: the TEST fold is the broadcast side (bounded by
+    construction — the audit's own premise); the train corpus streams
+    map-side through one in-row dot product + a partial-agg max per test id.
+    No shuffle touches the corpus. At 100 TB with a large eval suite, the
+    IVF/LSH prescreen (vectors.py) bounds candidates first and this exact
+    pass runs on survivors only."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qz = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.floor(F.lit(1e4) * e).cast("double"),
+        ).alias("qv"),
+    )
+    norm = _dot(F.col("qv"), F.col("qv"))
+    test = (
+        qz.filter((F.col("vec_id") % 100 == 0) & (norm > 0))
+        .select(F.col("vec_id").alias("t_id"), F.col("qv").alias("tv"),
+                norm.alias("n_t"))
+    )
+    train = (
+        qz.filter((F.col("vec_id") % 100 != 0) & (norm > 0))
+        .select(F.col("vec_id").alias("train_id"), "qv", norm.alias("n_tr"))
+    )
+    cos_q = F.floor(
+        (F.lit(1e9) * _dot(F.col("qv"), F.col("tv")))
+        / (F.sqrt("n_tr") * F.sqrt("n_t"))
+    ).cast("bigint")
+    scored = train.crossJoin(F.broadcast(test)).select(
+        "t_id", "train_id", cos_q.alias("cos_q")
+    )
+    agg = scored.groupBy("t_id").agg(
+        F.max(F.struct(F.col("cos_q"), (-F.col("train_id")).alias("neg"))).alias("m")
+    )
+    return agg.select(
+        "t_id",
+        F.col("m.cos_q").alias("max_cos_q"),
+        (-F.col("m.neg")).cast("bigint").alias("nearest_train_id"),
+        (F.col("m.cos_q") >= 990000000).alias("leak"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
