@@ -98,9 +98,11 @@ HEADLINE = [
     # round-6g additions: 13-gram eval decontamination and CDC chunk dedup
     "ngram_decontaminate",
     "cdc_chunk_dedup",
-    # round-6k additions: BM25 inverted-index retrieval and blocked linkage
+    # round-6k additions: BM25 inverted-index retrieval, blocked linkage,
+    # and the fourth flagship composition (blocking → verify → CC → golden)
     "bm25_retrieval_topk",
     "record_linkage_blocked",
+    "entity_resolution_e2e",
     # round-6h addition: the RAG corpus-build flagship composition
     "rag_ingest_pipeline_e2e",
 ]

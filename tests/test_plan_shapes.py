@@ -183,3 +183,32 @@ def test_hashing_trick_is_join_free(spark):
     # the whole point vs vocab_id_assignment: no vocabulary relation, no join
     plan = plan_of(spark, "hashing_trick_features")
     assert "Join" not in plan
+
+
+def test_negative_sampling_draw_is_broadcast_equijoin(spark):
+    # the alias-slot table must reach the draws as a broadcast EQUI-join on
+    # the slot id — never a range join against cumulative intervals (the
+    # only nested-loop allowed is the 2-row j∈{1,2} literal expansion)
+    plan = plan_of(spark, "negative_sampling_skipgram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_corpus_side_stays_mapside(spark):
+    # the bounded TEST fold is the broadcast side of the one nested-loop
+    # join; neither join child may hash-exchange (the corpus streams map-side
+    # through the scoring — the only hash exchange is the per-test-id max
+    # ABOVE the join, which is test-fold-sized). Plan text prints parents
+    # first, so "below the join marker" = the join's children.
+    plan = plan_of(spark, "split_leakage_embedding")
+    assert "BroadcastNestedLoopJoin" in plan
+    below_join = plan.split("BroadcastNestedLoopJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in below_join
+
+
+def test_entity_resolution_has_no_cartesian(spark):
+    # BNLJ appears only as 1-row broadcast crossJoins inside CC's convergence
+    # check — a CartesianProduct anywhere means the blocking key was lost
+    plan = plan_of(spark, "entity_resolution_e2e")
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
