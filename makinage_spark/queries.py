@@ -18205,9 +18205,9 @@ def q_entity_resolution_e2e(spark, sf_dir):
       -- NOT list_dot_product: DuckDB accumulates it in float32, which lost
       -- ~2 decimal digits vs the exact integer sum (caught by this gate);
       -- the explicit indexed fold stays in double = exact for these integers
-      SELECT vec_id, list_transform(embedding, e -> floor(10000.0 * e)) AS qv,
+      SELECT vec_id, list_transform(embedding, e -> floor(CAST(e AS DOUBLE) * 10000.0)) AS qv,
              list_sum(list_transform(generate_series(1, 64),
-               i -> floor(10000.0 * embedding[i]) * floor(10000.0 * embedding[i])))
+               i -> floor(CAST(embedding[i] AS DOUBLE) * 10000.0) * floor(CAST(embedding[i] AS DOUBLE) * 10000.0)))
                AS n_self
       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
     ),
@@ -18301,6 +18301,296 @@ def q_split_leakage_embedding(spark, sf_dir):
         F.col("m.cos_q").alias("max_cos_q"),
         (-F.col("m.neg")).cast("bigint").alias("nearest_train_id"),
         (F.col("m.cos_q") >= 990000000).alias("leak"),
+    )
+
+
+@register(
+    "theil_sen_slope",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) + 1 AS d,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (1000000000 * (b.y - a.y)) // (b.d - a.d) AS slope_q,
+             a.d AS di, b.d AS dj
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope_q,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_q, di, dj) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           slope_q AS ts_slope_q
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def q_theil_sen_slope(spark, sf_dir):
+    """Theil–Sen robust trend estimator per metric group: the MEDIAN of all
+    pairwise slopes of the daily series — the outlier-resistant alternative
+    to least-squares trend (group_linear_regression) that one bad day cannot
+    move. Standard in metric drift/SLA monitoring.
+
+    Determinism: slopes are floor-scaled integer rationals
+    (1e9·Δy) DIV Δd (both engines truncate toward zero, verified); the
+    median is the (n+1) DIV 2 ranked element under a total order
+    (slope, i, j).
+
+    Scale shape: the pairwise expansion runs on the AGGREGATED daily series
+    — n_days² per group (435 pairs for a month), NOT corpus² — after one
+    partial-agg groupBy collapses the raw events. The corpus-scale cost is
+    exactly one shuffle; the quadratic term is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) + 1).alias(
+            "d"
+        ),
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")).alias("y"))
+    a = daily.select("event_type", F.col("d").alias("di"), F.col("y").alias("yi"))
+    b = daily.select("event_type", F.col("d").alias("dj"), F.col("y").alias("yj"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "event_type",
+            F.expr("(1000000000 * (yj - yi)) DIV (dj - di)").alias("slope_q"),
+            "di",
+            "dj",
+        )
+    )
+    wg = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_q",
+        F.row_number().over(wg.orderBy("slope_q", "di", "dj")).alias("rn"),
+        F.count(F.lit(1)).over(wg).alias("n"),
+    )
+    return ranked.filter(F.expr("rn = (n + 1) DIV 2")).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.col("slope_q").alias("ts_slope_q"),
+    )
+
+
+@register(
+    "mutual_nearest_neighbors",
+    """
+    WITH qz AS (
+      SELECT vec_id, list_transform(embedding, e -> floor(CAST(e AS DOUBLE) * 10000.0)) AS qv,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> floor(CAST(embedding[i] AS DOUBLE) * 10000.0) * floor(CAST(embedding[i] AS DOUBLE) * 10000.0)))
+               AS n_self
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64 AND vec_id < 300
+    ),
+    ok AS (SELECT * FROM qz WHERE n_self > 0),
+    s AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             CAST(floor((1000000000.0 *
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> a.qv[i] * b.qv[i])))
+                 / (sqrt(a.n_self) * sqrt(b.n_self)))
+             AS BIGINT) AS cos_q
+      FROM ok a JOIN ok b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, MAX(cos_q) AS best FROM s GROUP BY src
+    ),
+    arg AS (
+      SELECT s.src, MIN(s.dst) AS nn_id, MIN(nn.best) AS best
+      FROM nn JOIN s ON s.src = nn.src AND s.cos_q = nn.best
+      GROUP BY s.src
+    )
+    SELECT a.src AS a, a.nn_id AS b, a.best AS cos_q
+    FROM arg a JOIN arg b ON a.nn_id = b.src AND b.nn_id = a.src
+    WHERE a.src < a.nn_id
+    """,
+)
+def q_mutual_nearest_neighbors(spark, sf_dir):
+    """Mutual nearest-neighbor pairs (reciprocal top-1): a↔b where each is
+    the other's single nearest neighbor by cosine — the high-precision
+    pairing used for bitext mining and embedding-space alignment
+    (margin-based MNN is the workhorse of parallel-corpus mining), and a
+    stricter near-dup signal than a plain threshold.
+
+    Determinism: the quantized-integer cosine (see split_leakage_embedding —
+    raw float folds diverge between engines); argmax tie-break = min dst id.
+
+    Scale shape: the audited exact form runs on a bounded id slice with the
+    corpus side map-side (broadcast); production swaps the candidate
+    generator for the IVF/LSH index and keeps the reciprocal-join stage
+    unchanged — that stage is only |V| rows (one nn row per vector)."""
+    emb = load_wide(spark, sf_dir, "embeddings")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qz = emb.filter(
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") == 64)
+        & (F.col("vec_id") < 300)
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda e: F.floor(F.lit(1e4) * e).cast("double"),
+        ).alias("qv"),
+    )
+    qz = qz.withColumn("n_self", _dot(F.col("qv"), F.col("qv"))).filter(
+        F.col("n_self") > 0
+    )
+    a = qz.select(
+        F.col("vec_id").alias("src"), F.col("qv").alias("av"),
+        F.col("n_self").alias("na"),
+    )
+    b = qz.select(
+        F.col("vec_id").alias("dst"), F.col("qv").alias("bv"),
+        F.col("n_self").alias("nb"),
+    )
+    cos_q = F.floor(
+        (F.lit(1e9) * _dot(F.col("av"), F.col("bv")))
+        / (F.sqrt("na") * F.sqrt("nb"))
+    ).cast("bigint")
+    s = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos_q.alias("cos_q"))
+    )
+    arg = s.groupBy("src").agg(
+        F.max(F.struct(F.col("cos_q"), (-F.col("dst")).alias("neg"))).alias("m")
+    ).select(
+        "src",
+        (-F.col("m.neg")).alias("nn_id"),
+        F.col("m.cos_q").alias("best"),
+    )
+    other = arg.select(
+        F.col("src").alias("o_src"), F.col("nn_id").alias("o_nn")
+    )
+    return (
+        arg.join(
+            other,
+            (F.col("nn_id") == F.col("o_src")) & (F.col("o_nn") == F.col("src")),
+        )
+        .filter(F.col("src") < F.col("nn_id"))
+        .select(
+            F.col("src").alias("a"),
+            F.col("nn_id").cast("bigint").alias("b"),
+            F.col("best").alias("cos_q"),
+        )
+    )
+
+
+@register(
+    "bootstrap_mean_ci",
+    """
+    WITH cents AS (
+      SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS r
+      FROM events
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents),
+    draws AS (
+      SELECT b.b, CAST('0x' || substr(md5(b.b || ':' || cents.r), 1, 8) AS BIGINT)
+               % nn.n AS idx
+      FROM cents, nn, (SELECT unnest(generate_series(1, 50)) AS b) b
+    ),
+    means AS (
+      SELECT draws.b, SUM(t.c) // COUNT(*) AS m
+      FROM draws JOIN cents t ON t.r = draws.idx
+      GROUP BY draws.b
+    ),
+    ordered AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM means
+    )
+    SELECT CAST(50 AS BIGINT) AS n_boot,
+           (SELECT n FROM nn) AS n_rows,
+           (SELECT SUM(c) // COUNT(*) FROM cents) AS mean_cents,
+           (SELECT m FROM ordered WHERE rn = 2) AS ci_lo_cents,
+           (SELECT m FROM ordered WHERE rn = 49) AS ci_hi_cents
+    """,
+)
+def q_bootstrap_mean_ci(spark, sf_dir):
+    """Bootstrap confidence interval for the mean, with the resampling made
+    DETERMINISTIC: replicate b's i-th draw is row md5(b:i) mod n — a keyed
+    PRF, so retries/stragglers resample identically (executor-local RNG
+    bootstraps are neither reproducible nor oracle-checkable). B=50
+    with-replacement replicates; CI = the 2nd and 49th ordered replicate
+    means (percentile method at ~95%).
+
+    Scale shape: draws materialize as (replicate, index) pairs — n·B rows —
+    resolved against the ranked base by ONE equi-join on the row index, then
+    a B-group partial-agg; the global row_number rank assignment is the
+    exact-audit form (production uses a pre-assigned stable row id and skips
+    the window entirely). Everything is integer cents; means use DIV."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)").alias("c"),
+        (F.row_number().over(Window.orderBy("event_id")) - 1).alias("r"),
+    )
+    nn = cents.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    reps = spark.range(1, 51).select(F.col("id").alias("b"))
+    draws = (
+        cents.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("b").cast("string"),
+                                F.col("r").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % F.col("n")
+            ).alias("idx"),
+        )
+    )
+    t = cents.select(F.col("r").alias("idx"), "c")
+    means = (
+        draws.join(t, "idx")
+        .groupBy("b")
+        .agg(F.expr("SUM(c) DIV COUNT(*)").alias("m"))
+    )
+    ordered = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")
+    )
+    lo = ordered.filter(F.col("rn") == 2).select(F.col("m").alias("ci_lo_cents"))
+    hi = ordered.filter(F.col("rn") == 49).select(F.col("m").alias("ci_hi_cents"))
+    point = cents.agg(
+        F.expr("SUM(c) DIV COUNT(*)").alias("mean_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(50).cast("bigint").alias("n_boot"),
+            "n_rows",
+            "mean_cents",
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
     )
 
 
