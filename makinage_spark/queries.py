@@ -18594,6 +18594,71 @@ def q_bootstrap_mean_ci(spark, sf_dir):
     )
 
 
+@register(
+    "udtf_sentence_split",
+    """
+    WITH parts AS (
+      SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS ps
+      FROM documents WHERE text IS NOT NULL AND doc_id < 50
+    ),
+    expl AS (
+      SELECT doc_id, i AS sent_idx,
+             trim(ps[i], ' ' || chr(9) || chr(13) || chr(10)) AS sentence
+      FROM parts, LATERAL unnest(generate_series(1, len(ps))) AS u(i)
+    )
+    SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+           CAST(length(sentence) AS BIGINT) AS n_chars
+    FROM expl WHERE sentence <> ''
+    """,
+)
+def q_udtf_sentence_split(spark, sf_dir):
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) consumed through
+    SQL ``LATERAL`` — the remaining UDF-family API surface after scalar
+    pandas UDFs, grouped UDAFs, (co)grouped applyInPandas and mapInPandas:
+    a sentence splitter that expands each document into (sent_idx, sentence)
+    rows, sentence indices counted in ORIGINAL split position (empty
+    segments hold their slot, so both engines number identically).
+
+    ``useArrow=True`` keeps the boundary on the sanctioned
+    ArrowEvalPythonUDTF path (batch transfer, not row pickling) — the same
+    rule every other Python boundary in this repo follows.
+
+    Scale shape: a UDTF is embarrassingly parallel row expansion — no
+    shuffle, no state; the explode factor is the only cost. The bounded
+    doc_id<50 slice keeps the oracle comparison small; the operator itself
+    streams."""
+    import uuid as _uuid
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx bigint, sentence string, n_chars bigint",
+          useArrow=True)
+    class _SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            if text is None:
+                return
+            for i, p in enumerate(re.split(r"[.!?]+", text)):
+                s = p.strip(" \t\r\n")
+                if s:
+                    yield i + 1, s, len(s)
+
+    fn = f"mk_sentsplit_{_uuid.uuid4().hex[:8]}"
+    vw = f"mk_docs_{_uuid.uuid4().hex[:8]}"
+    spark.udtf.register(fn, _SentenceSplit)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.col("doc_id") < 50)
+    )
+    docs.createOrReplaceTempView(vw)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
+        FROM {vw} d, LATERAL {fn}(d.text) s
+        """
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
