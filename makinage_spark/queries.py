@@ -17224,7 +17224,8 @@ _RBO_COEF = [
                AS overlap
       FROM coef
     )
-    SELECT d, overlap, CAST(coef_q * overlap AS BIGINT) AS contrib_q,
+    SELECT CAST(d AS BIGINT) AS d, overlap,
+           CAST(coef_q * overlap AS BIGINT) AS contrib_q,
            CAST(SUM(coef_q * overlap) OVER (ORDER BY d) AS BIGINT) AS rbo_prefix_q
     FROM od
     """,
@@ -18328,7 +18329,7 @@ def q_split_leakage_embedding(spark, sf_dir):
       FROM slopes
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
-           slope_q AS ts_slope_q
+           CAST(slope_q AS BIGINT) AS ts_slope_q
     FROM ranked WHERE rn = (n + 1) // 2
     """,
 )
@@ -18516,9 +18517,9 @@ def q_mutual_nearest_neighbors(spark, sf_dir):
     )
     SELECT CAST(50 AS BIGINT) AS n_boot,
            (SELECT n FROM nn) AS n_rows,
-           (SELECT SUM(c) // COUNT(*) FROM cents) AS mean_cents,
-           (SELECT m FROM ordered WHERE rn = 2) AS ci_lo_cents,
-           (SELECT m FROM ordered WHERE rn = 49) AS ci_hi_cents
+           (SELECT CAST(SUM(c) // COUNT(*) AS BIGINT) FROM cents) AS mean_cents,
+           (SELECT CAST(m AS BIGINT) FROM ordered WHERE rn = 2) AS ci_lo_cents,
+           (SELECT CAST(m AS BIGINT) FROM ordered WHERE rn = 49) AS ci_hi_cents
     """,
 )
 def q_bootstrap_mean_ci(spark, sf_dir):
