@@ -18679,8 +18679,13 @@ def q_udtf_sentence_split(spark, sf_dir):
 #: rank_biased_overlap, dp_geometric_noise_audit, l_diversity_audit,
 #: equidepth_histogram, hashing_trick_features, robust_scaler_features,
 #: negative_sampling_skipgram, cogroup_click_purchase_lag,
-#: span_corruption_mask, graph_personalized_pagerank, stream_upsert_sink),
-#: then the six rx small-ops evicted in r6
+#: span_corruption_mask, graph_personalized_pagerank, stream_upsert_sink,
+#: quantile_normalization, weighted_median_grouped, theil_sen_slope,
+#: mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split minus
+#: the four flagships already hashed in the r6 window), then the four
+#: window/set-op rows displaced by those flagships (ntile_ranks,
+#: sliding_row_frame, set_intersect_all, percentile_interpolated), then
+#: the six rx small-ops evicted in r6
 #: (debounce_events, ewma_smoothing, distinct_until_changed,
 #: pairwise_deltas, take_last_events, start_with_seed), then the remaining
 #: never-hashed rows from COVERAGE.md's Registry audit ledger.
@@ -18726,16 +18731,22 @@ _SHOWCASE_50 = [
     "last_or_default_events",   # rx last_or_default
     "zip_by_index",             # rx zip
     "tap_observe_passthrough",  # rx do_action via df.observe, zero-perturbation
+    # --- round-6k continuation flagships (never hashed; two are bench
+    #     headline queries and split_leakage_embedding carries the
+    #     cross-engine float32-quantization fix this session's gate caught;
+    #     the four window/set-op rows they displaced — ntile_ranks,
+    #     set_intersect_all, percentile_interpolated, sliding_row_frame —
+    #     move to the r7 window head) ---
+    "bm25_retrieval_topk",
+    "record_linkage_blocked",
+    "entity_resolution_e2e",
+    "split_leakage_embedding",
     # --- never-hashed: window functions / frames / set ops ---
     "window_value_functions",   # lead/lag/first/last value frames
-    "ntile_ranks",              # ntile + rank family
-    "sliding_row_frame",        # ROWS BETWEEN sliding frame
     "range_interval_frame",     # RANGE BETWEEN interval frame
     "session_window_native",    # batch session_window
     "set_except_all",           # EXCEPT ALL multiset semantics
-    "set_intersect_all",        # INTERSECT ALL multiset semantics
     "ordered_string_agg",       # listagg with deterministic order
-    "percentile_interpolated",  # type-7 interpolated percentile
     # --- never-hashed: TPC-H shapes (finishing the 22) ---
     "q4_order_priority",
     "q8_market_share",
