@@ -92,3 +92,15 @@ def test_cogroup_lag_user_without_clicks_emits_nothing(spark, tmp_path):
         for r in QUERIES["cogroup_click_purchase_lag"](spark, str(d)).collect()
     }
     assert out == {(1, 2): 10, (3, 5): 0}
+
+
+def test_showcase_window_invariants():
+    """Driver-window policy (VERDICT r5 tasks 3/6): exactly 50 unique,
+    registered entries, and no rows-only query occupies a hash slot."""
+    from makinage_spark.queries import ORACLES, _SHOWCASE_50
+
+    assert len(_SHOWCASE_50) == 50
+    assert len(set(_SHOWCASE_50)) == 50
+    assert all(n in QUERIES for n in _SHOWCASE_50)
+    rows_only = [n for n in _SHOWCASE_50 if n not in ORACLES]
+    assert not rows_only, f"rows-only queries burn window slots: {rows_only}"
