@@ -18660,6 +18660,79 @@ def q_udtf_sentence_split(spark, sf_dir):
     )
 
 
+@register(
+    "ansi_safe_arithmetic",
+    """
+    WITH per AS (
+      SELECT event_type,
+             CASE WHEN user_id % 7 = 0 THEN NULL
+                  ELSE CAST(ROUND(value * 100, 0) AS BIGINT) // (user_id % 7)
+             END AS td,
+             TRY_CAST(event_type AS BIGINT) AS tc_bad,
+             TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT) AS tc_good,
+             CASE WHEN user_id % 2 = 1 THEN NULL
+                  ELSE 9223372036854775807 END AS ta
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(td) AS BIGINT) AS div_by_zero_nulls,
+           CAST(COUNT(tc_bad) AS BIGINT) AS bad_casts_parsed,
+           CAST(COUNT(tc_good) AS BIGINT) AS good_casts_parsed,
+           CAST(COUNT(*) - COUNT(ta) AS BIGINT) AS overflow_nulls,
+           CAST(SUM(td) AS BIGINT) AS td_sum
+    FROM per GROUP BY event_type
+    """,
+)
+def q_ansi_safe_arithmetic(spark, sf_dir):
+    """The ``try_`` ANSI-safety surface (try_divide / try_cast / try_add) —
+    Spark 4 runs this engine under ANSI SQL semantics, where a single bad row
+    fails the whole 100 TB job; the try_ family converts that failure class
+    to NULLs the pipeline can count and quarantine (same philosophy as the
+    error_channel operator, expression-level). The audit counts, per group:
+    division-by-zero nulls, non-numeric casts that (correctly) parse to
+    nothing, numeric casts that parse, and bigint-overflow nulls from
+    try_add at the i64 boundary.
+
+    The oracle mirrors each try_ with its explicit guarded form (CASE /
+    TRY_CAST) — the point being that the OUTPUTS are engine-portable even
+    though the failure behavior they replace is not.
+
+    Scale shape: pure per-row expressions + one partial-agg groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)")
+    per = ev.select(
+        "event_type",
+        # no zero guard on THIS side: try_divide's null-on-zero IS the
+        # feature under test; the oracle emulates it with an explicit CASE
+        F.expr(
+            "try_divide(CAST(ROUND(value * 100, 0) AS BIGINT), user_id % 7)"
+        ).alias("td_raw"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("tc_bad"),
+        F.expr("try_cast(CAST(user_id AS STRING) AS BIGINT)").alias("tc_good"),
+        F.expr(
+            "CASE WHEN user_id % 2 = 1 "
+            "THEN try_add(9223372036854775807, 1) "
+            "ELSE try_add(9223372036854775806, 1) END"
+        ).alias("ta"),
+    ).withColumn(
+        # try_divide yields double; floor to the integer quotient the oracle's
+        # integer // computes (operands exact, one division — deterministic)
+        "td",
+        F.floor("td_raw").cast("bigint"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.count("td")).cast("bigint").alias(
+            "div_by_zero_nulls"
+        ),
+        F.count("tc_bad").cast("bigint").alias("bad_casts_parsed"),
+        F.count("tc_good").cast("bigint").alias("good_casts_parsed"),
+        (F.count(F.lit(1)) - F.count("ta")).cast("bigint").alias("overflow_nulls"),
+        F.sum("td").cast("bigint").alias("td_sum"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
