@@ -18845,6 +18845,48 @@ def q_poisson_bootstrap_se(spark, sf_dir):
     )
 
 
+@register(
+    "event_trigram_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type, 2) OVER w AS e1,
+             LAG(event_type, 1) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || event_type AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e1 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def q_event_trigram_paths(spark, sf_dir):
+    """Top user-journey TRIGRAM paths (length-3 sequential patterns) — the
+    step past event_transition_matrix's bigrams that behavioral funnels and
+    session-mining actually read. Two per-user lag windows share one
+    user-keyed sort; the path alphabet is |event_types|³, so the aggregate
+    is tiny regardless of corpus size; top-10 is a TakeOrderedAndProject.
+
+    Determinism: per-user order (ts, event_id) is total; counts integer;
+    tie-break by path string."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "e1", "e2", "event_type").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
