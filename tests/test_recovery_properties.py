@@ -552,3 +552,17 @@ def test_stream_upsert_sink_checkpoint_recovery(spark):
     got2 = {r.k: (r.ts, r.v) for r in spark.read.parquet(store).collect()}
     assert got2 == {1: (20, 111), 2: (10, 200), 3: (10, 300)}
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_poisson_bootstrap_thresholds_match_definition():
+    """_POISSON1_CDF_PPM literals (shared verbatim by both engines) must stay
+    equal to floor(1e6 · P(Poisson(1) <= k)) for k = 0..4."""
+    import math
+
+    from makinage_spark.queries import _POISSON1_CDF_PPM
+
+    cdf, expect = 0.0, []
+    for k in range(5):
+        cdf += math.exp(-1) / math.factorial(k)
+        expect.append(int(1e6 * cdf))
+    assert _POISSON1_CDF_PPM == expect
