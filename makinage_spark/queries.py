@@ -18887,6 +18887,150 @@ def q_event_trigram_paths(spark, sf_dir):
     )
 
 
+@register(
+    "clamped_running_balance",
+    """
+    WITH RECURSIVE base AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type IN ('purchase', 'error')
+                  THEN -CAST(ROUND(value * 100, 0) AS BIGINT)
+                  ELSE CAST(ROUND(value * 100, 0) AS BIGINT) END AS delta
+      FROM events
+    ),
+    walk(user_id, rn, bal) AS (
+      SELECT user_id, 1, GREATEST(CAST(0 AS BIGINT), delta) FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.rn, GREATEST(CAST(0 AS BIGINT), w.bal + b.delta)
+      FROM walk w JOIN base b ON b.user_id = w.user_id AND b.rn = w.rn + 1
+    )
+    SELECT user_id, CAST(rn AS BIGINT) AS rn, bal AS bal_cents FROM walk
+    """,
+)
+def q_clamped_running_balance(spark, sf_dir):
+    """CLAMPED running balance — bal := max(0, bal + Δ) per key in event
+    order (credits add, purchase/error debits subtract, balance floors at
+    zero): the classic inventory/wallet fold that NO window frame can
+    express, because the clamp makes each step depend on the clamped
+    previous step (contrast scan_running_sum). This is the op class where
+    rxsci's per-record `scan` beats SQL windows, and the honest Spark answer
+    is a per-key sequential fold inside ``applyInPandas`` — O(n_k) python
+    per key, Arrow-batched, shuffled ONCE on the key.
+
+    The DuckDB oracle computes the same fixpoint via a WITH RECURSIVE walk
+    over per-user row numbers — a completely different evaluation strategy,
+    which is the point of the check. All arithmetic is integer cents.
+
+    Scale shape: one hash exchange on user_id; per-key memory is that key's
+    events; a hot key degrades to O(n) python on one task (same contract as
+    cogroup_click_purchase_lag). At 100 TB with million-event keys one would
+    segment the fold by epoch and stitch (the clamp admits a segmented
+    reformulation via max-prefix algebra), but per-key event counts here are
+    session-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "error"),
+            -F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"),
+        )
+        .otherwise(F.expr("CAST(ROUND(value * 100, 0) AS BIGINT)"))
+        .alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].values,
+                "rn": range(1, len(out) + 1),
+                "bal_cents": pd.Series(out, dtype="int64"),
+            }
+        )
+
+    return rows.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, rn bigint, bal_cents bigint"
+    )
+
+
+@register(
+    "position_based_attribution",
+    """
+    WITH purch AS (
+      SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 50
+    ),
+    clicks AS (
+      SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_ts
+      FROM events WHERE event_type = 'click' AND user_id < 50
+    ),
+    cand AS (
+      SELECT p.user_id, p.p_id, c.c_id,
+             ROW_NUMBER() OVER (PARTITION BY p.user_id, p.p_id
+                                ORDER BY c.c_ts, c.c_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p.user_id, p.p_id) AS n
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.c_ts < p.p_ts
+       AND c.c_ts >= p.p_ts - CAST(7 AS BIGINT) * 86400 * 1000000
+    )
+    SELECT user_id, p_id, c_id,
+           CAST(CASE WHEN n = 1 THEN 1000000
+                     WHEN n = 2 THEN 500000
+                     WHEN pos = 1 OR pos = n THEN 400000
+                     ELSE 200000 // (n - 2) END AS BIGINT) AS credit_ppm
+    FROM cand
+    """,
+)
+def q_position_based_attribution(spark, sf_dir):
+    """U-shaped (position-based) marketing attribution: each purchase's
+    credit splits over the clicks in its preceding 7-day window — 40% to the
+    FIRST touch, 40% to the LAST, 20% across the middles (integer ppm, DIV
+    apportioned) — the multi-touch model between last-touch (exists:
+    last_touch_attribution) and data-driven Markov.
+
+    Scale shape: the purchase×click candidate join is user-equi plus a time
+    band, so it shuffles once on user_id and fans out only within a user's
+    7-day neighborhood; position/count ride one window over the candidate
+    relation partitioned by (user, purchase)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.unix_micros("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"),
+        F.unix_micros("ts").alias("c_ts"),
+    )
+    cand = purch.join(clicks, "user_id").filter(
+        (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.lit(7 * 86400 * 1000000))
+    )
+    wp = Window.partitionBy("user_id", "p_id")
+    scored = cand.select(
+        "user_id",
+        "p_id",
+        "c_id",
+        F.row_number().over(wp.orderBy("c_ts", "c_id")).alias("pos"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1000000)
+        .when(F.col("n") == 2, 500000)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 400000)
+        .otherwise(F.expr("200000 DIV (n - 2)"))
+    )
+    return scored.select(
+        "user_id", "p_id", "c_id", credit.cast("bigint").alias("credit_ppm")
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
