@@ -19031,6 +19031,86 @@ def q_position_based_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "next_event_majority_accuracy",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt,
+             CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    pairs AS (SELECT cur, nxt, d FROM seq WHERE nxt IS NOT NULL),
+    model AS (
+      SELECT cur, nxt AS pred,
+             ROW_NUMBER() OVER (PARTITION BY cur ORDER BY cnt DESC, nxt) AS rk
+      FROM (SELECT cur, nxt, COUNT(*) AS cnt FROM pairs
+            WHERE d < DATE '2024-01-21' GROUP BY cur, nxt)
+    ),
+    test AS (SELECT cur, nxt FROM pairs WHERE d >= DATE '2024-01-21')
+    SELECT test.cur,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN test.nxt = model.pred THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST((1000000 * SUM(CASE WHEN test.nxt = model.pred THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM test JOIN model ON model.cur = test.cur AND model.rk = 1
+    GROUP BY test.cur
+    """,
+)
+def q_next_event_majority_accuracy(spark, sf_dir):
+    """Baseline-model evaluation pipeline: TRAIN a majority-class
+    next-event predictor on the first 20 days of per-user transitions, TEST
+    on the rest — the train/eval split + model table + accuracy join every
+    model-quality pipeline reduces to, with the simplest possible model so
+    the whole loop stays oracle-exact (argmax tie-break = smallest label;
+    accuracy pinned as integer ppm).
+
+    Scale shape: transitions ride one user-keyed lag window; the model is a
+    |event_types|²-bounded aggregate (broadcast side of the eval join); the
+    eval is one partial-agg groupBy. The temporal split is a partition-
+    prunable predicate at 100 TB (date-partitioned events)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.to_date("ts").alias("d"),
+    ).filter(F.col("nxt").isNotNull())
+    split = F.lit("2024-01-21").cast("date")
+    train = (
+        seq.filter(F.col("d") < split)
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    model = (
+        train.select(
+            "cur",
+            F.col("nxt").alias("pred"),
+            F.row_number()
+            .over(Window.partitionBy("cur").orderBy(F.desc("cnt"), "nxt"))
+            .alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    test = seq.filter(F.col("d") >= split).select("cur", "nxt")
+    hit = F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "cur")
+        .groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(hit).cast("bigint").alias("n_correct"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN nxt = pred THEN 1 ELSE 0 END))"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("acc_ppm"),
+        )
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
