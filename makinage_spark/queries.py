@@ -19111,6 +19111,117 @@ def q_next_event_majority_accuracy(spark, sf_dir):
     )
 
 
+@register(
+    "eval_suite_builder_e2e",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    cand AS (
+      SELECT doc_id, lang, t, len(t) AS n_tokens FROM tok
+      WHERE doc_id % 10 = 0 AND len(t) BETWEEN 20 AND 2000),
+    cg AS (
+      SELECT doc_id,
+             unnest([md5(array_to_string(t[i:i+12], ' '))
+                     FOR i IN range(1, len(t) - 11)]) AS g
+      FROM cand WHERE n_tokens >= 13),
+    tg AS (
+      SELECT DISTINCT md5(array_to_string(t[i:i+12], ' ')) AS g
+      FROM tok, LATERAL unnest(generate_series(1, len(t) - 12)) AS u(i)
+      WHERE doc_id % 10 <> 0 AND len(t) >= 13),
+    dirty AS (SELECT DISTINCT cg.doc_id FROM cg JOIN tg ON cg.g = tg.g),
+    clean AS (
+      SELECT cand.* FROM cand LEFT JOIN dirty ON cand.doc_id = dirty.doc_id
+      WHERE dirty.doc_id IS NULL),
+    fp AS (
+      SELECT *, md5(array_to_string(t[1:16], ' ')) AS fpr FROM clean),
+    kept AS (
+      SELECT * FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY fpr ORDER BY doc_id) AS dup_rn
+        FROM fp) WHERE dup_rn = 1)
+    SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM (
+      SELECT lang, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_tokens DESC, doc_id) AS rnk
+      FROM kept)
+    WHERE rnk <= 3
+    """,
+)
+def q_eval_suite_builder_e2e(spark, sf_dir):
+    """Fifth flagship composition — EVAL-SUITE CONSTRUCTION, the inverse of
+    ngram_decontaminate: starting from the held-out candidate fold
+    (doc_id%10==0), (1) gate on language + 20..2000 token length,
+    (2) DECONTAMINATE against the train fold by sliding 13-gram overlap
+    (candidates sharing one window with ANY train doc are dropped — an eval
+    item the model saw in training measures memorization, not capability),
+    (3) near-dup collapse within survivors by 16-token prefix fingerprint
+    (min-id wins), (4) emit a stratified manifest: top-3 per language by
+    token count. One plan end to end; the oracle composes the same stages
+    in SQL.
+
+    Scale shape: text leaves the plan as md5 fingerprints before any
+    shuffle; the train gram set is corpus-scale, so the dirty-join is a
+    plain AQE-planned hash join (NOT broadcast — opposite side from
+    ngram_decontaminate, documented deliberately); dedup and stratified
+    pick ride fingerprint- and lang-partitioned windows over the
+    candidate-fold-sized survivor set."""
+    N = 13
+    docs = load_wide(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    tok = docs.select(
+        "doc_id", "lang", text.tokens(F.lower(F.col("text"))).alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    cand = tok.filter(
+        (F.col("doc_id") % 10 == 0)
+        & F.col("n_tokens").between(20, 2000)
+    )
+    gram = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (N - 1)),
+                lambda i: F.md5(F.array_join(F.slice(F.col("t"), i, N), " ")),
+            )
+        ).alias("g"),
+    )
+    cg = gram(cand.filter(F.col("n_tokens") >= N))
+    tg = (
+        gram(tok.filter((F.col("doc_id") % 10 != 0) & (F.col("n_tokens") >= N)))
+        .select("g")
+        .distinct()
+    )
+    dirty = cg.join(tg, "g").select("doc_id").distinct()
+    clean = cand.join(dirty, "doc_id", "left_anti")
+    fp = clean.withColumn(
+        "fpr", F.md5(F.array_join(F.slice("t", 1, 16), " "))
+    )
+    kept = (
+        fp.withColumn(
+            "dup_rn",
+            F.row_number().over(Window.partitionBy("fpr").orderBy("doc_id")),
+        )
+        .filter(F.col("dup_rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    ranked = kept.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("n_tokens"), "doc_id")
+        ),
+    ).filter(F.col("rnk") <= 3)
+    return ranked.select(
+        "lang",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+
+
 #: r7 rotation plan (keep >=80% fresh): head the window with the remaining
 #: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
 #: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
