@@ -103,6 +103,7 @@ HEADLINE = [
     "bm25_retrieval_topk",
     "record_linkage_blocked",
     "entity_resolution_e2e",
+    "eval_suite_builder_e2e",
     # round-6h addition: the RAG corpus-build flagship composition
     "rag_ingest_pipeline_e2e",
 ]
