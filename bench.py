@@ -231,6 +231,19 @@ def main():
     if failed:
         out["failed"] = failed
         out["partial_total"] = partial
+    # interpretability guard (VERDICT r6 task 7): a run that started on a
+    # busy box is tagged so the artifact is readable standing alone — raw
+    # totals from contended runs are NOT comparable (BASELINE.md documents
+    # ~35% swing); use value/spark_probe_sec instead.
+    n_cpus = os.cpu_count() or 1
+    if load_start[0] > n_cpus / 4:
+        out["contended"] = True
+        print(
+            f"bench: WARNING load_avg {load_start[0]:.1f} > cpus/4 "
+            f"({n_cpus / 4:.0f}) at start — artifact tagged 'contended'; "
+            "compare via value/spark_probe_sec only",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     spark.stop()
 

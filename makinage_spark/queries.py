@@ -95,13 +95,25 @@ def register(name: str, oracle: str | None = None):
 
 
 
-def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_wide(
+    spark: SparkSession, sf_dir: str, name: str, repartition: bool = True
+) -> DataFrame:
     """Load a CPU-heavy text/vector table spread across all cores. The
     documents/embeddings fixtures are tiny single-row-group files (one scan
     task), but per-row work here is md5 shingling / hash folds / dot products —
     minutes of CPU hiding behind kilobytes of IO — so an up-front round-robin
-    exchange of a few MB buys full-width execution of every downstream stage."""
+    exchange of a few MB buys full-width execution of every downstream stage.
+
+    ``repartition=False`` (VERDICT r6 task 3): queries whose FIRST operation
+    is itself a shuffle (fingerprint→groupBy) or whose map work is one cheap
+    expression skip the repair exchange — it would round-robin full document
+    text for nothing (plan-verified 2.2× tax on dedup_exact at sf0.1). The
+    per-query A/B decisions are recorded in BASELINE.md's r7 note. On a real
+    lake (many files / 128 MB row groups) scan parallelism comes from splits
+    and neither mode adds an exchange."""
     df = load_table(spark, sf_dir, name)
+    if not repartition:
+        return df
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
@@ -19222,112 +19234,91 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
     )
 
 
-#: r7 rotation plan (keep >=80% fresh): head the window with the remaining
-#: never-hashed round-6h/6i/6j operators (rag_ingest_pipeline_e2e,
-#: colbert_maxsim_topk, submodular_greedy_coverage, ipf_raking_weights,
-#: dataset_card_summary, psi_drift_audit, seasonal_backtest_mae,
-#: hard_negative_mining, histogram_selectivity_audit, ivm_agg_delta,
-#: acf_periodicity_audit, epoch_shuffle_independence, kmv_overlap_estimate,
-#: wau_sliding_distinct, user_contribution_capping, pareto_skyline_select,
-#: bitmap_index_intersect, winnow_overlap_pairs, good_turing_unseen_mass,
-#: heaps_law_fit, bpe_encode_fertility, curriculum_interleave_order,
-#: delta_encoding_audit, schema_evolution_merge, binary_file_ingest,
-#: stream_decontaminate_screen, stream_static_enrich,
-#: stream_stream_left_join, winnowing_fingerprints, dsir_importance_weights,
-#: graph_label_propagation, range_partition_plan, zonemap_skipping_audit,
-#: temperature_mixture_alloc), then the round-6k continuation wave (all
-#: never hashed: bm25_retrieval_topk, record_linkage_blocked,
-#: resample_interpolate_daily, rolling_correlation_daily,
-#: rank_biased_overlap, dp_geometric_noise_audit, l_diversity_audit,
-#: equidepth_histogram, hashing_trick_features, robust_scaler_features,
-#: negative_sampling_skipgram, cogroup_click_purchase_lag,
-#: span_corruption_mask, graph_personalized_pagerank, stream_upsert_sink,
-#: quantile_normalization, weighted_median_grouped, theil_sen_slope,
-#: mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split minus
-#: the four flagships already hashed in the r6 window), then the four
-#: window/set-op rows displaced by those flagships (ntile_ranks,
-#: sliding_row_frame, set_intersect_all, percentile_interpolated), then
-#: the six rx small-ops evicted in r6
-#: (debounce_events, ewma_smoothing, distinct_until_changed,
-#: pairwise_deltas, take_last_events, start_with_seed), then the remaining
-#: never-hashed rows from COVERAGE.md's Registry audit ledger.
+#: r8 rotation plan (registry FROZEN per VERDICT r6 task 1 — no new queries
+#: until cumulative driver-checked >= 255/341): head the r8 window with the
+#: 13 never-hashed rows that spilled out of this round's 50
+#: (mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split,
+#: ntile_ranks, sliding_row_frame, set_intersect_all,
+#: percentile_interpolated, debounce_events, ewma_smoothing,
+#: distinct_until_changed, pairwise_deltas, take_last_events,
+#: start_with_seed), then continue down COVERAGE.md's registry-audit ledger
+#: rows marked "—" in driver-first-green order of module (subquery family:
+#: exists_subquery, not_exists_subquery, in_subquery_having; arrays/maps:
+#: array_scalars, posexplode_tokens, map_type_functions,
+#: array_higher_order, unpivot_measures; multimodal: binary_payload_meta,
+#: multimodal_decode_features, multimodal_decode_exact,
+#: multimodal_frame_sample; stats/audit continuation: benford_digit_check,
+#: ks_test_cohorts, mannwhitney_u_cohorts, cusum_changepoint, ...) keeping
+#: >= 80% fresh and zero rows-only slots.
+#: Round this window was cut in — the freshness guard in
+#: tests/test_query_registry.py counts only CORRECTNESS artifacts from
+#: EARLIER rounds, so the driver writing this round's artifact at round end
+#: doesn't retroactively fail the invariant.
+_WINDOW_ROUND = 7
+
 _SHOWCASE_50 = [
-    # --- round-6 rotation (VERDICT r5 tasks 1/3/6): 44/50 never
-    # driver-hash-green; the 6 previously-green rows are exactly the queries
-    # whose CODE changed this round (broadcast-default drop, CC stepped
-    # materialization, kmeans auto-dispatch, fixture staging) and therefore
-    # need a fresh driver hash. No rows-only queries occupy slots (their
-    # bounds ride the hash-green audits). No permanent anchors this round --
-    # coverage breadth outranks re-pinning q1/kafka a sixth time.
-    # --- head: the two r5 canonicalizer casualties, now serialized ---
-    "embedding_centroids",      # FIXED: centroid array -> scaled-bigint string
-    "buffer_with_count_hopping",  # FIXED: items array -> ';'-joined string
-    # --- other array-sweep fixes (never hashed before) ---
-    "quantiles_sketch",         # FIXED serialization; exact GK = quantile_disc
-    "buffer_time_window",       # FIXED serialization; per-window id buffers
-    # --- new this round ---
-    "kmeans_table_assign",      # NEW: large-k centroid-TABLE assignment path
-    "sorted_merge_strict",      # NEW: A16 strict-order demo, global seq hashed
-    # --- code changed this round: refresh the driver hash ---
-    "containment_pairs",        # broadcast_freq now False (AQE decides)
-    "jaccard_prefix_filter_pairs",  # broadcast_freq now False
-    "dedup_clusters",           # CC stepped now materialized pre-self-join
-    "dedup_pipeline_e2e",       # inherits the CC fix (its dominant term)
-    "semantic_dedup_pipeline",  # kmeans assign="auto" dispatch added
-    "stream_neardup_screen",    # atomic-rename fixture staging
-    # --- fixture staging change + never hashed ---
-    "ivf_indexed_full_probe",   # materialized cell-partitioned IVF index
-    # --- round-6h new operators (never hashed; the session's headline) ---
-    "ngram_decontaminate",      # NEW: GPT-3-protocol 13-gram decontamination
-    "cdc_chunk_dedup",          # NEW: content-defined chunking dedup
-    "kneser_ney_bigram_score",  # NEW: KN-smoothed LM, exact rational
-    "kmv_overlap_estimate",     # NEW: bottom-k sketch set algebra + audit
-    "interval_overlap_join",    # NEW: big-big interval join, bin+verify
-    "pq_encode_distortion",     # NEW: product quantization + distortion
-    # --- never-hashed: ops parity (rx/rxsci small-op family; the evicted
-    #     six (debounce/ewma/distinct_until_changed/pairwise/take_last/
-    #     start_with) have driver-hashed streaming twins from r1-r5 and
-    #     rotate into the r7 window) ---
-    "forward_fill",             # gap-fill with last observation
-    "throttle_first_per_minute",  # rx throttle_first
-    "last_or_default_events",   # rx last_or_default
-    "zip_by_index",             # rx zip
-    "tap_observe_passthrough",  # rx do_action via df.observe, zero-perturbation
-    # --- round-6k continuation flagships (never hashed; two are bench
-    #     headline queries and split_leakage_embedding carries the
-    #     cross-engine float32-quantization fix this session's gate caught;
-    #     the four window/set-op rows they displaced — ntile_ranks,
-    #     set_intersect_all, percentile_interpolated, sliding_row_frame —
-    #     move to the r7 window head) ---
-    "bm25_retrieval_topk",
-    "record_linkage_blocked",
-    "entity_resolution_e2e",
-    "split_leakage_embedding",
-    # --- never-hashed: window functions / frames / set ops ---
-    "window_value_functions",   # lead/lag/first/last value frames
-    "range_interval_frame",     # RANGE BETWEEN interval frame
-    "session_window_native",    # batch session_window
-    "set_except_all",           # EXCEPT ALL multiset semantics
-    "ordered_string_agg",       # listagg with deterministic order
-    # --- never-hashed: TPC-H shapes (finishing the 22) ---
-    "q4_order_priority",
-    "q8_market_share",
-    "q11_important_parts",
-    "q12_late_shipping",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_bracket_revenue",
-    "q20_excess_suppliers",
-    "q22_idle_balances",
-    # --- never-hashed: text/stats analytics ---
-    "group_apply_pipeline",     # group_by(key, sub-pipeline) composition
-    "pmi_collocations",         # PMI bigram collocations
-    "stratified_sample",        # per-stratum deterministic sampling
-    "kmeans_twolevel_agreement",  # NEW: extreme-k coarse->fine pruning bound
+    # --- round-7 rotation (VERDICT r6 tasks 1/5): 50/50 never
+    # driver-checked (100% fresh — the whole window burns down the
+    # 170-query driver-hash debt; cumulative coverage goes 171 -> 221 of
+    # 341 checked if green). Every slot is oracle-paired (zero rows-only).
+    # No code changes touched any previously-green query this round, so no
+    # re-hash slots are needed; no permanent anchors — breadth outranks
+    # re-pinning q1 a seventh time.
+    # --- head: the two e2e flagships that have never seen the window
+    #     (VERDICT r6 task 5) ---
+    "rag_ingest_pipeline_e2e",    # RAG corpus-build flagship (r6h)
+    "eval_suite_builder_e2e",     # eval-suite flagship (added after r6 cut)
+    # --- round-6h/6i/6j wave (never hashed; kmv_overlap_estimate already
+    #     hashed in the r6 window — skipped) ---
+    "colbert_maxsim_topk",        # late-interaction MaxSim retrieval
+    "submodular_greedy_coverage", # greedy facility-location selection
+    "ipf_raking_weights",         # iterative proportional fitting
+    "dataset_card_summary",       # corpus statistics card
+    "psi_drift_audit",            # population-stability-index drift
+    "seasonal_backtest_mae",      # seasonal-naive backtest
+    "hard_negative_mining",       # retrieval hard negatives
+    "histogram_selectivity_audit",# equi-width selectivity estimate audit
+    "ivm_agg_delta",              # incremental view maintenance delta
+    "acf_periodicity_audit",      # autocorrelation periodicity
+    "epoch_shuffle_independence", # epoch-shuffle rank independence
+    "wau_sliding_distinct",       # weekly-active sliding distinct
+    "user_contribution_capping",  # per-user contribution cap
+    "pareto_skyline_select",      # pareto-dominance skyline
+    "bitmap_index_intersect",     # roaring-style bitmap intersect
+    "winnow_overlap_pairs",       # winnowing fingerprint overlap pairs
+    "good_turing_unseen_mass",    # Good-Turing unseen-mass estimate
+    "heaps_law_fit",              # Heaps' law vocabulary growth fit
+    "bpe_encode_fertility",       # BPE encode + fertility stats
+    "curriculum_interleave_order",# curriculum interleave ordering
+    "delta_encoding_audit",       # delta/varint encoding audit
+    "schema_evolution_merge",     # mergeSchema evolution read
+    "binary_file_ingest",         # binaryFile ingest byte provenance
+    "stream_decontaminate_screen",# streaming 13-gram decontamination
+    "stream_static_enrich",       # stream-static dimension enrich
+    "stream_stream_left_join",    # stream-stream outer join w/ watermark
+    "winnowing_fingerprints",     # winnowing document fingerprints
+    "dsir_importance_weights",    # DSIR importance weighting
+    "graph_label_propagation",    # label propagation (lineage fix r6)
+    "range_partition_plan",       # range-partition boundary planning
+    "zonemap_skipping_audit",     # zone-map file-skip audit
+    "temperature_mixture_alloc",  # temperature-scaled mixture allocation
+    # --- round-6k continuation wave (never hashed) ---
+    "resample_interpolate_daily", # gap resample + linear interpolation
+    "rolling_correlation_daily",  # rolling windowed correlation
+    "rank_biased_overlap",        # RBO ranking-similarity
+    "dp_geometric_noise_audit",   # DP geometric-noise unbiasedness audit
+    "l_diversity_audit",          # l-diversity privacy audit
+    "equidepth_histogram",        # equi-depth histogram boundaries
+    "hashing_trick_features",     # feature-hashing collisions/features
+    "robust_scaler_features",     # median/IQR robust scaling
+    "negative_sampling_skipgram", # skip-gram negative sampling table
+    "cogroup_click_purchase_lag", # cogroup applyInPandas click→purchase lag
+    "span_corruption_mask",       # T5-style span corruption masking
+    "graph_personalized_pagerank",# personalized PageRank
+    "stream_upsert_sink",         # foreachBatch upsert (A6 sink class)
+    "quantile_normalization",     # cross-sample quantile normalization
+    "weighted_median_grouped",    # weighted median per group
+    "theil_sen_slope",            # Theil-Sen robust slope
 ]
 
 

@@ -8,6 +8,7 @@ The value-level oracle comparison lives in tools/check_correctness.py (t2).
 """
 
 import os
+import re
 
 import pytest
 
@@ -95,8 +96,14 @@ def test_cogroup_lag_user_without_clicks_emits_nothing(spark, tmp_path):
 
 
 def test_showcase_window_invariants():
-    """Driver-window policy (VERDICT r5 tasks 3/6): exactly 50 unique,
-    registered entries, and no rows-only query occupies a hash slot."""
+    """Driver-window policy (VERDICT r5 tasks 3/6, r6 task 1): exactly 50
+    unique, registered entries, no rows-only query occupies a hash slot, and
+    >= 80% of slots are FRESH (never seen by any prior driver window) — the
+    burn-down of the 170-query driver-hash debt depends on rotation
+    discipline, so a window that re-pins already-green queries fails here."""
+    import glob
+    import json
+
     from makinage_spark.queries import ORACLES, _SHOWCASE_50
 
     assert len(_SHOWCASE_50) == 50
@@ -104,3 +111,19 @@ def test_showcase_window_invariants():
     assert all(n in QUERIES for n in _SHOWCASE_50)
     rows_only = [n for n in _SHOWCASE_50 if n not in ORACLES]
     assert not rows_only, f"rows-only queries burn window slots: {rows_only}"
+    from makinage_spark.queries import _WINDOW_ROUND
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ever: set[str] = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        # freshness is relative to the artifacts that existed when the window
+        # was cut — the window's OWN round artifact (written by the driver at
+        # round end) must not retroactively mark it stale
+        if m and int(m.group(1)) < _WINDOW_ROUND:
+            ever |= set(json.load(open(path)))
+    fresh = [n for n in _SHOWCASE_50 if n not in ever]
+    assert len(fresh) >= 40, (
+        f"window freshness {len(fresh)}/50 < 80%: re-pinned slots = "
+        f"{sorted(set(_SHOWCASE_50) - set(fresh))}"
+    )
