@@ -1036,7 +1036,9 @@ def _lang_sql() -> str:
 @register("text_language_id", _lang_sql())
 def q_lang(spark, sf_dir):
     """Stopword language-ID heuristic (integer-exact argmax)."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # pure Column n-gram expressions; A/B 0.46->0.41 s
+    )
     return docs.select("doc_id", text.language_id("text").alias("lang_guess"))
 
 
@@ -1139,7 +1141,9 @@ def q_winnowing_fingerprints(spark, sf_dir):
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # first op is the fingerprint groupBy shuffle; A/B 0.81->0.38 s
+    )
     fp = docs.select(text.fingerprint("text").alias("fp"), "doc_id")
     return (
         fp.groupBy("fp")
@@ -1260,7 +1264,9 @@ COSINE_SQL = (
 )
 def q_topk(spark, sf_dir):
     """Brute-force cosine top-k (the ANN baseline)."""
-    emb = load_wide(spark, sf_dir, "embeddings")
+    emb = load_wide(
+        spark, sf_dir, "embeddings", repartition=False  # one dot-product pass then TakeOrdered; A/B 0.43->0.37 s
+    )
     q = emb.filter("vec_id = 0").select(F.col("embedding").alias("qv"))
     joined = emb.crossJoin(F.broadcast(q))
     score = vectors.cosine(
@@ -5819,7 +5825,9 @@ def q_pack_sequences(spark, sf_dir):
     windowed PER SOURCE, so at 100 TB each shard packs independently —
     parallel across the cluster, no global serial scan; the rollup reuses the
     same (source) shuffle partitioning."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # in-row array algebra then window shuffle; A/B 0.48->0.39 s
+    )
     toks = docs.select(
         "doc_id", "source", text.token_count(F.lower(F.col("text"))).alias("n_tok")
     )
@@ -5913,7 +5921,9 @@ def q_domain_mixture_weights(spark, sf_dir):
     operands on both engines. The per-source aggregate shuffles once on
     source; the grand total is a single-row broadcast joined back — no second
     pass over the corpus at 100 TB."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # cheap map then groupBy shuffle; A/B 0.67->0.46 s
+    )
     s = (
         docs.select("source", text.token_count(F.lower(F.col("text"))).alias("n_tok"))
         .groupBy("source")
@@ -9416,7 +9426,9 @@ def q_chunk_documents(spark, sf_dir):
     parallelizes embarrassingly by input split. Chunk identity is the md5 of
     the reassembled token text (hash-checked against DuckDB's identical
     slicing)."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # single in-row substring expansion; A/B 0.55->0.39 s
+    )
     tarr = docs.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("ta")
     ).filter(F.size("ta") > 0)
@@ -10045,7 +10057,9 @@ def q_token_budget_pick(spark, sf_dir):
     + a broadcast offsets table of shuffle-partition-count rows. The budget
     itself is a 1-row aggregate broadcast back; token counts stay exact
     bigints so the cumsum is associative across the repartition."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # two-phase cumsum shuffles immediately; A/B 1.43->1.17 s
+    )
     scored = docs.select(
         "doc_id",
         _ntok().alias("n_tok"),
