@@ -84,8 +84,11 @@ HEADLINE = [
     "supplier_cooccurrence_similarity",
     # streaming runtime (readStream → stateful op → sink)
     "stream_scan_running",
-    # round-6 additions: large-k table-path k-means, strict-order k-way merge
-    "kmeans_table_assign",
+    # round-6 additions: large-k table-path k-means, strict-order k-way merge.
+    # r7 (VERDICT r6 task 4): the bench times the PRODUCTION double-arithmetic
+    # shape; the decimal oracle twin kmeans_table_assign stays registered for
+    # the hash gate but no longer burns ~10 s of headline on BigDecimal folds.
+    "kmeans_table_assign_prod",
     "sorted_merge_strict",
     # round-6b additions: two-phase global-cumsum budget pick, Bloom pruning,
     # and the day-2 incremental ingest flagship (bloom → LSH → quality route)
