@@ -316,3 +316,66 @@ def test_ignore_elements_keeps_schema_drops_rows(spark):
     out = pipe(df, ops.ignore_elements())
     assert out.count() == 0
     assert out.schema == df.schema
+
+
+def test_self_cogroup_right_side_columns_canary(spark, tmp_path):
+    """Pin for the cogroup attribute-dedup workaround (VERDICT r6 task 8,
+    COVERAGE.md round-6k note): q_cogroup_click_purchase_lag builds its two
+    sides from INDEPENDENT parquet scans because cogrouping two filtered
+    branches of the SAME DataFrame was observed (round 6, Spark 4.1.2) to
+    intermittently deliver the right pandas frame with a column missing at
+    the Arrow boundary — the failure was scale-dependent and does not
+    reproduce deterministically on this build (probed at sf0.001/0.01/0.1
+    and with range() sources while writing this test).
+
+    This canary runs the UNSAFE shared-scan shape and asserts (a) both
+    pandas frames arrive with their full declared column set in every key
+    group and (b) the shared-scan result equals the independent-scan
+    workaround's result. If it ever fails, the round-6 bug is live on this
+    build — keep the workaround and record the trigger here. If it passes
+    for a full round after a Spark upgrade, the workaround in
+    queries.py::q_cogroup_click_purchase_lag is a candidate for removal."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from makinage_spark.queries import QUERIES
+    from makinage_spark.sources.files import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    expected_cols = "event_id,ts_us,user_id"
+
+    def probe(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lcols": [",".join(sorted(l_pdf.columns))],
+                "rcols": [",".join(sorted(r_pdf.columns))],
+            }
+        )
+
+    shapes = {
+        (r.lcols, r.rcols)
+        for r in (
+            clicks.groupBy("user_id")
+            .cogroup(purch.groupBy("user_id"))
+            .applyInPandas(probe, "lcols string, rcols string")
+        ).collect()
+    }
+    assert shapes == {(expected_cols, expected_cols)}, (
+        "round-6 attribute-dedup column drop REPRODUCED — keep the "
+        f"independent-scan workaround; observed frames: {shapes}"
+    )
+
+    # the shipped workaround must keep producing pairs on the same fixture
+    # (guards against the canary passing because the fixture went degenerate)
+    safe = {
+        (r.user_id, r.event_id): r.lag_s
+        for r in QUERIES["cogroup_click_purchase_lag"](spark, sf_dir).collect()
+    }
+    assert safe, "fixture produced no click->purchase pairs at sf0.001"
