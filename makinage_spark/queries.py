@@ -1367,7 +1367,9 @@ def q_minhash_pairs(spark, sf_dir):
     but every arithmetic step (md5 shingle hash → affine minima → md5 band
     bucket → bucket equi-join) is deterministic, so the emitted pair set
     hash-matches an exact SQL unroll of the same banding."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.21->0.95 s: band shuffle immediately follows
+    )
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
@@ -2078,7 +2080,9 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs. The pigeonhole blocking (4 blocks, hamming ≤ 3)
     is lossless — any pair within distance 3 shares an intact block — so the
     blocked Spark plan equals the oracle's exhaustive pair scan."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.88->1.39 s: block-key shuffle right after the map
+    )
     out = dedup.simhash_pairs(docs, max_hamming=3, blocks=4)
     return out.select("a", "b", F.col("hamming").cast("bigint").alias("hamming"))
 
@@ -4837,7 +4841,9 @@ def q_text_repetition(spark, sf_dir):
     IEEE division of exact integer counts, so the comparison thresholds are
     engine-portable. At 100 TB the explode-shuffle partitions by (doc_id,
     term) with map-side partial counts; no driver collection anywhere."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.17->0.92 s: per-doc expressions then one agg
+    )
     toks = docs.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("toks")
     )
@@ -6618,7 +6624,9 @@ def q_unigram_logprob_score(spark, sf_dir):
     and a broadcast hint would OOM every executor — AQE picks broadcast at
     runtime only when the table actually fits (same policy as
     bigram_logprob_score)."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.28->0.83 s: token explode feeds a groupBy shuffle
+    )
     t = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("tok")
     )
@@ -8253,7 +8261,9 @@ def q_quality_ensemble(spark, sf_dir):
     a cheap codepoint explode). Net: 1 tokenize + 1 char scan instead of
     the naive 4 tokenizes (this was the judge-flagged 4× re-tokenization;
     signal math is IDENTICAL to the standalone registered queries)."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 6.3->4.4 s: single-tokenize then agg shuffles
+    )
     tok_arr = docs.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("ta")
     ).persist()
@@ -10369,7 +10379,9 @@ def q_bloom_prune_audit(spark, sf_dir):
     oracle computes hits as "all k positions ∈ the history position set" —
     semantically identical to testing bits in the packed bitmap, so the
     audit row is hash-exact."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.51->0.64 s: filter build aggregates immediately
+    )
     # persist the narrow (doc_id, fp) projection, not just the history slice:
     # it feeds the bitmap build, the probe, AND the truth join — unpersisted,
     # the md5 pass over documents would run three times
@@ -10954,7 +10966,9 @@ def q_incremental_ingest_pipeline(spark, sf_dir):
     hashed, so the oracle pins every routing decision; Bloom's zero false
     negatives is what makes the pruned exact path semantically equal to the
     oracle's plain `fp IN history`."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 3.94->2.48 s: batch verdicts join on fingerprints
+    )
     hist = docs.filter(F.col("doc_id") % 3 == 0)
     batch = docs.filter(F.col("doc_id") % 3 != 0)
     m, k = 1 << 16, 4
@@ -11735,7 +11749,9 @@ def q_jl_projection_distortion(spark, sf_dir):
     vec_id, linear in corpus size; no driver state. The pair audit joins
     on consecutive ids — at production scale the same audit runs on a
     hash-sampled pair set; the estimator does not change."""
-    emb = load_wide(spark, sf_dir, "embeddings")
+    emb = load_wide(
+        spark, sf_dir, "embeddings", repartition=False  # A/B 1.67->1.12 s: pair join shuffles on id slice
+    )
     x = (
         emb.filter(
             F.col("embedding").isNotNull() & (F.size("embedding") == 64)
@@ -11931,7 +11947,9 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
     scale the semantic candidate generator would be the IVF/LSH index
     (vectors.py) rather than the brute scan; the fusion stage is
     unchanged."""
-    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 2.43->1.22 s: both legs shuffle/TakeOrdered immediately
+    ).filter(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
     )
@@ -11965,7 +11983,9 @@ def q_hybrid_rrf_retrieval(spark, sf_dir):
         .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
         .alias("lex_rank"),
     )
-    emb = load_wide(spark, sf_dir, "embeddings")
+    emb = load_wide(
+        spark, sf_dir, "embeddings", repartition=False  # A/B 2.43->1.22 s: both legs shuffle/TakeOrdered immediately
+    )
     x = (
         emb.filter(F.col("embedding").isNotNull() & (F.size("embedding") == 64))
         .select("vec_id", F.posexplode("embedding").alias("j0", "e"))
@@ -14612,7 +14632,9 @@ def q_rag_ingest_pipeline_e2e(spark, sf_dir):
     embedding are in-row array algebra (text leaves the plan at the
     embed); MIPS is scan + partial top-k — no index needed at query-once
     semantics (the IVF family owns the repeated-query regime)."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 1.40->1.10 s: fingerprint dedup shuffles first
+    )
     keep = dedup.exact_dedup_keep(docs)
     tok = keep.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("t")
@@ -16914,7 +16936,9 @@ def q_bm25_retrieval_topk(spark, sf_dir):
     k-sized merge — no global sort). Corpus statistics (n_docs, avgdl) ride a
     1-row broadcast crossJoin. At 100 TB nothing here is corpus-quadratic:
     cost is |postings ∩ q-terms| + one narrow agg."""
-    docs = load_wide(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 2.01->1.01 s: postings build shuffles on term at once
+    ).filter(F.col("text").isNotNull())
     toks = docs.select(
         "doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("t")
     )
