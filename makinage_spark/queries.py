@@ -5995,7 +5995,9 @@ def q_dedup_clusters(spark, sf_dir):
     fixpoint, which is the point of the check. The pair stage rides the
     lossless PPJoin prefix filter (dedup.prefix_filter_pairs) — no raw-token
     inverted-index join survives anywhere in the registry."""
-    docs = load_wide(spark, sf_dir, "documents")
+    docs = load_wide(
+        spark, sf_dir, "documents", repartition=False  # A/B 5.97->4.47 s: CC rounds dominate, mining is a small fraction
+    )
     sets = docs.select(
         "doc_id", text.tokens(F.lower(F.col("text"))).alias("__items")
     )
@@ -19311,8 +19313,9 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
 
 #: r8 rotation plan (registry FROZEN per VERDICT r6 task 1 — no new queries
 #: until cumulative driver-checked >= 255/341): head the r8 window with the
-#: 13 never-hashed rows that spilled out of this round's 50
-#: (mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split,
+#: 14 never-hashed rows that spilled out of this round's 50
+#: (kmeans_table_assign_prod — the one r7 registry addition,
+#: mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split,
 #: ntile_ranks, sliding_row_frame, set_intersect_all,
 #: percentile_interpolated, debounce_events, ewma_smoothing,
 #: distinct_until_changed, pairwise_deltas, take_last_events,
