@@ -12,6 +12,33 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: Target rows per partition for persisted loop-invariant graph relations.
+_EDGES_PER_PARTITION = 250_000
+
+
+def _sized_persist(df: DataFrame, key: str = "src") -> DataFrame:
+    """Persist a derived graph relation SIZED TO ITS OWN ROW COUNT
+    (~250k rows/partition, floor 4, capped at the session's shuffle
+    partitions) — the shared policy of every iterative loop here and of
+    dedup.connected_components. A graph derived from a corpus inherits the
+    corpus's partition count, so each iteration's map stages schedule a
+    corpus-width task wave over near-empty cached blocks (cached plans do
+    not get AQE re-coalescing by default); at 100 TB the same rule yields
+    thousands of partitions, so it is a sizing rule, not a small-data
+    shortcut. The count doubles as the materialization barrier the
+    self-joining iteration bodies need anyway."""
+    df = df.persist()
+    n = df.count()
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = max(4, min(cap, n // _EDGES_PER_PARTITION + 1))
+    if parts < df.rdd.getNumPartitions():
+        sized = df.repartition(parts, key).persist()
+        sized.count()
+        df.unpersist()
+        return sized
+    return df
+
 
 def pagerank(
     edges: DataFrame,
@@ -260,7 +287,8 @@ def label_propagation(
     if not assume_distinct:
         # duplicate edges would double-weight a neighbor's vote
         e = e.distinct()
-    e = e.persist()
+    # sized on "dst": the per-round votes join probes e on dst
+    e = _sized_persist(e, key="dst")
     all_nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -335,7 +363,7 @@ def hits(
     # unpersisted here (the result is lazy); repeated invocations in one
     # session require spark.catalog.clearCache() between rounds — see the
     # cleanup contract note in dedup.py:prefix_filter_pairs
-    e = e.persist()
+    e = _sized_persist(e)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
