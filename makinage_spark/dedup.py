@@ -864,12 +864,12 @@ def connected_components(
         # pointer-jump, so an unmaterialized stepped re-evaluates its
         # join+agg subtree twice per round (4x lineage growth) — the r5
         # probe showed double-jumping only beats single-stepping when this
-        # intermediate is materialized. LAZY persist, not an eager
-        # checkpoint: the jumped job computes stepped once and the second
-        # join branch reads the cached blocks — an eager checkpoint here
-        # adds a third whole job per round, which on dup-graph-sized
-        # relations costs more than the double-eval it prevents (measured:
-        # 3 jobs/round regressed dedup_pipeline_e2e ~25% vs r5's 2).
+        # intermediate is materialized. EAGER localCheckpoint, re-A/B'd in
+        # the r7 loop structure (graph-sized partitions + sum convergence):
+        # eager 5.3 s vs lazy-persist 7.5 s min-of-3 on the 30k-edge e2e
+        # graph — a lazy persist leaves stepped's join+agg subtree in the
+        # jumped job's single DAG (deeper stage graph, worse overlap), while
+        # the eager job is tiny at graph-sized partition counts.
         stepped = (
             labels.join(nbr, labels.id == nbr.u, "left")
             .select(
