@@ -950,3 +950,53 @@ def test_kmeans_table_path_planted_duplicates_k1000(spark):
     # fresh seed equals its own id's seed-order cluster (seeds are the 1000
     # lowest ids, re-keyed 0..999 in id order)
     assert got[0] == 0 and got[999] == 999
+
+
+def test_connected_components_empty_pairs(spark):
+    """r7 sum-convergence edge case: an empty pair graph must converge on the
+    first round (sum over zero rows is NULL == the initial sentinel) and
+    return an empty (id, cluster_id) frame, not loop or crash."""
+    from makinage_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = connected_components(pairs)
+    assert out.columns == ["id", "cluster_id"]
+    assert out.count() == 0
+
+
+def test_sized_persist_policy(spark):
+    """The graph-sizing rule (r7): small derived relations land at the floor
+    of 4 partitions; the partition count grows with the row count at
+    ~250k rows/partition; the cap is the session's shuffle partitions; and
+    sizing never changes the rows."""
+    from pyspark.sql import functions as F
+
+    from makinage_spark.graphs import _sized_persist
+
+    small = spark.range(1000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).repartition(32)
+    sized = _sized_persist(small)
+    assert sized.rdd.getNumPartitions() == 4
+    assert sized.count() == 1000
+    sized.unpersist()
+
+    # 600k rows -> 600_000 // 250_000 + 1 = 3 -> floor 4 still wins
+    mid = spark.range(600_000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).repartition(32)
+    sized_mid = _sized_persist(mid)
+    assert sized_mid.rdd.getNumPartitions() == 4
+    sized_mid.unpersist()
+
+    # 1.3M rows -> 1_300_000 // 250_000 + 1 = 6, clamped to the session's
+    # shuffle-partitions cap (the test session pins 4; a 32-way session
+    # would get 6)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    big = spark.range(1_300_000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).repartition(32)
+    sized_big = _sized_persist(big)
+    assert sized_big.rdd.getNumPartitions() == min(cap, 6)
+    assert sized_big.count() == 1_300_000
+    sized_big.unpersist()
