@@ -841,9 +841,10 @@ def connected_components(
         .persist()
     )
     n_edges = edges.count()
+    from makinage_spark.graphs import _EDGES_PER_PARTITION, _shuffle_partitions_cap
+
     graph_parts = max(4, min(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        n_edges // 250_000 + 1,
+        _shuffle_partitions_cap(spark), n_edges // _EDGES_PER_PARTITION + 1
     ))
     if graph_parts < edges.rdd.getNumPartitions():
         sized = edges.repartition(graph_parts, "v").persist()

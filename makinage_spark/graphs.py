@@ -16,6 +16,16 @@ from pyspark.sql import DataFrame, functions as F
 _EDGES_PER_PARTITION = 250_000
 
 
+def _shuffle_partitions_cap(spark) -> int:
+    """Session shuffle-partition count as an int, tolerating non-numeric
+    values some deployments set (e.g. "auto" under external shuffle
+    managers) — the sizing rule only needs an upper bound."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _sized_persist(df: DataFrame, key: str = "src") -> DataFrame:
     """Persist a derived graph relation SIZED TO ITS OWN ROW COUNT
     (~250k rows/partition, floor 4, capped at the session's shuffle
@@ -30,7 +40,7 @@ def _sized_persist(df: DataFrame, key: str = "src") -> DataFrame:
     df = df.persist()
     n = df.count()
     spark = df.sparkSession
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    cap = _shuffle_partitions_cap(spark)
     parts = max(4, min(cap, n // _EDGES_PER_PARTITION + 1))
     if parts < df.rdd.getNumPartitions():
         sized = df.repartition(parts, key).persist()
@@ -147,11 +157,10 @@ def pagerank(
     spark = e.sparkSession
     n_edges = e.count()
     graph_parts = max(4, min(
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-        n_edges // 250_000 + 1,
+        _shuffle_partitions_cap(spark), n_edges // _EDGES_PER_PARTITION + 1
     ))
     ew = e.join(outdeg, "src")
-    if graph_parts < int(spark.conf.get("spark.sql.shuffle.partitions", "200")):
+    if graph_parts < _shuffle_partitions_cap(spark):
         ew = ew.repartition(graph_parts, "src")
     ew = ew.persist()
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
