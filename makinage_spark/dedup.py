@@ -16,7 +16,7 @@ oracles reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from makinage_spark.text import char_ngrams, fingerprint, word_shingles
@@ -878,6 +878,14 @@ def connected_components(
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
             )
         ).localCheckpoint(eager=True)
+        # the convergence sum rides the SAME job that materializes the jump:
+        # df.observe metrics fire on the eager localCheckpoint (verified on
+        # Spark 4.1), so each round is exactly 2 jobs (stepped, jumped) —
+        # no separate convergence action at all. Exact decimal sum: ids up
+        # to 2^63 × any realistic node count stay far under DECIMAL(38)'s
+        # 1e38 headroom, and decimal addition is order-independent —
+        # bit-identical across partitionings.
+        obs = Observation()
         jumped = (
             stepped.alias("l1")
             .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
@@ -888,13 +896,9 @@ def connected_components(
                     F.coalesce(F.col("l2.label"), F.col("l1.label")),
                 ).alias("label"),
             )
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
         ).localCheckpoint(eager=True)
-        # exact decimal sum: ids up to 2^63 × any realistic node count stay
-        # far under DECIMAL(38)'s 1e38 headroom, and decimal addition is
-        # order-independent — bit-identical across partitionings
-        label_sum = jumped.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        label_sum = obs.get["s"]
         labels = jumped
         if label_sum == prev_sum:
             break
