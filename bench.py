@@ -115,7 +115,7 @@ HEADLINE = [
 #: Queries whose runtime is dominated by unrolled fixed-point iterations —
 #: run-to-run variance is the largest in the set (BASELINE.md), so they get
 #: min-of-3 instead of min-of-2.
-ITERATIVE_TAIL = {"graph_pagerank"}
+ITERATIVE_TAIL = {"graph_pagerank", "dedup_pipeline_e2e"}
 
 
 def cpu_probe() -> float:
