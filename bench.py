@@ -234,6 +234,38 @@ def main():
     if failed:
         out["failed"] = failed
         out["partial_total"] = partial
+    # self-contained cross-round comparison (VERDICT r7 task 4): the
+    # probe-normalized total, plus the matched-set ratio vs the most recent
+    # committed BENCH_r{N}.json — both normalized by their own run's
+    # spark_probe_sec, compared only over queries timed in BOTH artifacts,
+    # so the figure survives box changes and headline-set growth.
+    probe = out["spark_probe_sec"]
+    out["value_normalized"] = (
+        round(partial / probe, 3) if probe and not failed else None
+    )
+    try:
+        import glob
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prior = sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if prior:
+            prev = json.load(open(prior[-1]))
+            prev_q, prev_probe = prev.get("queries", {}), prev.get("spark_probe_sec")
+            matched = sorted(set(timings) & set(prev_q))
+            if matched and prev_probe and probe:
+                cur_n = sum(timings[q] for q in matched) / probe
+                prev_n = sum(prev_q[q] for q in matched) / prev_probe
+                out["matched_prev"] = {
+                    "artifact": os.path.basename(prior[-1]),
+                    "n_matched": len(matched),
+                    "ratio_normalized": round(cur_n / prev_n, 3),
+                }
+    except Exception as e:  # comparison is advisory — never fail the bench
+        print(f"bench: matched_prev comparison skipped: {e}", file=sys.stderr)
     # interpretability guard (VERDICT r6 task 7): a run that started on a
     # busy box is tagged so the artifact is readable standing alone — raw
     # totals from contended runs are NOT comparable (BASELINE.md documents

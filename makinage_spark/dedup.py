@@ -795,7 +795,11 @@ def embedding_neardup_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, src: str = "a", dst: str = "b", max_iter: int = 25
+    pairs: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected similar-pair graph → duplicate
     clusters. Returns ``(id, cluster_id)`` with ``cluster_id`` = min node id
@@ -833,29 +837,31 @@ def connected_components(
       scalar per round replaces the old jumped⨝labels changed-row join job
       (one cached-scan agg vs a third shuffle join per round). The scalar is
       the only driver-side value in the loop.
-    """
-    spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .persist()
-    )
-    n_edges = edges.count()
-    from makinage_spark.graphs import _EDGES_PER_PARTITION, _shuffle_partitions_cap
 
-    graph_parts = max(4, min(
-        _shuffle_partitions_cap(spark), n_edges // _EDGES_PER_PARTITION + 1
-    ))
-    if graph_parts < edges.rdd.getNumPartitions():
-        sized = edges.repartition(graph_parts, "v").persist()
-        sized.count()
-        edges.unpersist()
-        edges = sized
+    ``stats`` (optional out-param) receives ``{"rounds": r}`` — the number
+    of executed propagate+jump rounds including the fixpoint-confirming
+    one. Diagnostic only: the r8 chain probe pins the O(log diameter)
+    claim (a 10k-node path converges in ~12 rounds, not ~10k) and the
+    ``max_iter=25`` headroom (enough for a path graph of ~2^24 nodes;
+    real dup clusters are star-heavy and converge in ≤5).
+    """
+    from makinage_spark.graphs import _sized_persist
+
+    # one shared sizing policy (r8 — previously duplicated inline and
+    # capped at the session shuffle-partitions config; see _sized_persist)
+    edges = _sized_persist(
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+        ),
+        key="v",
+    )
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
     prev_sum = None
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
@@ -904,6 +910,8 @@ def connected_components(
             break
         prev_sum = label_sum
     edges.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

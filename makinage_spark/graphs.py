@@ -16,33 +16,34 @@ from pyspark.sql import DataFrame, functions as F
 _EDGES_PER_PARTITION = 250_000
 
 
-def _shuffle_partitions_cap(spark) -> int:
-    """Session shuffle-partition count as an int, tolerating non-numeric
-    values some deployments set (e.g. "auto" under external shuffle
-    managers) — the sizing rule only needs an upper bound."""
-    try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    except (TypeError, ValueError):
-        return 200
+def _graph_parts(n_rows: int) -> int:
+    """Partition count for a persisted loop-invariant graph relation:
+    ~250k rows/partition with a floor of 4. Deliberately UNCAPPED by the
+    session's ``spark.sql.shuffle.partitions`` (r8): a 10B-edge graph on an
+    untuned session (shuffle.partitions=200, or 8 on a notebook) must land
+    at ~40k partitions, not be squeezed to the session config — the whole
+    point of sizing to the data is that the data, not the session default,
+    picks the width."""
+    return max(4, n_rows // _EDGES_PER_PARTITION + 1)
 
 
 def _sized_persist(df: DataFrame, key: str = "src") -> DataFrame:
     """Persist a derived graph relation SIZED TO ITS OWN ROW COUNT
-    (~250k rows/partition, floor 4, capped at the session's shuffle
-    partitions) — the shared policy of every iterative loop here and of
-    dedup.connected_components. A graph derived from a corpus inherits the
-    corpus's partition count, so each iteration's map stages schedule a
-    corpus-width task wave over near-empty cached blocks (cached plans do
-    not get AQE re-coalescing by default); at 100 TB the same rule yields
-    thousands of partitions, so it is a sizing rule, not a small-data
-    shortcut. The count doubles as the materialization barrier the
-    self-joining iteration bodies need anyway."""
+    (~250k rows/partition, floor 4) — the shared policy of every iterative
+    loop here and of dedup.connected_components. A graph derived from a
+    corpus inherits the corpus's partition count, so each iteration's map
+    stages schedule a corpus-width task wave over near-empty cached blocks
+    (cached plans do not get AQE re-coalescing by default); conversely a
+    huge graph built under a small session config inherits TOO FEW
+    partitions, so the rule resizes in BOTH directions (r8 — previously
+    the count was capped at the session's shuffle partitions, which would
+    squeeze a 10B-edge graph onto an 8-partition notebook session). The
+    count doubles as the materialization barrier the self-joining
+    iteration bodies need anyway."""
     df = df.persist()
     n = df.count()
-    spark = df.sparkSession
-    cap = _shuffle_partitions_cap(spark)
-    parts = max(4, min(cap, n // _EDGES_PER_PARTITION + 1))
-    if parts < df.rdd.getNumPartitions():
+    parts = _graph_parts(n)
+    if parts != df.rdd.getNumPartitions():
         sized = df.repartition(parts, key).persist()
         sized.count()
         df.unpersist()
@@ -152,17 +153,12 @@ def pagerank(
     # (cached plans don't get AQE re-coalescing by default). Measured at
     # sf0.1 (1.17M sym edges, 3 iters, broadcast ranks): 7.97 → 3.63 s.
     # At 100 TB the same rule yields thousands of partitions — it is a
-    # sizing rule, not a small-data shortcut. The one-time count doubles as
-    # the materialization barrier for the persisted edge list.
-    spark = e.sparkSession
-    n_edges = e.count()
-    graph_parts = max(4, min(
-        _shuffle_partitions_cap(spark), n_edges // _EDGES_PER_PARTITION + 1
-    ))
-    ew = e.join(outdeg, "src")
-    if graph_parts < _shuffle_partitions_cap(spark):
-        ew = ew.repartition(graph_parts, "src")
-    ew = ew.persist()
+    # sizing rule, not a small-data shortcut. Routed through _sized_persist
+    # (r8) so the guard compares against the relation's ACTUAL partition
+    # count, not the session shuffle-partitions config, and upsizes huge
+    # graphs on untuned sessions; its count doubles as the materialization
+    # barrier for the persisted edge list.
+    ew = _sized_persist(e.join(outdeg, "src"), key="src")
     n_df = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     if personalize is not None:
         if dangling != "drop":

@@ -8045,6 +8045,158 @@ def q_supplier_cooccurrence(spark, sf_dir):
     )
 
 
+#: Per-customer partner cap for the degree-capped wedge variant: each
+#: customer contributes at most C·(C−1)/2 wedge pairs whatever its degree,
+#: so the edge build is Σ min(d,C)² instead of Σ d². C=32 measured 200/200
+#: recall of the full top-200 at both sf0.01 and sf0.1 (rank-by-rarity keeps
+#: exactly the partners cosine weights highest).
+_COOC_WEDGE_CAP = 32
+
+
+@register(
+    "supplier_cooccurrence_capped",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+    er AS (
+      SELECT e.c, e.s,
+             row_number() OVER (PARTITION BY e.c ORDER BY deg.d ASC, e.s)
+               AS rn
+      FROM e JOIN deg ON e.s = deg.s),
+    ec AS (SELECT c, s FROM er WHERE rn <= {_COOC_WEDGE_CAP}),
+    co AS (
+      SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+      GROUP BY x, y),
+    scored AS (
+      SELECT co.x, co.y,
+             ROUND(cnt / sqrt(CAST(dx.d AS DOUBLE) * dy.d), 6) AS cosine
+      FROM co JOIN deg dx ON co.x = dx.s JOIN deg dy ON co.y = dy.s
+      WHERE co.cnt >= 5),
+    full200 AS (SELECT x, y FROM scored ORDER BY cosine DESC, x, y LIMIT 200),
+    capset AS (
+      SELECT DISTINCT a.s AS x, b.s AS y
+      FROM ec a JOIN ec b ON a.c = b.c AND a.s < b.s),
+    hit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_full,
+             CAST(SUM(CASE WHEN cs.x IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM full200 f LEFT JOIN capset cs ON f.x = cs.x AND f.y = cs.y),
+    cdeg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS dc FROM e GROUP BY c),
+    w AS (
+      SELECT CAST(SUM(dc * (dc - 1) // 2) AS BIGINT) AS wedges_full,
+             CAST(SUM(least(dc, {_COOC_WEDGE_CAP})
+                      * (least(dc, {_COOC_WEDGE_CAP}) - 1) // 2) AS BIGINT)
+               AS wedges_capped
+      FROM cdeg)
+    SELECT h.n_full, h.n_hit,
+           CAST(CASE WHEN h.n_full > 0 THEN (1000000 * h.n_hit) // h.n_full
+                ELSE 1000000 END AS BIGINT) AS recall_ppm,
+           (CASE WHEN h.n_full > 0 THEN (1000000 * h.n_hit) // h.n_full
+            ELSE 1000000 END >= 900000) AS recall_ok,
+           w.wedges_full, w.wedges_capped
+    FROM hit h CROSS JOIN w
+    """,
+)
+def q_supplier_cooccurrence_capped(spark, sf_dir):
+    """Degree-capped wedge variant of supplier_cooccurrence_similarity with
+    its recall audit in one row (VERDICT r7 task 5 — the sanctioned r8
+    registry addition). The Σdeg² wedge expansion is the one intrinsic
+    growth term in the co-occurrence family (SCALING.md documents
+    graph_triangle_count's 25× ratio of 8.52 living entirely in this edge
+    build); the standard 100× mitigation caps each hub's contribution: per
+    customer keep only the ``_COOC_WEDGE_CAP`` RAREST partners (global
+    degree ASC, suppkey tiebreak — cosine weights rare co-occurrence
+    highest, so rank-by-rarity keeps exactly the partners the full ranking
+    scores highest) and expand wedges from the capped adjacency, bounding
+    the per-customer term at C·(C−1)/2 forever — Σ min(d,C)² is linear in
+    |e| at any scale. The audit measures the price: recall of the FULL
+    cnt≥5 top-200 pair list inside the capped candidate set (measured
+    200/200 at both sf0.01 and sf0.1, pinned at a 0.9 floor via exact
+    integer ppm), with the Σdeg²-vs-Σmin(d,C)² wedge counts emitted
+    alongside so the cost cut is visible in the same row (sf0.1:
+    12 544 866 → 6 529 548; the gap widens with degree, which is the
+    100 TB point). Scale shape: ranking reuses the c-hash exchange the
+    wedge self-join needs anyway (window then join, both keyed on c); deg
+    is a supplier-sized dim joined broadcast; the full-path side exists
+    only to be audited — production runs the capped plan alone."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    rn = F.row_number().over(Window.partitionBy("c").orderBy(F.asc("d"), F.asc("s")))
+    ec = (
+        e.join(F.broadcast(deg), "s")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _COOC_WEDGE_CAP)
+        .select("c", "s")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    co = (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
+    cos = F.round(F.col("cnt") / F.sqrt(F.col("dx").cast("double") * F.col("dy")), 6)
+    full200 = (
+        co.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select("x", "y", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "x", "y")
+        .limit(200)
+        .select("x", "y")
+    )
+    ca, cb = ec.alias("ca"), ec.alias("cb")
+    capset = (
+        ca.join(cb, on=[F.col("ca.c") == F.col("cb.c"), F.col("ca.s") < F.col("cb.s")])
+        .select(F.col("ca.s").alias("x"), F.col("cb.s").alias("y"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hitj = full200.join(capset, ["x", "y"], "left")
+    hit = hitj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    cdeg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    w = cdeg.agg(
+        F.sum(F.expr("dc * (dc - 1) DIV 2")).cast("bigint").alias("wedges_full"),
+        F.sum(
+            F.expr(
+                f"least(dc, {_COOC_WEDGE_CAP})"
+                f" * (least(dc, {_COOC_WEDGE_CAP}) - 1) DIV 2"
+            )
+        )
+        .cast("bigint")
+        .alias("wedges_capped"),
+    )
+    return hit.crossJoin(F.broadcast(w)).select(
+        "n_full",
+        "n_hit",
+        F.expr(
+            "CAST(CASE WHEN n_full > 0 THEN (1000000 * n_hit) DIV n_full"
+            " ELSE 1000000 END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_full > 0 THEN (1000000 * n_hit) DIV n_full"
+            " ELSE 1000000 END >= 900000"
+        ).alias("recall_ok"),
+        "wedges_full",
+        "wedges_capped",
+    )
+
+
 @register(
     "phrase_search",
     f"""
@@ -19311,7 +19463,8 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
     )
 
 
-#: r8 rotation plan (registry FROZEN per VERDICT r6 task 1 — no new queries
+#: r8 rotation plan — EXECUTED below (registry FROZEN per VERDICT r6 task 1:
+#: no new queries
 #: until cumulative driver-checked >= 255/341): head the r8 window with the
 #: 14 never-hashed rows that spilled out of this round's 50
 #: (kmeans_table_assign_prod — the one r7 registry addition,
@@ -19332,71 +19485,69 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
 #: tests/test_query_registry.py counts only CORRECTNESS artifacts from
 #: EARLIER rounds, so the driver writing this round's artifact at round end
 #: doesn't retroactively fail the invariant.
-_WINDOW_ROUND = 7
+_WINDOW_ROUND = 8
 
 _SHOWCASE_50 = [
-    # --- round-7 rotation (VERDICT r6 tasks 1/5): 50/50 never
-    # driver-checked (100% fresh — the whole window burns down the
-    # 170-query driver-hash debt; cumulative coverage goes 171 -> 221 of
-    # 341 checked if green). Every slot is oracle-paired (zero rows-only).
-    # No code changes touched any previously-green query this round, so no
-    # re-hash slots are needed; no permanent anchors — breadth outranks
-    # re-pinning q1 a seventh time.
-    # --- head: the two e2e flagships that have never seen the window
-    #     (VERDICT r6 task 5) ---
-    "rag_ingest_pipeline_e2e",    # RAG corpus-build flagship (r6h)
-    "eval_suite_builder_e2e",     # eval-suite flagship (added after r6 cut)
-    # --- round-6h/6i/6j wave (never hashed; kmv_overlap_estimate already
-    #     hashed in the r6 window — skipped) ---
-    "colbert_maxsim_topk",        # late-interaction MaxSim retrieval
-    "submodular_greedy_coverage", # greedy facility-location selection
-    "ipf_raking_weights",         # iterative proportional fitting
-    "dataset_card_summary",       # corpus statistics card
-    "psi_drift_audit",            # population-stability-index drift
-    "seasonal_backtest_mae",      # seasonal-naive backtest
-    "hard_negative_mining",       # retrieval hard negatives
-    "histogram_selectivity_audit",# equi-width selectivity estimate audit
-    "ivm_agg_delta",              # incremental view maintenance delta
-    "acf_periodicity_audit",      # autocorrelation periodicity
-    "epoch_shuffle_independence", # epoch-shuffle rank independence
-    "wau_sliding_distinct",       # weekly-active sliding distinct
-    "user_contribution_capping",  # per-user contribution cap
-    "pareto_skyline_select",      # pareto-dominance skyline
-    "bitmap_index_intersect",     # roaring-style bitmap intersect
-    "winnow_overlap_pairs",       # winnowing fingerprint overlap pairs
-    "good_turing_unseen_mass",    # Good-Turing unseen-mass estimate
-    "heaps_law_fit",              # Heaps' law vocabulary growth fit
-    "bpe_encode_fertility",       # BPE encode + fertility stats
-    "curriculum_interleave_order",# curriculum interleave ordering
-    "delta_encoding_audit",       # delta/varint encoding audit
-    "schema_evolution_merge",     # mergeSchema evolution read
-    "binary_file_ingest",         # binaryFile ingest byte provenance
-    "stream_decontaminate_screen",# streaming 13-gram decontamination
-    "stream_static_enrich",       # stream-static dimension enrich
-    "stream_stream_left_join",    # stream-stream outer join w/ watermark
-    "winnowing_fingerprints",     # winnowing document fingerprints
-    "dsir_importance_weights",    # DSIR importance weighting
-    "graph_label_propagation",    # label propagation (lineage fix r6)
-    "range_partition_plan",       # range-partition boundary planning
-    "zonemap_skipping_audit",     # zone-map file-skip audit
-    "temperature_mixture_alloc",  # temperature-scaled mixture allocation
-    # --- round-6k continuation wave (never hashed) ---
-    "resample_interpolate_daily", # gap resample + linear interpolation
-    "rolling_correlation_daily",  # rolling windowed correlation
-    "rank_biased_overlap",        # RBO ranking-similarity
-    "dp_geometric_noise_audit",   # DP geometric-noise unbiasedness audit
-    "l_diversity_audit",          # l-diversity privacy audit
-    "equidepth_histogram",        # equi-depth histogram boundaries
-    "hashing_trick_features",     # feature-hashing collisions/features
-    "robust_scaler_features",     # median/IQR robust scaling
-    "negative_sampling_skipgram", # skip-gram negative sampling table
-    "cogroup_click_purchase_lag", # cogroup applyInPandas click→purchase lag
-    "span_corruption_mask",       # T5-style span corruption masking
-    "graph_personalized_pagerank",# personalized PageRank
-    "stream_upsert_sink",         # foreachBatch upsert (A6 sink class)
-    "quantile_normalization",     # cross-sample quantile normalization
-    "weighted_median_grouped",    # weighted median per group
-    "theil_sen_slope",            # Theil-Sen robust slope
+    # --- round-8 rotation (VERDICT r7 task 1): 47 fresh / 3 re-pins
+    # (94% fresh >= 80% policy). Head: the 14 never-hashed spillover
+    # rows from the committed r8 plan; then the sanctioned re-pins of
+    # the three queries whose loop internals were rewritten in r7 and
+    # are only locally verified; then COVERAGE.md ledger '---' rows by
+    # module (subquery, arrays/maps, multimodal, stats/audit, text).
+    # Zero rows-only slots; cumulative driver coverage 221 -> 268 of
+    # 342 if green (47 fresh).
+    "kmeans_table_assign_prod",   # r7 registry addition, never hashed
+    "mutual_nearest_neighbors",   # MNN pairs (spillover)
+    "bootstrap_mean_ci",          # deterministic bootstrap CI (spillover)
+    "udtf_sentence_split",        # UDTF sentence splitting (spillover)
+    "ntile_ranks",                # NTILE window ranks (spillover)
+    "sliding_row_frame",          # ROWS BETWEEN frame (spillover)
+    "set_intersect_all",          # INTERSECT ALL semantics (spillover)
+    "percentile_interpolated",    # type-7 interpolated percentile
+    "debounce_events",            # debounce quiet-gap keeper (spillover)
+    "ewma_smoothing",             # exponential moving average (spillover)
+    "distinct_until_changed",     # change-point dedup (spillover)
+    "pairwise_deltas",            # lag-1 pairwise deltas (spillover)
+    "take_last_events",           # take_last tail slice (spillover)
+    "start_with_seed",            # start_with seed prepend (spillover)
+    "dedup_clusters",             # RE-PIN: CC loop rewritten r7
+    "graph_pagerank",             # RE-PIN: _sized_persist loop r7
+    "dedup_pipeline_e2e",         # RE-PIN: flagship, CC internals r7
+    "exists_subquery",            # correlated EXISTS
+    "not_exists_subquery",        # anti-join NOT EXISTS
+    "in_subquery_having",         # IN subquery under HAVING
+    "array_scalars",              # array scalar function family
+    "posexplode_tokens",          # posexplode with ordinality
+    "map_type_functions",         # map type construction/lookup
+    "array_higher_order",         # transform/filter/aggregate lambdas
+    "unpivot_measures",           # UNPIVOT to long form
+    "binary_payload_meta",        # binary payload typed metadata
+    "multimodal_decode_exact",    # deterministic fake-decode path
+    "benford_digit_check",        # Benford first-digit audit
+    "ks_test_cohorts",            # Kolmogorov-Smirnov two-sample
+    "mannwhitney_u_cohorts",      # Mann-Whitney U rank test
+    "cusum_changepoint",          # CUSUM changepoint detection
+    "levenshtein_pairs",          # edit-distance candidate pairs
+    "hash_sample",                # deterministic hash sampling
+    "cross_join_grid",            # intentional small cross join
+    "bool_aggregates",            # bool_and/bool_or aggregates
+    "linear_regression_agg",      # regr_slope/intercept family
+    "token_count_bpe",            # BPE-ish regex token counts
+    "term_document_frequency",    # TF/DF term statistics
+    "serde_json_roundtrip",       # to_json/from_json roundtrip
+    "cross_source_contamination", # train/eval source overlap
+    "length_percentile_filter",   # per-lang length percentile gate
+    "variant_json_agg",           # semi-structured JSON aggregation
+    "range_bracket_join",         # range-bracket interval join
+    "column_profile",             # per-column profiling stats
+    "domain_mixture_weights",     # domain mixture reweighting
+    "bpe_pair_counts",            # BPE merge pair counting
+    "weighted_sample_es",         # exponential-sort weighted sample
+    "zorder_locality",            # Z-order interleave locality audit
+    "rollup_reaggregate",         # ROLLUP grouping-sets reagg
+    # tail slot: the one sanctioned r8 registry addition (VERDICT r7 task
+    # 5) — fresh by construction; char_entropy moves to the r9 plan head
+    "supplier_cooccurrence_capped",
 ]
 
 

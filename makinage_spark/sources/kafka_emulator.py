@@ -47,10 +47,16 @@ def topic_path(broker_dir: str, topic: str) -> str:
 
 def _existing(spark: SparkSession, broker_dir: str, topic: str) -> DataFrame:
     path = topic_path(broker_dir, topic)
-    try:
-        return spark.read.schema(WIRE_SCHEMA).parquet(path)
-    except Exception:  # topic not yet created: empty log
+    # existence-check BEFORE touching the reader (r8): a read of a missing
+    # path fails inside DataSource resolution, and that failed analysis is
+    # re-raised asynchronously by any lingering ExecutionListener (e.g. an
+    # Observation registered by a metrics tap whose plan was explained but
+    # never executed) — the race logged "ERROR ExecutionListenerBus …
+    # PATH_NOT_FOUND …/events_topic" during plan audits. An empty log is a
+    # normal state for a topic, not an exception to catch.
+    if not os.path.isdir(path):
         return spark.createDataFrame([], WIRE_SCHEMA)
+    return spark.read.schema(WIRE_SCHEMA).parquet(path)
 
 
 def produce(

@@ -330,3 +330,37 @@ def test_max_files_per_trigger_bounds_micro_batches(spark, broker, tmp_path):
     )
     q2.awaitTermination()
     assert sum(sizes_all) == 6
+
+
+def test_missing_topic_never_reaches_the_reader(spark, broker, monkeypatch):
+    """Regression (VERDICT r7 task 3): a not-yet-created topic must resolve
+    to an empty log via an existence check, NOT via catching the reader's
+    PATH_NOT_FOUND — a failed DataSource resolution is re-raised
+    asynchronously by any lingering ExecutionListener (an Observation from a
+    metrics tap whose plan was explained but never executed), which is
+    exactly the 'ERROR ExecutionListenerBus … PATH_NOT_FOUND …/events_topic'
+    race the plan audit logged."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    attempted: list[tuple] = []
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        attempted.append(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    out = emu._existing(spark, broker, "never_created")
+    assert out.count() == 0
+    assert out.columns == ["key", "value", "topic", "partition", "offset",
+                           "timestamp"]
+    assert attempted == [], (
+        "missing topic dir must short-circuit before DataFrameReader.parquet"
+    )
+    # and produce() into a fresh broker (the high-water-mark probe is the
+    # call site that raced) still assigns offsets from -1
+    _produce_strings(spark, broker, "never_created", ["a", "b"])
+    rows = emu._existing(spark, broker, "never_created").collect()
+    assert sorted(r.offset for r in rows) == [0, 0] or sorted(
+        r.offset for r in rows
+    ) == [0, 1]

@@ -965,13 +965,16 @@ def test_connected_components_empty_pairs(spark):
 
 
 def test_sized_persist_policy(spark):
-    """The graph-sizing rule (r7): small derived relations land at the floor
-    of 4 partitions; the partition count grows with the row count at
-    ~250k rows/partition; the cap is the session's shuffle partitions; and
-    sizing never changes the rows."""
+    """The graph-sizing rule (r8, un-clamped per VERDICT r7 task 2): small
+    derived relations land at the floor of 4 partitions; the partition
+    count grows with the row count at ~250k rows/partition REGARDLESS of
+    the session's shuffle-partitions config (the data, not the session
+    default, picks the width); sizing works in BOTH directions (downsizes
+    corpus-width relations, upsizes huge graphs built under a small
+    session config); and sizing never changes the rows."""
     from pyspark.sql import functions as F
 
-    from makinage_spark.graphs import _sized_persist
+    from makinage_spark.graphs import _graph_parts, _sized_persist
 
     small = spark.range(1000).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
@@ -989,14 +992,49 @@ def test_sized_persist_policy(spark):
     assert sized_mid.rdd.getNumPartitions() == 4
     sized_mid.unpersist()
 
-    # 1.3M rows -> 1_300_000 // 250_000 + 1 = 6, clamped to the session's
-    # shuffle-partitions cap (the test session pins 4; a 32-way session
-    # would get 6)
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 1.3M rows -> 1_300_000 // 250_000 + 1 = 6 — NOT clamped to the
+    # session's shuffle partitions (the test session pins 4): the r7 cap
+    # would have squeezed a 10B-edge graph onto an untuned session's
+    # 8-or-200 partitions. This also pins the UPSIZE path: the input
+    # arrives at 2 partitions and must be widened to 6.
     big = spark.range(1_300_000).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
-    ).repartition(32)
+    ).repartition(2)
     sized_big = _sized_persist(big)
-    assert sized_big.rdd.getNumPartitions() == min(cap, 6)
+    assert sized_big.rdd.getNumPartitions() == 6
     assert sized_big.count() == 1_300_000
     sized_big.unpersist()
+
+    # pure-function contract of the width rule, including the 10B-edge
+    # shape a local test can't materialize
+    assert _graph_parts(0) == 4
+    assert _graph_parts(250_000 * 40_000) == 40_001
+
+
+def test_connected_components_deep_chain_logarithmic_rounds(spark):
+    """Deep-diameter convergence pin (VERDICT r7 task 6): the e2e dup graphs
+    CC was tuned on are star-heavy and shallow (<= 5 rounds), so they never
+    exercised the pointer-jumping claim. A 10k-node path graph (diameter
+    9 999) must converge to ONE cluster in O(log diameter) rounds — the
+    hash-to-min + path-halving structure, not O(diameter) — leaving
+    max_iter=25 enough headroom for a ~2^24-node path. Measured: 14 rounds
+    (log2(10 000) = 13.3), bound ceil(log2 n) + 3."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from makinage_spark.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    stats: dict = {}
+    out = connected_components(pairs, stats=stats)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.count_distinct("cluster_id").alias("clusters"),
+        F.max("cluster_id").alias("max_label"),
+    ).first()
+    assert (agg.nodes, agg.clusters, agg.max_label) == (n, 1, 0)
+    assert 8 <= stats["rounds"] <= math.ceil(math.log2(n)) + 3, stats
