@@ -9740,7 +9740,7 @@ def q_kmeans_table_assign(spark, sf_dir):
     "kmeans_table_assign_prod",
     """
     SELECT CAST(64 AS BIGINT) AS k,
-           COUNT(*) AS n_assigned,
+           COUNT(DISTINCT vec_id) AS n_assigned,
            TRUE AS n_clusters_le_k,
            TRUE AS one_cluster_per_vec
     FROM embeddings WHERE embedding IS NOT NULL
@@ -9758,7 +9758,10 @@ def q_kmeans_table_assign_prod(spark, sf_dir):
     is data-derived in-plan: every non-null vector gets assigned exactly one
     cluster and the cluster-id set stays within k — double-vs-exact
     clustering agreement on separated data is pinned by
-    tests/test_text_dedup_vectors.py's production-path tests."""
+    tests/test_text_dedup_vectors.py's production-path tests. The oracle
+    counts DISTINCT vec_id (r8, ADVICE): the table-path kmeans groups by
+    vec_id, so a fixture with duplicate ids would otherwise silently
+    shrink n_assigned and make one_cluster_per_vec trivially true."""
     emb = load_wide(spark, sf_dir, "embeddings")
     assigned = vectors.kmeans_lloyd(
         emb, k=64, iters=2, assign="table", exact=False

@@ -32,7 +32,14 @@ def _merge_topk(vals: list, ids: list, k: int) -> tuple[list, list]:
 
 
 def has_transform_with_state() -> bool:
-    """transformWithStateInPandas needs protobuf for its state-server RPC."""
+    """transformWithStateInPandas needs protobuf for its state-server RPC.
+
+    Availability re-probed 2026-08-15 (round 8, VERDICT r7 task 7):
+    ``import google.protobuf`` still raises ModuleNotFoundError in this
+    container and installs are disallowed, so the TWS twins stay gated;
+    the applyInPandasWithState implementations remain the registered,
+    oracle-checked surface. Re-probe each round — if the wheel appears,
+    promote the TWS twins into the registry with oracle pairs."""
     try:
         from google.protobuf import descriptor  # noqa: F401
 

@@ -35,14 +35,7 @@ DEFAULT_CANDIDATES = [
 ]
 
 
-def time_query(name: str, attempts: int = 2) -> float:
-    spark = mk.get_spark(
-        app_name="ab_load_wide",
-        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        extra_confs={"spark.ui.enabled": "false"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+def time_query(spark, name: str, attempts: int = 2) -> float:
     fn = Q.QUERIES[name]
     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm-up
     best = float("inf")
@@ -55,24 +48,35 @@ def time_query(name: str, attempts: int = 2) -> float:
 
 
 def main() -> None:
+    # ONE session for every leg (ADVICE r7): getOrCreate would hand every
+    # per-call construction the same session anyway — build it once so the
+    # shared-session/shared-conf assumption is explicit, and stop it at exit
+    spark = mk.get_spark(
+        app_name="ab_load_wide",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     names = sys.argv[1:] or DEFAULT_CANDIDATES
     orig = Q.load_wide
     print(f"{'query':32s} {'ON(s)':>8s} {'OFF(s)':>8s} {'OFF/ON':>7s}  decision")
     for name in names:
         Q.load_wide = orig
-        t_on = time_query(name)
+        t_on = time_query(spark, name)
         Q.load_wide = (
             lambda spark, sf_dir, table, repartition=True: orig(
                 spark, sf_dir, table, repartition=False
             )
         )
-        t_off = time_query(name)
+        t_off = time_query(spark, name)
         Q.load_wide = orig
         ratio = t_off / t_on if t_on else float("inf")
         decision = "OFF (skip exchange)" if t_off < t_on * 0.9 else (
             "ON (keep exchange)" if t_on < t_off * 0.9 else "tie (keep ON)"
         )
         print(f"{name:32s} {t_on:8.3f} {t_off:8.3f} {ratio:7.2f}  {decision}")
+    spark.stop()
 
 
 if __name__ == "__main__":
