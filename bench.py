@@ -109,6 +109,10 @@ HEADLINE = [
     "eval_suite_builder_e2e",
     # round-6h addition: the RAG corpus-build flagship composition
     "rag_ingest_pipeline_e2e",
+    # round-8 addition: degree-capped wedge expansion + its recall audit
+    # (the one sanctioned r8 query; carries BOTH the capped and the full
+    # edge build, so it times the audit, not the production-only plan)
+    "supplier_cooccurrence_capped",
 ]
 
 
@@ -254,9 +258,12 @@ def main():
         )
         if prior:
             prev = json.load(open(prior[-1]))
+            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+                # driver artifacts wrap the bench line: {n, rc, tail, parsed}
+                prev = prev["parsed"]
             prev_q, prev_probe = prev.get("queries", {}), prev.get("spark_probe_sec")
             matched = sorted(set(timings) & set(prev_q))
-            if matched and prev_probe and probe:
+            if matched and prev_probe and probe and prev.get("sf") == out["sf"]:
                 cur_n = sum(timings[q] for q in matched) / probe
                 prev_n = sum(prev_q[q] for q in matched) / prev_probe
                 out["matched_prev"] = {

@@ -19466,25 +19466,36 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
     )
 
 
-#: r8 rotation plan — EXECUTED below (registry FROZEN per VERDICT r6 task 1:
-#: no new queries
-#: until cumulative driver-checked >= 255/341): head the r8 window with the
-#: 14 never-hashed rows that spilled out of this round's 50
-#: (kmeans_table_assign_prod — the one r7 registry addition,
-#: mutual_nearest_neighbors, bootstrap_mean_ci, udtf_sentence_split,
-#: ntile_ranks, sliding_row_frame, set_intersect_all,
-#: percentile_interpolated, debounce_events, ewma_smoothing,
-#: distinct_until_changed, pairwise_deltas, take_last_events,
-#: start_with_seed), then continue down COVERAGE.md's registry-audit ledger
-#: rows marked "—" in driver-first-green order of module (subquery family:
-#: exists_subquery, not_exists_subquery, in_subquery_having; arrays/maps:
-#: array_scalars, posexplode_tokens, map_type_functions,
-#: array_higher_order, unpivot_measures; multimodal: binary_payload_meta,
-#: multimodal_decode_features, multimodal_decode_exact,
-#: multimodal_frame_sample; stats/audit continuation: benford_digit_check,
-#: ks_test_cohorts, mannwhitney_u_cohorts, cusum_changepoint, ...) keeping
-#: >= 80% fresh and zero rows-only slots.
-#: Round this window was cut in — the freshness guard in
+#: r9 rotation plan (if the r8 window lands green, cumulative driver
+#: coverage reaches 268/343 — past the 255 threshold, so the registry
+#: freeze LIFTS for r9; keep additions verdict-scoped regardless). 75
+#: queries remain never-driver-checked; the r9 window should take the next
+#: 50 in ledger order, headed by char_entropy (displaced from the r8 tail
+#: by the sanctioned supplier_cooccurrence_capped): char_entropy,
+#: daily_count_anomalies, mad_outliers, degree_distribution,
+#: supplier_cooccurrence_similarity, phrase_search,
+#: status_validity_intervals, embedding_power_iteration,
+#: session_funnel_rates, embedding_label_drift, watermark_lateness_audit,
+#: vocab_id_assignment, referential_integrity_audit,
+#: last_touch_attribution, period_profile_diff, max_concurrent_intervals,
+#: time_weighted_average, event_transition_matrix,
+#: cumulative_distinct_users, group_linear_regression, winsorized_mean,
+#: zipf_rank_slope, corpus_shard_manifest, train_holdout_split,
+#: token_budget_pick, epoch_mixture_expand, perplexity_tertiles,
+#: length_bucket_padding, bloom_prune_audit, stream_bloom_screen,
+#: cluster_best_representative, url_canonicalize_dedup,
+#: ngram_novelty_score, code_detect_signals, dedup_rate_by_source,
+#: shard_balance_audit, split_leakage_audit, incremental_ingest_pipeline,
+#: segment_firstkeep_reconstruct, graph_triangle_count,
+#: naive_bayes_language, cms_heavy_hitters, k_anonymity_audit,
+#: cms_join_size_estimate, jl_projection_distortion, hybrid_rrf_retrieval,
+#: source_score_calibration, chi_square_feature_terms,
+#: ab_test_proportions, markov_stationary_profile — leaving 25 for r10
+#: (mixture_waterfill_alloc … next_event_majority_accuracy plus the two
+#: rows-only multimodal paths that by policy never occupy hash slots),
+#: keeping >= 80% fresh and spending any re-pin allowance on queries whose
+#: code changes in r9.
+#: Round the CURRENT window below was cut in — the freshness guard in
 #: tests/test_query_registry.py counts only CORRECTNESS artifacts from
 #: EARLIER rounds, so the driver writing this round's artifact at round end
 #: doesn't retroactively fail the invariant.

@@ -104,3 +104,40 @@ def read_csv(spark: SparkSession, path: str, schema: str | None = None, **option
     else:
         reader = reader.option("inferSchema", "true")
     return reader.csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    key: str | list[str],
+    buckets: int = 8,
+    path: str | None = None,
+    mode: str = "overwrite",
+    sort: bool = True,
+) -> None:
+    """Persist a relation BUCKETED by its join/aggregation key — the disk
+    layout that makes repeated equi-joins and aggs on that key
+    exchange-free (the 100 TB co-location play: pay the shuffle once at
+    write time, never again at read time).
+
+    Two relations bucketed by the same key with the SAME bucket count
+    join with zero Exchange on either side (pinned by
+    tests/test_bucketed_join.py::test_write_bucketed_helper_exchange_free);
+    a groupBy on the bucket key likewise skips its exchange. ``sort=True``
+    additionally orders within buckets so sort-merge joins skip their
+    per-partition sorts.
+
+    Bucket metadata lives in the session catalog, so this goes through
+    ``saveAsTable`` — a plain ``.parquet(path)`` write SILENTLY DROPS
+    bucketing. Pass ``path`` to keep the data external (catalog entry
+    points at your lake path); bucket count should target ~128 MB of the
+    DOMINANT consumer's projection per bucket file, and must match across
+    relations you intend to co-join.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode(mode).bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(name)

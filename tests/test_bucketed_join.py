@@ -46,3 +46,39 @@ def test_unbucketed_join_shuffles(spark):
         assert "Exchange hashpartitioning" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_write_bucketed_helper_exchange_free(spark, tmp_path):
+    """The library helper (sources.files.write_bucketed) must carry the same
+    plan property as the raw API above: co-bucketed external tables join
+    with zero hash-partitioning exchanges, and a groupBy on the bucket key
+    skips its exchange too (one write-time shuffle bought ALL downstream
+    key-local work)."""
+    import uuid
+
+    from makinage_spark.sources.files import write_bucketed
+
+    li = spark.range(0, 10_000).selectExpr(
+        "id % 1000 AS l_orderkey", "CAST(id % 50 AS DOUBLE) AS l_quantity"
+    )
+    o = spark.range(0, 1000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 3 AS STRING) AS o_status"
+    )
+    n1, n2 = f"li_h_{uuid.uuid4().hex[:6]}", f"o_h_{uuid.uuid4().hex[:6]}"
+    write_bucketed(li, n1, "l_orderkey", buckets=8, path=str(tmp_path / n1))
+    write_bucketed(o, n2, "o_orderkey", buckets=8, path=str(tmp_path / n2))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t1, t2 = spark.table(n1), spark.table(n2)
+        joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == 10_000
+        agg = t1.groupBy("l_orderkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+        assert agg.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
