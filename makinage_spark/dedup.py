@@ -855,8 +855,15 @@ def connected_components(
         ),
         key="v",
     )
+    # label init = min(id, min neighbor), not id: the node set comes out of
+    # the same |E|→|V| shuffle a distinct-on-u would cost, but the min-agg
+    # starts every node one propagation step ahead — measured one full
+    # round saved (10 → 9 on the sf0.1 minhash pair graph, identical
+    # clusters; A/B r8) at zero extra build cost.
     labels = (
-        edges.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select(F.col("u").alias("id"), F.least("u", "mv").alias("label"))
     ).localCheckpoint(eager=True)
     prev_sum = None
     rounds = 0
