@@ -335,8 +335,13 @@ def minhash_lsh_pairs(
     # recompute the whole shingle→minhash pipeline (a broadcast join has no
     # shuffle exchange for Catalyst to reuse). Same move as materializing the
     # signature table to storage before bucket-joining in a lake pipeline —
-    # the band table is tiny (id, band, 32-char bucket) relative to the text.
-    stacked = stacked.persist()
+    # the band table is tiny (id, band, 32-char bucket) relative to the text,
+    # so it is SIZED on materialization (the shared ~250k-rows/partition
+    # rule): cached at inherited corpus-width partitioning, every downstream
+    # stage schedules a corpus-width wave over near-empty blocks.
+    from makinage_spark.graphs import _sized_persist
+
+    stacked = _sized_persist(stacked, key="bucket")
     left = stacked.alias("l")
     right = stacked.alias("r")
     pairs = (
@@ -430,6 +435,13 @@ def prefix_filter_pairs(
                 f"slice(oit, 1, size(oit) - CAST(ceil({threshold} * size(oit)) AS INT) + 1)"
             ).alias("prefix"),
         )
+        # NOT _sized_persist (r8 A/B): this |docs|-row relation EXPLODES into
+        # prefix-token rows downstream, so its partition count sets the map
+        # parallelism of the expanded join build — sizing it to ~250k input
+        # rows (4 partitions at sf0.1) throttled the prefix join 4.5x
+        # (dedup_jaccard_pairs 5.1 -> 22.7 s). The sizing rule applies to
+        # relations consumed at their own row count (graph edges, band
+        # tables), never to pre-explosion inputs.
         .persist()
     )
     # candidate ids stay NARROW through the skew-prone join + distinct (two
@@ -539,6 +551,13 @@ def containment_pairs(
                 f"slice(oit, 1, size(oit) - CAST(ceil({threshold} * size(oit)) AS INT) + 1)"
             ).alias("prefix"),
         )
+        # NOT _sized_persist (r8 A/B): this |docs|-row relation EXPLODES into
+        # prefix-token rows downstream, so its partition count sets the map
+        # parallelism of the expanded join build — sizing it to ~250k input
+        # rows (4 partitions at sf0.1) throttled the prefix join 4.5x
+        # (dedup_jaccard_pairs 5.1 -> 22.7 s). The sizing rule applies to
+        # relations consumed at their own row count (graph edges, band
+        # tables), never to pre-explosion inputs.
         .persist()
     )
     pa = ordered.select("doc_id", "sz", F.explode("prefix").alias("ptok"))
