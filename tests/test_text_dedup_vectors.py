@@ -1017,8 +1017,9 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
     exercised the pointer-jumping claim. A 10k-node path graph (diameter
     9 999) must converge to ONE cluster in O(log diameter) rounds — the
     hash-to-min + path-halving structure, not O(diameter) — leaving
-    max_iter=25 enough headroom for a ~2^24-node path. Measured: 14 rounds
-    (log2(10 000) = 13.3), bound ceil(log2 n) + 3."""
+    max_iter=25 enough headroom for a ~2^24-node path. Measured: 13 rounds
+    with the min-neighbor label init (14 with identity init;
+    log2(10 000) = 13.3), bound ceil(log2 n) + 3."""
     import math
 
     from pyspark.sql import functions as F
