@@ -335,13 +335,16 @@ def minhash_lsh_pairs(
     # recompute the whole shingle→minhash pipeline (a broadcast join has no
     # shuffle exchange for Catalyst to reuse). Same move as materializing the
     # signature table to storage before bucket-joining in a lake pipeline —
-    # the band table is tiny (id, band, 32-char bucket) relative to the text,
-    # so it is SIZED on materialization (the shared ~250k-rows/partition
-    # rule): cached at inherited corpus-width partitioning, every downstream
-    # stage schedules a corpus-width wave over near-empty blocks.
-    from makinage_spark.graphs import _sized_persist
-
-    stacked = _sized_persist(stacked, key="bucket")
+    # the band table is tiny (id, band, 32-char bucket) relative to the text.
+    # NOT _sized_persist, and specifically never repartitioned by "bucket"
+    # (r8 review): HashPartitioning(bucket) satisfies the self-join's
+    # (band, bucket) clustering on BOTH co-partitioned sides, so
+    # EnsureRequirements would drop the join exchange — and with it AQE's
+    # OptimizeSkewedJoin split, serializing a mega-bucket's s² pair
+    # expansion into one unsplittable task at corpus scale. The inherited
+    # partitioning keeps the exchange, which is exactly where the skew
+    # handling lives; the local sizing gain was measured neutral anyway.
+    stacked = stacked.persist()
     left = stacked.alias("l")
     right = stacked.alias("r")
     pairs = (
@@ -860,7 +863,7 @@ def connected_components(
     ``stats`` (optional out-param) receives ``{"rounds": r}`` — the number
     of executed propagate+jump rounds including the fixpoint-confirming
     one. Diagnostic only: the r8 chain probe pins the O(log diameter)
-    claim (a 10k-node path converges in ~12 rounds, not ~10k) and the
+    claim (a 10k-node path converges in 13 rounds, not ~10k) and the
     ``max_iter=25`` headroom (enough for a path graph of ~2^24 nodes;
     real dup clusters are star-heavy and converge in ≤5).
     """

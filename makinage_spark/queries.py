@@ -19509,7 +19509,7 @@ _SHOWCASE_50 = [
     # are only locally verified; then COVERAGE.md ledger '---' rows by
     # module (subquery, arrays/maps, multimodal, stats/audit, text).
     # Zero rows-only slots; cumulative driver coverage 221 -> 268 of
-    # 342 if green (47 fresh).
+    # 343 if green (47 fresh; 343 = 342 + the sanctioned capped query).
     "kmeans_table_assign_prod",   # r7 registry addition, never hashed
     "mutual_nearest_neighbors",   # MNN pairs (spillover)
     "bootstrap_mean_ci",          # deterministic bootstrap CI (spillover)

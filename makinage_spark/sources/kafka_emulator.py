@@ -53,10 +53,19 @@ def _existing(spark: SparkSession, broker_dir: str, topic: str) -> DataFrame:
     # Observation registered by a metrics tap whose plan was explained but
     # never executed) — the race logged "ERROR ExecutionListenerBus …
     # PATH_NOT_FOUND …/events_topic" during plan audits. An empty log is a
-    # normal state for a topic, not an exception to catch.
-    if not os.path.isdir(path):
+    # normal state for a topic, not an exception to catch. os.path can only
+    # answer for local paths, so scheme-prefixed broker_dirs (hdfs://,
+    # s3a://, …) keep the reader-probe fallback — the race fix targets the
+    # local/emulator path, which is the only one this sandbox exercises.
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if "://" not in local:
+        if not os.path.isdir(local):
+            return spark.createDataFrame([], WIRE_SCHEMA)
+        return spark.read.schema(WIRE_SCHEMA).parquet(path)
+    try:
+        return spark.read.schema(WIRE_SCHEMA).parquet(path)
+    except Exception:  # remote topic not yet created: empty log
         return spark.createDataFrame([], WIRE_SCHEMA)
-    return spark.read.schema(WIRE_SCHEMA).parquet(path)
 
 
 def produce(
