@@ -5,6 +5,11 @@ Reference: Kafka consumer/producer (makinage/operator.py:216-269), bounded pull
 is this engine's fixture/batch format (the reference has none — SURVEY §2.3).
 """
 
-from makinage_spark.sources.files import load_table, load_tables, read_csv
+from makinage_spark.sources.files import (
+    load_table,
+    load_tables,
+    read_csv,
+    write_bucketed,
+)
 
-__all__ = ["load_table", "load_tables", "read_csv"]
+__all__ = ["load_table", "load_tables", "read_csv", "write_bucketed"]

@@ -82,3 +82,26 @@ def test_write_bucketed_helper_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {n1}")
         spark.sql(f"DROP TABLE IF EXISTS {n2}")
+
+
+def test_minhash_band_self_join_keeps_its_exchange(spark):
+    """Regression guard for the r8 review finding: the LSH band table must
+    NOT be pre-partitioned by bucket alone — HashPartitioning(bucket)
+    satisfies the self-join's (band, bucket) clustering on both
+    co-partitioned sides, which would drop the join exchange and with it
+    AQE's skew-join split (a mega-bucket's quadratic pair expansion would
+    serialize into one task at corpus scale). So: with broadcast disabled,
+    the pair join's plan must contain a shuffle exchange."""
+    from makinage_spark import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox document number {i % 3} padded out") for i in range(24)],
+        "doc_id long, text string",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
