@@ -364,3 +364,20 @@ def test_missing_topic_never_reaches_the_reader(spark, broker, monkeypatch):
     assert sorted(r.offset for r in rows) == [0, 0] or sorted(
         r.offset for r in rows
     ) == [0, 1]
+
+
+def test_scheme_prefixed_broker_dir_roundtrip(spark, tmp_path):
+    """The r8 review fix's URI path: a file://-prefixed broker_dir must
+    behave exactly like the bare local path — missing topic short-circuits
+    to an empty log (scheme stripped for the isdir check), and produce →
+    read round-trips with correct offsets against the same physical dir."""
+    bare = str(tmp_path / "broker")
+    uri = "file://" + bare
+    assert emu._existing(spark, uri, "nope").count() == 0
+    _produce_strings(spark, bare, "t", ["a", "b", "c"], partitions=1)
+    rows = emu._existing(spark, uri, "t").collect()
+    assert sorted(r.offset for r in rows) == [0, 1, 2]
+    # and produce THROUGH the uri continues offsets from the same log
+    _produce_strings(spark, uri, "t", ["d"], partitions=1)
+    again = emu._existing(spark, bare, "t").collect()
+    assert sorted(r.offset for r in again) == [0, 1, 2, 3]
