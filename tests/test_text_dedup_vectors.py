@@ -1039,3 +1039,28 @@ def test_connected_components_deep_chain_logarithmic_rounds(spark):
     ).first()
     assert (agg.nodes, agg.clusters, agg.max_label) == (n, 1, 0)
     assert 8 <= stats["rounds"] <= math.ceil(math.log2(n)) + 3, stats
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint="reliable" runs each CC round through
+    sparkContext.setCheckpointDir storage (the cluster-mode lineage cut —
+    executor loss resumes from the last round's materialized labels instead
+    of source lineage): identical clusters to the local-checkpoint default,
+    checkpoint files actually written, bad modes rejected."""
+    import pytest
+
+    from makinage_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ck"))
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, checkpoint="reliable").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    ck_files = list((tmp_path / "ck").rglob("*"))
+    assert ck_files, "reliable checkpoint wrote nothing"
+    with pytest.raises(ValueError):
+        connected_components(pairs, checkpoint="hdfs")
