@@ -252,10 +252,37 @@ def main():
         import re as _re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        prior = sorted(
-            glob.glob(os.path.join(here, "BENCH_r*.json")),
-            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
-        )
+
+        def _round_of(p):
+            return int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
+        # ADVICE r8: the glob used to include the CURRENT round's own driver
+        # artifact (written before a same-round re-run), so the bench
+        # compared against itself and reported ratio ≈ 1.0 labeled "vs most
+        # recent committed". The current round is 1 + the newest driver
+        # correctness artifact (the driver writes CORRECTNESS_r{N} at round
+        # N's end, before round N+1's bench runs); BENCH artifacts from that
+        # round or later are this round's own output, not a baseline. An
+        # explicit BENCH_PREV=<path> overrides the inference entirely.
+        env_prev = os.environ.get("BENCH_PREV")
+        if env_prev:
+            prior = [env_prev] if os.path.exists(env_prev) else []
+        else:
+            cur_round = 1 + max(
+                (
+                    _round_of(p)
+                    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                ),
+                default=10**9,
+            )
+            prior = sorted(
+                (
+                    p
+                    for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                    if _round_of(p) < cur_round
+                ),
+                key=_round_of,
+            )
         if prior:
             prev = json.load(open(prior[-1]))
             if "queries" not in prev and isinstance(prev.get("parsed"), dict):

@@ -845,7 +845,12 @@ def connected_components(
     cluster pass ``checkpoint="reliable"`` after
     ``spark.sparkContext.setCheckpointDir(hdfs_path)`` so each round's
     labels land on fault-tolerant storage and a mid-job loss resumes from
-    the last round instead of hour-one.
+    the last round instead of hour-one. Reliable mode writes one snapshot
+    for the init plus two per round and Spark only deletes superseded ones
+    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — set it, or a long run accumulates O(rounds·|V|) label
+    snapshots on the checkpoint store (~2·rounds·|V| rows; at 10⁹ nodes ×
+    18 rounds ≈ 36 snapshots × ~16 GB ≈ 0.6 TB of dead state).
 
     Two loop-cost policies (r7, both A/B-measured at sf0.1 — 10.7 s → 5.9 s
     combined on the e2e pipeline's 30k-edge graph):
@@ -865,9 +870,12 @@ def connected_components(
       (one cached-scan agg vs a third shuffle join per round). The scalar is
       the only driver-side value in the loop.
 
-    ``stats`` (optional out-param) receives ``{"rounds": r}`` — the number
-    of executed propagate+jump rounds including the fixpoint-confirming
-    one. Diagnostic only: the r8 chain probe pins the O(log diameter)
+    ``stats`` (optional out-param) receives ``{"rounds": r, "converged":
+    bool}`` — the number of executed propagate+jump rounds including the
+    fixpoint-confirming one, and whether the label sum actually reached a
+    fixpoint (``converged=False`` ⇒ the loop hit ``max_iter`` and a
+    warning was emitted; ``rounds == max_iter`` alone is ambiguous between
+    the two). Diagnostic only: the r8 chain probe pins the O(log diameter)
     claim (a 10k-node path converges in 13 rounds, not ~10k) and the
     ``max_iter=25`` headroom (enough for a path graph of ~2^24 nodes;
     real dup clusters are star-heavy and converge in ≤5).
@@ -904,6 +912,7 @@ def connected_components(
     )
     prev_sum = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         nbr = (
@@ -952,11 +961,25 @@ def connected_components(
         label_sum = obs.get["s"]
         labels = jumped
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
     edges.unpersist()
+    if not converged:
+        # ADVICE r8: rounds == max_iter alone cannot distinguish "converged
+        # exactly on the last allowed round" from "hit the cap unconverged" —
+        # the loop used to exit silently with possibly-unconverged labels.
+        import warnings
+
+        warnings.warn(
+            f"connected_components hit max_iter={max_iter} without the label "
+            "sum reaching a fixpoint — clusters may be under-merged; raise "
+            "max_iter (each round doubles effective propagation distance)",
+            stacklevel=2,
+        )
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

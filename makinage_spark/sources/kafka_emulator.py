@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 from typing import Any
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,9 +58,17 @@ def _existing(spark: SparkSession, broker_dir: str, topic: str) -> DataFrame:
     # answer for local paths, so scheme-prefixed broker_dirs (hdfs://,
     # s3a://, …) keep the reader-probe fallback — the race fix targets the
     # local/emulator path, which is the only one this sandbox exercises.
-    local = path[len("file://"):] if path.startswith("file://") else path
-    if "://" not in local:
-        if not os.path.isdir(local):
+    # URI handling (r9, ADVICE): string-prefix stripping only understood the
+    # double-slash form 'file://…'; Spark's own normalization emits
+    # 'file:/path' (single slash), which contains no '://' and therefore fell
+    # into the local branch where os.path.isdir('file:/…') is always False —
+    # an existing topic silently read as empty and produce() restarted
+    # offsets at -1, appending duplicate offsets. Parse the URI instead: any
+    # file-scheme (or scheme-less) path with a local authority is answered by
+    # os.path; everything else keeps the reader-probe fallback.
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file") and parsed.netloc in ("", "localhost"):
+        if not os.path.isdir(parsed.path):
             return spark.createDataFrame([], WIRE_SCHEMA)
         return spark.read.schema(WIRE_SCHEMA).parquet(path)
     try:

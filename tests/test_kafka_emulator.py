@@ -381,3 +381,23 @@ def test_scheme_prefixed_broker_dir_roundtrip(spark, tmp_path):
     _produce_strings(spark, uri, "t", ["d"], partitions=1)
     again = emu._existing(spark, bare, "t").collect()
     assert sorted(r.offset for r in again) == [0, 1, 2, 3]
+
+
+def test_single_slash_file_uri_sees_existing_log(spark, tmp_path):
+    """ADVICE r8 (medium): Spark's own normalized single-slash form
+    'file:/path' carries no '://', so the old prefix-strip sent it down the
+    local branch where os.path.isdir('file:/…') is always False — an
+    existing topic silently read as an empty log and produce() restarted
+    offsets at -1, appending DUPLICATE offsets to a non-empty log. The
+    urlparse-based check must resolve every local file-URI spelling to the
+    same physical log."""
+    bare = str(tmp_path / "broker")
+    _produce_strings(spark, bare, "t", ["a", "b", "c"], partitions=1)
+    for spelling in ("file:" + bare, "file://" + bare, "file:///" + bare.lstrip("/")):
+        rows = emu._existing(spark, spelling, "t").collect()
+        assert sorted(r.offset for r in rows) == [0, 1, 2], spelling
+    # the corruption scenario: produce through the single-slash spelling
+    # must CONTINUE offsets (3), not restart at 0
+    _produce_strings(spark, "file:" + bare, "t", ["d"], partitions=1)
+    again = emu._existing(spark, bare, "t").collect()
+    assert sorted(r.offset for r in again) == [0, 1, 2, 3]

@@ -1064,3 +1064,35 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert ck_files, "reliable checkpoint wrote nothing"
     with pytest.raises(ValueError):
         connected_components(pairs, checkpoint="hdfs")
+
+
+def test_connected_components_converged_stat_and_cap_warning(spark):
+    """ADVICE r8: stats["rounds"] == max_iter is ambiguous between
+    "converged exactly on the last allowed round" and "hit the cap with
+    possibly-unconverged labels". The stats out-param now disambiguates via
+    stats["converged"], and hitting the cap emits a warning."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from makinage_spark.dedup import connected_components
+
+    # normal run: converges well inside the cap, no warning
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    stats: dict = {}
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        out = connected_components(pairs, stats=stats)
+        assert {r.cluster_id for r in out.collect()} == {1}
+    assert stats["converged"] is True
+    assert stats["rounds"] < 25
+
+    # capped run: a 64-node path cannot converge in 1 round — the stat says
+    # so and the warning fires (labels are still a valid partial result)
+    chain = spark.range(63).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    stats2: dict = {}
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(chain, max_iter=1, stats=stats2).count()
+    assert stats2 == {"rounds": 1, "converged": False}
+    assert any("max_iter" in str(w.message) for w in rec)
