@@ -1099,8 +1099,40 @@ def bloom_test_packed(
     return F.when(col.isNotNull(), hit).otherwise(F.lit(False))
 
 
-def bloom_collect(bitmap: DataFrame, m: int) -> list[int]:
+#: Size gate for the packed-literal Bloom path (VERDICT r8 task 5): the
+#: driver collect is m/64 longs ≈ m/8 bytes, and bloom_test_packed folds the
+#: SAME m/8 bytes into the expression tree as array literals — at the default
+#: ceiling 2^24 bits that is 2 MB collected + a 2 MB plan (analysis and task
+#: broadcast stay cheap); at m = 10^9 bits it would be 125 MB of literals,
+#: which no plan should carry. Beyond the gate the right tool is
+#: :func:`bloom_probe` — the word-keyed JOIN against the bitmap RELATION,
+#: fully distributed, no driver materialization at any m (batch), or a
+#: stream-static join on the same relation (streaming). Spark's native
+#: bloom_filter_agg/might_contain would be the third option, but they are
+#: internal expressions NOT registered for SQL in Spark 4.1 (probed
+#: 2026-08-16: UNRESOLVED_ROUTINE; used only by the optimizer's runtime
+#: row-level filtering), and the JVM-side DataFrameStatFunctions.bloomFilter
+#: also materializes the filter driver-side — so the m-threshold dispatch is
+#: packed-literal below the gate, relation-join above it.
+BLOOM_PACKED_MAX_BITS = 1 << 24
+
+
+def bloom_collect(bitmap: DataFrame, m: int, max_bits: int = BLOOM_PACKED_MAX_BITS) -> list[int]:
     """Collect a :func:`bloom_build` bitmap relation into the dense word list
-    :func:`bloom_test_packed` consumes (missing words = 0)."""
+    :func:`bloom_test_packed` consumes (missing words = 0).
+
+    Bounded control-plane read: m/64 longs (m/8 bytes — 8 KB at the m=2^16
+    the registry queries use). Refuses m beyond ``max_bits`` (default 2^24 =
+    2 MB packed): past that the packed-literal pattern stops being the right
+    plan — route membership through :func:`bloom_probe`'s distributed
+    relation join instead (see BLOOM_PACKED_MAX_BITS for the arithmetic)."""
+    if m > max_bits:
+        raise ValueError(
+            f"m={m} bits exceeds the packed-literal gate ({max_bits}): the "
+            f"driver collect + expression-tree literals would be {m // 8} "
+            "bytes EACH. Use bloom_probe (distributed word-join against the "
+            "bitmap relation) for filters this large, or raise max_bits "
+            "deliberately."
+        )
     got = {int(r["word"]): int(r["bits"]) for r in bitmap.collect()}
     return [got.get(i, 0) for i in range(m // 64)]

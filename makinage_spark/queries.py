@@ -8198,6 +8198,83 @@ def q_supplier_cooccurrence_capped(spark, sf_dir):
 
 
 @register(
+    "supplier_cooccurrence_prod",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY s),
+    er AS (
+      SELECT e.c, e.s,
+             row_number() OVER (PARTITION BY e.c ORDER BY deg.d ASC, e.s)
+               AS rn
+      FROM e JOIN deg ON e.s = deg.s),
+    ec AS (SELECT c, s FROM er WHERE rn <= {_COOC_WEDGE_CAP}),
+    co AS (
+      SELECT a.s AS x, b.s AS y, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ec a JOIN ec b ON a.c = b.c AND a.s < b.s
+      GROUP BY x, y),
+    scored AS (
+      SELECT co.x, co.y, co.cnt,
+             ROUND(cnt / sqrt(CAST(dx.d AS DOUBLE) * dy.d), 6) AS cosine
+      FROM co JOIN deg dx ON co.x = dx.s JOIN deg dy ON co.y = dy.s
+      WHERE co.cnt >= 5)
+    SELECT x, y, cnt, cosine FROM scored
+    ORDER BY cosine DESC, x, y LIMIT 200
+    """,
+)
+def q_supplier_cooccurrence_prod(spark, sf_dir):
+    """The PRODUCTION capped-wedge ranking (VERDICT r8 task 3 — sanctioned
+    r9 addition): the plan a 100 TB co-occurrence run actually ships,
+    standing alone as an oracle-paired query instead of living only inside
+    the double-build audit. Where ``supplier_cooccurrence_capped`` times
+    BOTH edge builds to measure recall, this runs ONLY the capped build —
+    per customer keep the ``_COOC_WEDGE_CAP`` rarest partners (global
+    supplier degree ASC, suppkey tiebreak), wedge-expand the capped
+    adjacency (Σ min(d,C)² — linear in |e| at any scale), normalize by the
+    FULL supplier degrees (a linear aggregate; the cosine denominator keeps
+    its exact meaning), and top-200 via TakeOrderedAndProject. The audit
+    twin pins recall of this plan at 200/200 against the uncapped ranking
+    (floor 0.9) every round. Scale shape: rank-by-rarity reuses the c-hash
+    exchange the wedge self-join needs anyway; deg is a supplier-sized dim
+    joined broadcast; pair counts map-side combine. cnt is an exact
+    BIGINT; one sqrt+divide in IEEE double rounded at 6dp (the
+    hash-matching idiom supplier_cooccurrence_similarity pins)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        li.join(F.broadcast(o), o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    rn = F.row_number().over(Window.partitionBy("c").orderBy(F.asc("d"), F.asc("s")))
+    ec = (
+        e.join(F.broadcast(deg), "s")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= _COOC_WEDGE_CAP)
+        .select("c", "s")
+    )
+    a, b = ec.alias("a"), ec.alias("b")
+    co = (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
+    cos = F.round(F.col("cnt") / F.sqrt(F.col("dx").cast("double") * F.col("dy")), 6)
+    return (
+        co.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select("x", "y", "cnt", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "x", "y")
+        .limit(200)
+    )
+
+
+@register(
     "phrase_search",
     f"""
     WITH toks AS (
@@ -19466,102 +19543,151 @@ def q_eval_suite_builder_e2e(spark, sf_dir):
     )
 
 
-#: r9 rotation plan (if the r8 window lands green, cumulative driver
-#: coverage reaches 268/343 — past the 255 threshold, so the registry
-#: freeze LIFTS for r9; keep additions verdict-scoped regardless). 75
-#: queries remain never-driver-checked; the r9 window should take the next
-#: 50 in ledger order, headed by char_entropy (displaced from the r8 tail
-#: by the sanctioned supplier_cooccurrence_capped): char_entropy,
-#: daily_count_anomalies, mad_outliers, degree_distribution,
-#: supplier_cooccurrence_similarity, phrase_search,
-#: status_validity_intervals, embedding_power_iteration,
-#: session_funnel_rates, embedding_label_drift, watermark_lateness_audit,
-#: vocab_id_assignment, referential_integrity_audit,
-#: last_touch_attribution, period_profile_diff, max_concurrent_intervals,
-#: time_weighted_average, event_transition_matrix,
-#: cumulative_distinct_users, group_linear_regression, winsorized_mean,
-#: zipf_rank_slope, corpus_shard_manifest, train_holdout_split,
-#: token_budget_pick, epoch_mixture_expand, perplexity_tertiles,
-#: length_bucket_padding, bloom_prune_audit, stream_bloom_screen,
-#: cluster_best_representative, url_canonicalize_dedup,
-#: ngram_novelty_score, code_detect_signals, dedup_rate_by_source,
-#: shard_balance_audit, split_leakage_audit, incremental_ingest_pipeline,
-#: segment_firstkeep_reconstruct, graph_triangle_count,
-#: naive_bayes_language, cms_heavy_hitters, k_anonymity_audit,
-#: cms_join_size_estimate, jl_projection_distortion, hybrid_rrf_retrieval,
-#: source_score_calibration, chi_square_feature_terms,
-#: ab_test_proportions, markov_stationary_profile — leaving 25 for r10
-#: (mixture_waterfill_alloc … next_event_majority_accuracy plus the two
-#: rows-only multimodal paths that by policy never occupy hash slots),
-#: keeping >= 80% fresh and spending any re-pin allowance on queries whose
-#: code changes in r9.
+@register(
+    "bucketed_join_zero_exchange",
+    f"""
+    SELECT l_orderkey AS okey, o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+           TRUE AS exchange_free
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY okey, priority
+    """,
+)
+def q_bucketed_join_zero_exchange(spark, sf_dir):
+    """Bucketed co-located fact-fact join (VERDICT r8 task 2 — sanctioned r9
+    addition): the 100 TB layout story as a driver-checkable query. At scale
+    the lineitem ⋈ orders join can broadcast neither side; the standard fix
+    is paying the shuffle ONCE at write time — both tables land bucketed by
+    the join key via :func:`makinage_spark.sources.files.write_bucketed`
+    (catalog-backed ``bucketBy``; a plain ``.parquet()`` write silently
+    drops bucketing), after which the join AND the per-order aggregate run
+    with ZERO exchanges: the bucketed scans report
+    ``HashPartitioning(orderkey)``, the merge-hinted SMJ consumes it on
+    both sides, and the groupBy on (orderkey, priority) is satisfied by the
+    same partitioning (hash keys ⊂ grouping keys). The plan property is
+    pinned IN the row: ``exchange_free`` is computed from the executed
+    plan's string (no ``Exchange`` operator of any kind — hash, range,
+    round-robin, or broadcast) and the oracle pins it ``TRUE``, so a
+    regression that reintroduces a shuffle flips the hash gate, not just a
+    unit test. Values: exact-decimal revenue per (orderkey, priority)
+    against the plain-SQL join — proving the bucketed layout changes the
+    PLAN, never the answer. The merge hint stands in for disabling
+    auto-broadcast: at test scale orders fits a broadcast, which would hide
+    exactly the exchange this query exists to pin; at 100 TB neither side
+    fits and SMJ-over-buckets is the plan AQE picks unaided."""
+    import hashlib
+
+    from makinage_spark.sources.files import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_t, o_t = f"mk_bkt_li_{tag}", f"mk_bkt_o_{tag}"
+    base = f"/tmp/mk_bucketed/{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # the one-time write-side shuffle (production amortizes this across
+    # every downstream consumer of the key)
+    write_bucketed(li, li_t, "l_orderkey", buckets=8, path=f"{base}/{li_t}")
+    write_bucketed(o, o_t, "o_orderkey", buckets=8, path=f"{base}/{o_t}")
+    t_li, t_o = spark.table(li_t), spark.table(o_t)
+    out = (
+        t_li.hint("merge")
+        .join(t_o, t_li.l_orderkey == t_o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("okey"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    return out.withColumn("exchange_free", F.lit("Exchange" not in plan))
+
+
+#: r10 rotation plan (if the r9 window lands green, cumulative driver
+#: coverage reaches 318/345 — 27 never-checked remain, under the ≤25-ish
+#: burn-down horizon VERDICT r8 set for lifting the freeze; one more
+#: window closes it). The r10 window should take the final 27
+#: never-checked queries — ab_test_proportions and
+#: markov_stationary_profile (displaced from the r9 tail by the two
+#: sanctioned additions), then mixture_waterfill_alloc, …,
+#: next_event_majority_accuracy in ledger order (the two rows-only
+#: multimodal paths never occupy hash slots by policy) — topping the
+#: remaining ~23 slots up with re-pins of any queries whose code changes
+#: in r10, keeping >= 80% fresh relative to the r10 cut.
 #: Round the CURRENT window below was cut in — the freshness guard in
 #: tests/test_query_registry.py counts only CORRECTNESS artifacts from
 #: EARLIER rounds, so the driver writing this round's artifact at round end
 #: doesn't retroactively fail the invariant.
-_WINDOW_ROUND = 8
+_WINDOW_ROUND = 9
 
 _SHOWCASE_50 = [
-    # --- round-8 rotation (VERDICT r7 task 1): 47 fresh / 3 re-pins
-    # (94% fresh >= 80% policy). Head: the 14 never-hashed spillover
-    # rows from the committed r8 plan; then the sanctioned re-pins of
-    # the three queries whose loop internals were rewritten in r7 and
-    # are only locally verified; then COVERAGE.md ledger '---' rows by
-    # module (subquery, arrays/maps, multimodal, stats/audit, text).
-    # Zero rows-only slots; cumulative driver coverage 221 -> 268 of
-    # 343 if green (47 fresh; 343 = 342 + the sanctioned capped query).
-    "kmeans_table_assign_prod",   # r7 registry addition, never hashed
-    "mutual_nearest_neighbors",   # MNN pairs (spillover)
-    "bootstrap_mean_ci",          # deterministic bootstrap CI (spillover)
-    "udtf_sentence_split",        # UDTF sentence splitting (spillover)
-    "ntile_ranks",                # NTILE window ranks (spillover)
-    "sliding_row_frame",          # ROWS BETWEEN frame (spillover)
-    "set_intersect_all",          # INTERSECT ALL semantics (spillover)
-    "percentile_interpolated",    # type-7 interpolated percentile
-    "debounce_events",            # debounce quiet-gap keeper (spillover)
-    "ewma_smoothing",             # exponential moving average (spillover)
-    "distinct_until_changed",     # change-point dedup (spillover)
-    "pairwise_deltas",            # lag-1 pairwise deltas (spillover)
-    "take_last_events",           # take_last tail slice (spillover)
-    "start_with_seed",            # start_with seed prepend (spillover)
-    "dedup_clusters",             # RE-PIN: CC loop rewritten r7
-    "graph_pagerank",             # RE-PIN: _sized_persist loop r7
-    "dedup_pipeline_e2e",         # RE-PIN: flagship, CC internals r7
-    "exists_subquery",            # correlated EXISTS
-    "not_exists_subquery",        # anti-join NOT EXISTS
-    "in_subquery_having",         # IN subquery under HAVING
-    "array_scalars",              # array scalar function family
-    "posexplode_tokens",          # posexplode with ordinality
-    "map_type_functions",         # map type construction/lookup
-    "array_higher_order",         # transform/filter/aggregate lambdas
-    "unpivot_measures",           # UNPIVOT to long form
-    "binary_payload_meta",        # binary payload typed metadata
-    "multimodal_decode_exact",    # deterministic fake-decode path
-    "benford_digit_check",        # Benford first-digit audit
-    "ks_test_cohorts",            # Kolmogorov-Smirnov two-sample
-    "mannwhitney_u_cohorts",      # Mann-Whitney U rank test
-    "cusum_changepoint",          # CUSUM changepoint detection
-    "levenshtein_pairs",          # edit-distance candidate pairs
-    "hash_sample",                # deterministic hash sampling
-    "cross_join_grid",            # intentional small cross join
-    "bool_aggregates",            # bool_and/bool_or aggregates
-    "linear_regression_agg",      # regr_slope/intercept family
-    "token_count_bpe",            # BPE-ish regex token counts
-    "term_document_frequency",    # TF/DF term statistics
-    "serde_json_roundtrip",       # to_json/from_json roundtrip
-    "cross_source_contamination", # train/eval source overlap
-    "length_percentile_filter",   # per-lang length percentile gate
-    "variant_json_agg",           # semi-structured JSON aggregation
-    "range_bracket_join",         # range-bracket interval join
-    "column_profile",             # per-column profiling stats
-    "domain_mixture_weights",     # domain mixture reweighting
-    "bpe_pair_counts",            # BPE merge pair counting
-    "weighted_sample_es",         # exponential-sort weighted sample
-    "zorder_locality",            # Z-order interleave locality audit
-    "rollup_reaggregate",         # ROLLUP grouping-sets reagg
-    # tail slot: the one sanctioned r8 registry addition (VERDICT r7 task
-    # 5) — fresh by construction; char_entropy moves to the r9 plan head
-    "supplier_cooccurrence_capped",
+    # --- round-9 rotation (VERDICT r8 task 1): 50/50 fresh (100% >= 80%
+    # policy; no loop internals changed hands unverified in r8, so no
+    # re-pins are owed). Head: the committed r9 shortlist in ledger order
+    # (COVERAGE.md r8 section), headed by char_entropy (displaced from
+    # the r8 tail); tail: the two VERDICT-r8-sanctioned additions (tasks
+    # 2/3), fresh by construction. ab_test_proportions and
+    # markov_stationary_profile move to the r10 plan head. Zero rows-only
+    # slots; cumulative driver coverage 268 -> 318 of 345 if green
+    # (345 = 343 + the two sanctioned queries).
+    "char_entropy",                     # per-doc character entropy
+    "daily_count_anomalies",            # daily-count z-score anomalies
+    "mad_outliers",                     # median-absolute-deviation gate
+    "degree_distribution",              # bipartite log2 degree histogram
+    "supplier_cooccurrence_similarity", # full wedge cosine ranking
+    "phrase_search",                    # positional-index phrase probe
+    "status_validity_intervals",        # status change SCD-2 intervals
+    "embedding_power_iteration",        # dominant eigenvector iterate
+    "session_funnel_rates",             # session-scoped funnel rates
+    "embedding_label_drift",            # per-class centroid drift
+    "watermark_lateness_audit",         # event-time lateness profile
+    "vocab_id_assignment",              # dense vocab ids + coverage
+    "referential_integrity_audit",      # orphan-FK anti-join counts
+    "last_touch_attribution",           # carry-forward attribution
+    "period_profile_diff",              # week-over-week profile delta
+    "max_concurrent_intervals",         # sweep-line concurrency max
+    "time_weighted_average",            # duration-weighted mean
+    "event_transition_matrix",          # next-event transition counts
+    "cumulative_distinct_users",        # first-seen running distinct
+    "group_linear_regression",          # per-group OLS fit
+    "winsorized_mean",                  # p5/p95 winsorized mean
+    "zipf_rank_slope",                  # token rank-frequency slope
+    "corpus_shard_manifest",            # deterministic shard manifest
+    "train_holdout_split",              # salted 98/1/1 hash split
+    "token_budget_pick",                # global-cumsum budget pick
+    "epoch_mixture_expand",             # weight-capped epoch upsample
+    "perplexity_tertiles",              # CCNet head/middle/tail
+    "length_bucket_padding",            # padding-waste economics
+    "bloom_prune_audit",                # bloom FPR/no-false-negative pin
+    "stream_bloom_screen",              # stateless streaming screen
+    "cluster_best_representative",      # per-cluster quality keeper
+    "url_canonicalize_dedup",           # URL canonicalization dedup
+    "ngram_novelty_score",              # first-seen 8-gram fraction
+    "code_detect_signals",              # code-vs-prose routing flag
+    "dedup_rate_by_source",             # cross-source dup matrix
+    "shard_balance_audit",              # shard token-balance bound
+    "split_leakage_audit",              # train/holdout leakage measure
+    "incremental_ingest_pipeline",      # day-2 ingest flagship
+    "segment_firstkeep_reconstruct",    # keep-first segment dedup
+    "graph_triangle_count",             # oriented triangle counting
+    "naive_bayes_language",             # train/score NB in one plan
+    "cms_heavy_hitters",                # count-min sketch audit
+    "k_anonymity_audit",                # QI equivalence-class audit
+    "cms_join_size_estimate",           # sketch join-size estimate
+    "jl_projection_distortion",         # JL projection guarantee audit
+    "hybrid_rrf_retrieval",             # lexical+semantic RRF fusion
+    "source_score_calibration",         # quantile-normalized scores
+    "chi_square_feature_terms",         # χ² discriminative vocabulary
+    # tail slots: the two VERDICT-r8-sanctioned r9 additions (tasks 2/3)
+    "bucketed_join_zero_exchange",      # zero-exchange co-bucketed join
+    "supplier_cooccurrence_prod",       # production capped-wedge top-200
 ]
 
 

@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Hub-heavy wedge-cap probe (VERDICT r8 task 4).
+
+The 5×/25× scaling replicas hold the per-customer degree distribution
+CONSTANT (disjoint worlds), which understates the capped-wedge win: real
+corpus growth raises hub degrees, and the Σdeg² edge build is quadratic in
+exactly those hubs. This probe synthesizes the adversarial shape directly —
+a power-law bipartite adjacency whose max customer degree is ~100× the
+median — and measures, on it:
+
+1. the wedge-work counts Σ d(d−1)/2 (full) vs Σ min(d,C)(min(d,C)−1)/2
+   (capped, C=32 — the shipping ``_COOC_WEDGE_CAP``);
+2. wall time of the full vs capped EDGE BUILD (pair expansion + per-pair
+   count + cnt≥5 filter, count sink, min-of-2);
+3. recall of the full cnt≥5 cosine top-200 inside the capped candidate set
+   (the same audit ``supplier_cooccurrence_capped`` hash-gates on the TPC-H
+   shape, floor 0.9).
+
+Fixture (deterministic, no RNG): customer i of N gets degree
+``d_i = max(d_min, round(d_max / rank_i^0.6))`` — a Zipf-ish curve with
+d_max=400, d_min=4 → median 4, max 400 (100× median). Partner j of customer
+c is supplier ``xxhash64(c, j) mod n_s`` (distinct-folded), so hub customers
+touch most of the supplier universe, concentrating wedge mass the way one
+viral URL / mega-retailer key does at 100 TB.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/skewed_wedge_probe.py [--customers 20000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import makinage_spark as mk  # noqa: E402
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+CAP = 32  # mirror makinage_spark.queries._COOC_WEDGE_CAP
+
+
+def make_adjacency(spark, n_customers: int, n_suppliers: int, d_max: int, d_min: int):
+    """Deterministic power-law (c, s) adjacency — see module docstring."""
+    deg = F.greatest(
+        F.lit(d_min),
+        F.round(F.lit(float(d_max)) / F.pow(F.col("id") + 1, F.lit(0.6))).cast("int"),
+    )
+    e = (
+        spark.range(n_customers)
+        .select(F.col("id").alias("c"), deg.alias("d"))
+        .select("c", F.explode(F.sequence(F.lit(1), F.col("d"))).alias("j"))
+        .select(
+            "c",
+            F.pmod(F.xxhash64(F.col("c"), F.col("j")), F.lit(n_suppliers)).alias("s"),
+        )
+        .distinct()
+    )
+    return e
+
+
+def edge_build(e, adjacency):
+    """Pair expansion + per-pair count + cnt>=5 — the quadratic term."""
+    a, b = adjacency.alias("a"), adjacency.alias("b")
+    return (
+        a.join(b, on=[F.col("a.c") == F.col("b.c"), F.col("a.s") < F.col("b.s")])
+        .groupBy(F.col("a.s").alias("x"), F.col("b.s").alias("y"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--customers", type=int, default=20_000)
+    ap.add_argument("--suppliers", type=int, default=1_000)
+    ap.add_argument("--dmax", type=int, default=400)
+    ap.add_argument("--dmin", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = mk.get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = make_adjacency(spark, args.customers, args.suppliers, args.dmax, args.dmin)
+    e = e.persist()
+    n_edges = e.count()
+
+    cdeg = e.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    prof = cdeg.agg(
+        F.expr("CAST(median(dc) AS BIGINT)").alias("median_d"),
+        F.max("dc").alias("max_d"),
+        F.sum(F.expr("dc * (dc - 1) DIV 2")).alias("wedges_full"),
+        F.sum(
+            F.expr(f"least(dc, {CAP}) * (least(dc, {CAP}) - 1) DIV 2")
+        ).alias("wedges_capped"),
+    ).first()
+
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    rn = F.row_number().over(Window.partitionBy("c").orderBy(F.asc("d"), F.asc("s")))
+    ec = (
+        e.join(F.broadcast(deg), "s")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= CAP)
+        .select("c", "s")
+        .persist()
+    )
+    ec.count()
+
+    def timed(df) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            df.count()
+            best = min(best, time.monotonic() - t0)
+        return round(best, 2)
+
+    t_full = timed(edge_build(e, e))
+    t_capped = timed(edge_build(e, ec))
+
+    # recall: full cnt>=5 cosine top-200 inside the capped candidate set
+    co = edge_build(e, e)
+    dx = deg.select(F.col("s").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("s").alias("y"), F.col("d").alias("dy"))
+    cos = F.round(F.col("cnt") / F.sqrt(F.col("dx").cast("double") * F.col("dy")), 6)
+    full200 = (
+        co.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select("x", "y", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), "x", "y")
+        .limit(200)
+        .select("x", "y")
+    )
+    ca, cb = ec.alias("ca"), ec.alias("cb")
+    capset = (
+        ca.join(cb, on=[F.col("ca.c") == F.col("cb.c"), F.col("ca.s") < F.col("cb.s")])
+        .select(F.col("ca.s").alias("x"), F.col("cb.s").alias("y"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hit = (
+        full200.join(capset, ["x", "y"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+        )
+        .first()
+    )
+
+    print(
+        json.dumps(
+            {
+                "customers": args.customers,
+                "suppliers": args.suppliers,
+                "edges": n_edges,
+                "median_degree": int(prof.median_d),
+                "max_degree": int(prof.max_d),
+                "wedges_full": int(prof.wedges_full),
+                "wedges_capped": int(prof.wedges_capped),
+                "wedge_ratio": round(prof.wedges_full / prof.wedges_capped, 2),
+                "t_full_sec": t_full,
+                "t_capped_sec": t_capped,
+                "n_full_top200": int(hit.n_full),
+                "n_hit": int(hit.n_hit),
+                "recall": round(hit.n_hit / hit.n_full, 4) if hit.n_full else 1.0,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
