@@ -34,8 +34,10 @@ def _merge_topk(vals: list, ids: list, k: int) -> tuple[list, list]:
 def has_transform_with_state() -> bool:
     """transformWithStateInPandas needs protobuf for its state-server RPC.
 
-    Availability re-probed 2026-08-15 (round 8, VERDICT r7 task 7):
-    ``import google.protobuf`` still raises ModuleNotFoundError in this
+    Availability re-probed 2026-08-16 (round 9, VERDICT r8 task 6 — the
+    full gate battery re-ran: google.protobuf, mlflow, PIL, cv2, av,
+    soundfile, kafka, confluent_kafka ALL still ModuleNotFoundError):
+    ``import google.protobuf`` still raises in this
     container and installs are disallowed, so the TWS twins stay gated;
     the applyInPandasWithState implementations remain the registered,
     oracle-checked surface. Re-probe each round — if the wheel appears,
