@@ -879,6 +879,16 @@ def connected_components(
     claim (a 10k-node path converges in 13 rounds, not ~10k) and the
     ``max_iter=25`` headroom (enough for a path graph of ~2^24 nodes;
     real dup clusters are star-heavy and converge in ≤5).
+
+    Degenerate-diameter note (r9, from the r8 chain probe): at extreme
+    diameter the cost is driver-side ROUND latency (2 jobs/round × 18
+    rounds at a 250k-node path), not data volume. If a real corpus ever
+    produces deep chains, the standard upgrade is the large-star/small-star
+    alternation (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — same O(log d) round bound with provably smaller
+    per-round messages; not shipped because every measured dup-pair graph
+    here is star-heavy (≤5 rounds) and the hash-to-min structure keeps each
+    round at exactly one join + one self-join.
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
