@@ -287,8 +287,12 @@ def main():
                 ),
                 key=_round_of,
             )
-        if prior:
-            prev = json.load(open(prior[-1]))
+        # newest-first, falling back past unusable baselines: driver
+        # artifacts are tail-truncated (parsed=None, no queries dict) when
+        # the bench line exceeds the driver's capture window — r8's was —
+        # and a baseline you cannot read is not a baseline.
+        for cand in reversed(prior):
+            prev = json.load(open(cand))
             if "queries" not in prev and isinstance(prev.get("parsed"), dict):
                 # driver artifacts wrap the bench line: {n, rc, tail, parsed}
                 prev = prev["parsed"]
@@ -298,10 +302,11 @@ def main():
                 cur_n = sum(timings[q] for q in matched) / probe
                 prev_n = sum(prev_q[q] for q in matched) / prev_probe
                 out["matched_prev"] = {
-                    "artifact": os.path.basename(prior[-1]),
+                    "artifact": os.path.basename(cand),
                     "n_matched": len(matched),
                     "ratio_normalized": round(cur_n / prev_n, 3),
                 }
+                break
     except Exception as e:  # comparison is advisory — never fail the bench
         print(f"bench: matched_prev comparison skipped: {e}", file=sys.stderr)
     # interpretability guard (VERDICT r6 task 7): a run that started on a

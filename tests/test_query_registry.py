@@ -41,9 +41,10 @@ def test_every_oracle_has_a_query():
 
 
 def test_registry_size_floor():
-    # coverage must never silently shrink across rounds
-    assert len(QUERIES) >= 180
-    assert len(ORACLES) >= 172
+    # coverage must never silently shrink across rounds (r9 totals: 345
+    # registered, 339 oracle-paired — raise these when the registry grows)
+    assert len(QUERIES) >= 345
+    assert len(ORACLES) >= 339
 
 
 def test_bigram_logprob_short_docs_do_not_crash(spark, tmp_path):
