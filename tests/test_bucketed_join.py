@@ -105,3 +105,32 @@ def test_minhash_band_self_join_keeps_its_exchange(spark):
         assert "Exchange hashpartitioning" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+
+
+def test_bucketed_query_flag_is_a_real_detector(spark, tmp_path):
+    """Negative control for the registry query's in-row plan pin: the SAME
+    join/agg shape over plain (unbucketed) parquet MUST contain an Exchange,
+    so the exchange_free flag the oracle pins TRUE is a real detector — if
+    write_bucketed ever silently dropped bucketing (e.g. a path-only write),
+    the flag would flip and the driver hash gate would fail, not just a
+    plan-string test."""
+    from pyspark.sql import functions as F
+
+    li = spark.range(0, 10_000).selectExpr(
+        "id % 1000 AS l_orderkey", "CAST(id % 50 AS DOUBLE) AS l_quantity"
+    )
+    o = spark.range(0, 1000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 3 AS STRING) AS o_status"
+    )
+    li.write.parquet(str(tmp_path / "li"))
+    o.write.parquet(str(tmp_path / "o"))
+    t_li = spark.read.parquet(str(tmp_path / "li"))
+    t_o = spark.read.parquet(str(tmp_path / "o"))
+    out = (
+        t_li.hint("merge")
+        .join(t_o, t_li.l_orderkey == t_o.o_orderkey)
+        .groupBy("l_orderkey", "o_status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan, plan
