@@ -8237,7 +8237,11 @@ def q_supplier_cooccurrence_prod(spark, sf_dir):
     twin pins recall of this plan at 200/200 against the uncapped ranking
     (floor 0.9) every round. Scale shape: rank-by-rarity reuses the c-hash
     exchange the wedge self-join needs anyway; deg is a supplier-sized dim
-    joined broadcast; pair counts map-side combine. cnt is an exact
+    joined broadcast; pair counts map-side combine. The shared (c,s)
+    distinct and deg subtrees appear multiple times in the STATIC plan but
+    AQE's runtime stage reuse collapses them (verified at sf0.1: final
+    adaptive plan carries 3 ReusedExchange across 7 shuffle + 5 broadcast
+    stages — no persist needed). cnt is an exact
     BIGINT; one sqrt+divide in IEEE double rounded at 6dp (the
     hash-matching idiom supplier_cooccurrence_similarity pins)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
