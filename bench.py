@@ -272,27 +272,39 @@ def main():
         if env_prev:
             prior = [env_prev] if os.path.exists(env_prev) else []
         else:
-            cur_round = 1 + max(
-                (
-                    _round_of(p)
-                    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-                ),
-                default=10**9,
-            )
-            prior = sorted(
-                (
-                    p
-                    for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-                    if _round_of(p) < cur_round
-                ),
-                key=_round_of,
-            )
+            driver_rounds = [
+                _round_of(p)
+                for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            ]
+            if not driver_rounds:
+                # (r10, ADVICE) no driver history means the current round is
+                # unknowable — any BENCH artifact on disk could be this
+                # round's own earlier output, and the old 1+10**9 fallback
+                # re-admitted exactly the self-comparison (ratio ≈ 1.0) bug
+                # the r9 fix removed. Skip rather than guess.
+                prior = []
+            else:
+                cur_round = 1 + max(driver_rounds)
+                prior = sorted(
+                    (
+                        p
+                        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                        if _round_of(p) < cur_round
+                    ),
+                    key=_round_of,
+                )
         # newest-first, falling back past unusable baselines: driver
         # artifacts are tail-truncated (parsed=None, no queries dict) when
         # the bench line exceeds the driver's capture window — r8's was —
         # and a baseline you cannot read is not a baseline.
         for cand in reversed(prior):
-            prev = json.load(open(cand))
+            try:
+                prev = json.load(open(cand))
+            except Exception:
+                # (r10, ADVICE) a corrupt baseline must not abort the whole
+                # advisory comparison via the outer except — fall back to
+                # the next-older artifact like any other unusable baseline.
+                continue
             if "queries" not in prev and isinstance(prev.get("parsed"), dict):
                 # driver artifacts wrap the bench line: {n, rc, tail, parsed}
                 prev = prev["parsed"]

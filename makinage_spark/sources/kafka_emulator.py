@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 from typing import Any
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -66,9 +66,18 @@ def _existing(spark: SparkSession, broker_dir: str, topic: str) -> DataFrame:
     # offsets at -1, appending duplicate offsets. Parse the URI instead: any
     # file-scheme (or scheme-less) path with a local authority is answered by
     # os.path; everything else keeps the reader-probe fallback.
+    # (r10, ADVICE) two residual holes in the r9 urlparse fix: a file: URI
+    # can carry percent-encoding (Hadoop normalization emits %20 for spaces
+    # in local paths), so the decoded path must be unquoted before os.path
+    # sees it; and a RAW scheme-less path containing '#' or '?' would be
+    # split into fragment/query by urlparse, truncating parsed.path and
+    # making an existing topic read as empty (the exact duplicate-offset
+    # corruption this branch exists to prevent). Raw paths therefore bypass
+    # urlparse entirely — only genuine file: URIs go through unquote.
     parsed = urlparse(path)
     if parsed.scheme in ("", "file") and parsed.netloc in ("", "localhost"):
-        if not os.path.isdir(parsed.path):
+        local = path if parsed.scheme == "" else unquote(parsed.path)
+        if not os.path.isdir(local):
             return spark.createDataFrame([], WIRE_SCHEMA)
         return spark.read.schema(WIRE_SCHEMA).parquet(path)
     try:
