@@ -134,3 +134,47 @@ def test_bucketed_query_flag_is_a_real_detector(spark, tmp_path):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan, plan
+
+
+def test_mismatched_bucket_counts_reintroduce_exchange(spark, tmp_path):
+    """Negative control users actually hit (VERDICT r9 task 6): two tables
+    bucketed on the right keys but with DIFFERENT bucket counts (8 vs 16)
+    do NOT co-join exchange-free — Spark silently re-shuffles one side, so
+    the pay-once-at-write contract quietly becomes pay-every-read. The
+    test pins (a) the exchange reappears under a mismatch, and (b) the
+    no-rewrite escape hatch: coalesceBucketsInJoin merges 16 -> 8 at read
+    time (ratio <= maxBucketRatio, default 4) and restores the
+    exchange-free plan without rewriting either table."""
+    import uuid
+
+    from makinage_spark.sources.files import write_bucketed
+
+    li = spark.range(0, 10_000).selectExpr(
+        "id % 1000 AS l_orderkey", "CAST(id % 50 AS DOUBLE) AS l_quantity"
+    )
+    o = spark.range(0, 1000).selectExpr(
+        "id AS o_orderkey", "CAST(id % 3 AS STRING) AS o_status"
+    )
+    n1, n2 = f"li_m_{uuid.uuid4().hex[:6]}", f"o_m_{uuid.uuid4().hex[:6]}"
+    write_bucketed(li, n1, "l_orderkey", buckets=8, path=str(tmp_path / n1))
+    write_bucketed(o, n2, "o_orderkey", buckets=16, path=str(tmp_path / n2))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t1, t2 = spark.table(n1), spark.table(n2)
+        joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan, plan
+        assert joined.count() == 10_000
+        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        t1c, t2c = spark.table(n1), spark.table(n2)
+        coalesced = t1c.join(t2c, t1c.l_orderkey == t2c.o_orderkey)
+        plan_c = coalesced._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan_c, plan_c
+        assert coalesced.count() == 10_000
+    finally:
+        spark.conf.set(
+            "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS {n1}")
+        spark.sql(f"DROP TABLE IF EXISTS {n2}")
