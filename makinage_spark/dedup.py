@@ -297,6 +297,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     ngram: int = 5,
     bucket_cap: int | None = None,
+    salt: int | None = None,
+    salt_threshold: int = 4096,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
@@ -321,6 +323,27 @@ def minhash_lsh_pairs(
     template; pair enumeration adds nothing a cluster label doesn't. The size
     scan is one map-side-combined groupBy + a semi-join — output unchanged
     whenever no bucket exceeds the cap.
+
+    ``salt`` (r10, VERDICT task 3): parallelize the s² pair expansion of
+    buckets LARGER than ``salt_threshold`` across ``salt`` hash blocks —
+    for when the pairs of a large bucket are genuinely wanted (organic
+    near-dup neighborhoods too big for one task, too real to cap away).
+    The hot-band probe (tools/skewed_band_probe.py) showed why this cannot
+    be left to AQE: OptimizeSkewedJoin detects skew by INPUT partition
+    bytes, and a mega-bucket's input is s tiny rows while its join OUTPUT
+    is s² — invisible to the detector, so the expansion serializes into
+    one task no matter what (measured: AQE on/off within noise on an
+    8k-doc hot bucket; at a 10⁶-doc corpus-scale bucket that one task is
+    the job). The salted path splits each big bucket into ``salt`` blocks
+    by id-hash and enumerates the triangular block grid: left rows carry
+    their block i exploded to targets j ∈ [i, salt), right rows carry
+    block j, join key = (band, bucket, j) — so the shuffle spreads the
+    bucket over ``salt`` reducer keys, each cross cell (i,j) runs
+    (s/salt)² work, every unordered pair lands exactly once (same-block
+    cells keep the a<b guard; cross cells take least/greatest), and
+    output is bit-identical to the unsalted join. Buckets at or under the
+    threshold keep the plain self-join — the ~salt/2× left-side row
+    expansion is paid only where it buys parallelism.
     """
     stacked = minhash_band_table(df, text_col, id_col, num_hashes, bands, ngram)
     if bucket_cap is not None:
@@ -339,27 +362,98 @@ def minhash_lsh_pairs(
     # NOT _sized_persist, and specifically never repartitioned by "bucket"
     # (r8 review): HashPartitioning(bucket) satisfies the self-join's
     # (band, bucket) clustering on BOTH co-partitioned sides, so
-    # EnsureRequirements would drop the join exchange — and with it AQE's
-    # OptimizeSkewedJoin split, serializing a mega-bucket's s² pair
-    # expansion into one unsplittable task at corpus scale. The inherited
-    # partitioning keeps the exchange, which is exactly where the skew
-    # handling lives; the local sizing gain was measured neutral anyway.
+    # EnsureRequirements would drop the join exchange. Keeping the exchange
+    # lets AQE re-balance INPUT-size skew (many medium buckets hashing into
+    # one fat partition); note it does NOT split a single mega-bucket's s²
+    # OUTPUT amplification — skew detection is input-bytes-based (r10
+    # correction, measured by tools/skewed_band_probe.py) — that case needs
+    # ``bucket_cap`` (drop + lsh_mega_buckets labels) or ``salt``.
     stacked = stacked.persist()
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(
+
+    def self_join(part: DataFrame) -> DataFrame:
+        left, right = part.alias("l"), part.alias("r")
+        return left.join(
             right,
             on=[
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
+        ).select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+
+    if salt is None or salt <= 1:
+        return self_join(stacked).distinct()
+    big = (
+        stacked.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > salt_threshold)
+        .select("band", "bucket")
+    )
+    plain = self_join(stacked.join(big, ["band", "bucket"], "left_anti"))
+    bigpart = stacked.join(big, ["band", "bucket"], "left_semi")
+    block = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt)).cast("int")
+    l2 = (
+        bigpart.withColumn("__bi", block)
+        .withColumn("__bj", F.explode(F.expr(f"sequence(__bi, {salt - 1})")))
+        .alias("l")
+    )
+    r2 = bigpart.withColumn("__bj", block).alias("r")
+    salted = (
+        l2.join(
+            r2,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.__bj") == F.col("r.__bj"),
+                (F.col("l.__bi") != F.col("r.__bj"))
+                | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+            ],
         )
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
+        )
+    )
+    return plain.unionByName(salted).distinct()
+
+
+def lsh_mega_buckets(
+    band_table: DataFrame, bucket_cap: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Membership of the (band, bucket) groups LARGER than ``bucket_cap`` —
+    the exact complement of ``minhash_lsh_pairs(bucket_cap=...)``, so what
+    the cap drops from pair enumeration comes back as CLUSTER LABELS
+    instead of s² pairs (r10, VERDICT task 3: the hot-band probe showed a
+    2k-copy template bucket contributing millions of pairs that say
+    nothing a single label doesn't). Members of a mega-bucket agree on an
+    entire band of minhash minima — they are mutual near-dup candidates by
+    construction — so ``cluster`` = min id over the bucket is the same
+    keep-smallest convention :func:`connected_components` uses; a doc
+    landing in mega-buckets of several bands yields one row per distinct
+    label, and downstream cluster merge (CC over the label pairs, doc
+    count ≤ corpus, never s²) unifies them when needed.
+
+    Scale shape: one map-side-combined size scan + a semi-join + a
+    bucket-partitioned min window — all linear in the band table; no pair
+    expansion anywhere. Input is the MATERIALIZED band table
+    (:func:`minhash_band_table`), shared with the pair mine, so a
+    production run gets pairs-for-organic-buckets + labels-for-templates
+    from one index build."""
+    from pyspark.sql import Window
+
+    sizes = (
+        band_table.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") > bucket_cap)
+        .select("band", "bucket")
+    )
+    members = band_table.join(sizes, ["band", "bucket"], "left_semi")
+    w = Window.partitionBy("band", "bucket")
+    return (
+        members.withColumn("cluster", F.min(id_col).over(w))
+        .select(id_col, "cluster")
         .distinct()
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------

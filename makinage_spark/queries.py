@@ -1309,17 +1309,11 @@ def q_lsh_topk(spark, sf_dir):
     return vectors.lsh_topk(emb, qv, k=10, planes=4, probes=2, tables=8)
 
 
-def _minhash_pairs_sql(
-    num_hashes: int = 16,
-    bands: int = 4,
-    ngram: int = 5,
-    pair_cond: str = "l.doc_id < r.doc_id",
-    bucket_cap: int | None = None,
+def _minhash_band_ctes(
+    num_hashes: int = 16, bands: int = 4, ngram: int = 5
 ) -> str:
-    """Exact SQL twin of dedup.minhash_lsh_pairs: the banding is md5-derived
-    and fully deterministic, so the 'approximate' op still has an exact
-    oracle — approximation is a property of WHICH pairs LSH surfaces, not of
-    the computation."""
+    """Shared t/sig/bnd CTE text: shingle md5 hashes → affine minima →
+    per-band md5 buckets — the DuckDB twin of dedup.minhash_band_table."""
     norm = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
     shingles = (
         f"list_distinct(list_transform("
@@ -1342,6 +1336,22 @@ def _minhash_pairs_sql(
         + ")) AS bucket FROM sig"
         for b in range(bands)
     )
+    return f"""t AS (SELECT doc_id, {hashes} AS hs FROM documents),
+    sig AS (SELECT doc_id, {mins} FROM t),
+    bnd AS ({band_rows})"""
+
+
+def _minhash_pairs_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 5,
+    pair_cond: str = "l.doc_id < r.doc_id",
+    bucket_cap: int | None = None,
+) -> str:
+    """Exact SQL twin of dedup.minhash_lsh_pairs: the banding is md5-derived
+    and fully deterministic, so the 'approximate' op still has an exact
+    oracle — approximation is a property of WHICH pairs LSH surfaces, not of
+    the computation."""
     cap_ctes = ""
     bnd_src = "bnd"
     if bucket_cap is not None:
@@ -1352,12 +1362,29 @@ def _minhash_pairs_sql(
       FROM bnd JOIN bsz USING (band, bucket) WHERE bsz.c <= {bucket_cap})"""
         bnd_src = "bndc"
     return f"""
-    WITH t AS (SELECT doc_id, {hashes} AS hs FROM documents),
-    sig AS (SELECT doc_id, {mins} FROM t),
-    bnd AS ({band_rows}){cap_ctes}
+    WITH {_minhash_band_ctes(num_hashes, bands, ngram)}{cap_ctes}
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
     FROM {bnd_src} l JOIN {bnd_src} r ON l.band = r.band AND l.bucket = r.bucket
                          AND {pair_cond}
+    """
+
+
+def _minhash_mega_sql(
+    bucket_cap: int, num_hashes: int = 16, bands: int = 4, ngram: int = 5
+) -> str:
+    """SQL twin of dedup.lsh_mega_buckets over the same band CTEs."""
+    return f"""
+    WITH {_minhash_band_ctes(num_hashes, bands, ngram)},
+    bsz AS (SELECT band, bucket, COUNT(*) AS c FROM bnd GROUP BY band, bucket),
+    mega AS (SELECT band, bucket FROM bsz WHERE c > {bucket_cap}),
+    mem AS (
+      SELECT bnd.doc_id, bnd.band, bnd.bucket
+      FROM bnd JOIN mega USING (band, bucket)),
+    lab AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY band, bucket) AS cluster
+      FROM mem)
+    SELECT DISTINCT doc_id, cluster FROM lab
     """
 
 
@@ -1371,6 +1398,25 @@ def q_minhash_pairs(spark, sf_dir):
         spark, sf_dir, "documents", repartition=False  # A/B 1.21->0.95 s: band shuffle immediately follows
     )
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
+
+
+@register("lsh_mega_bucket_labels", _minhash_mega_sql(bucket_cap=3))
+def q_lsh_mega_bucket_labels(spark, sf_dir):
+    """Cluster labels for LSH buckets larger than the cap (r10, VERDICT
+    task 3): the exact complement of ``minhash_lsh_pairs(bucket_cap=...)``,
+    so a capped production mine loses nothing — buckets it drops from s²
+    pair enumeration come back as keep-smallest cluster labels over the
+    SAME band table (one index build serves both). Motivation measured in
+    tools/skewed_band_probe.py: a boilerplate template's single hot
+    (band, bucket) key is invisible to AQE's skew split (input-bytes
+    detection vs s² OUTPUT amplification), so at corpus scale enumeration
+    of a 10⁶-doc bucket is one task computing 10¹² pairs — labels are O(s)
+    and say everything those pairs say. cap=3 here so the sf-scale
+    documents corpus has real mega-buckets to label; everything is
+    md5-deterministic, hence the exact DuckDB oracle."""
+    docs = load_wide(spark, sf_dir, "documents", repartition=False)
+    stacked = dedup.minhash_band_table(docs)
+    return dedup.lsh_mega_buckets(stacked, bucket_cap=3)
 
 
 @register(
@@ -19701,84 +19747,87 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
     return out.withColumn("exchange_free", F.lit("Exchange" not in plan))
 
 
-#: r10 rotation plan (if the r9 window lands green, cumulative driver
-#: coverage reaches 318/345 — 27 never-checked remain, under the ≤25-ish
-#: burn-down horizon VERDICT r8 set for lifting the freeze; one more
-#: window closes it). The r10 window should take the final 27
-#: never-checked queries — ab_test_proportions and
-#: markov_stationary_profile (displaced from the r9 tail by the two
-#: sanctioned additions), then mixture_waterfill_alloc, …,
-#: next_event_majority_accuracy in ledger order (the two rows-only
-#: multimodal paths never occupy hash slots by policy) — topping the
-#: remaining ~23 slots up with re-pins of any queries whose code changes
-#: in r10, keeping >= 80% fresh relative to the r10 cut.
-#: Round the CURRENT window below was cut in — the freshness guard in
-#: tests/test_query_registry.py counts only CORRECTNESS artifacts from
-#: EARLIER rounds, so the driver writing this round's artifact at round end
-#: doesn't retroactively fail the invariant.
-_WINDOW_ROUND = 9
+#: r10 rotation (VERDICT r9 task 1 — the burn-down CLOSES this round): the
+#: r9 window landed 50/50 hash-green, leaving exactly 25 hashable queries
+#: never driver-checked (the artifact-union count; the six rows-only paths
+#: never occupy hash slots by policy). This window takes ALL 25 + the one
+#: r10 VERDICT-scoped addition (lsh_mega_bucket_labels, task 3) = 26 fresh
+#: slots — every remaining never-checked query is in, so if this window
+#: lands green, cumulative driver coverage is COMPLETE (every hashable
+#: registered query hash-checked at least once) and the registry freeze
+#: lifts. The 24 re-pin slots follow the post-burn-down rotation policy
+#: (COVERAGE.md): first the 4 queries whose internals changed in r10
+#: (supplier_cooccurrence_capped: +output-recall columns;
+#: submodular_greedy_coverage: covered-set unpersist;
+#: dedup_minhash_pairs / dedup_pipeline_e2e: minhash_lsh_pairs refactor for
+#: the salt path), then the 20 LEAST-RECENTLY-green queries (r1/r2/r3
+#: vintage — their hashes haven't been driver-confirmed on current code in
+#: 8+ rounds). The freshness guard in tests/test_query_registry.py now
+#: enforces exactly this: all never-checked in-window once fewer than 40
+#: remain.
+#: Round the CURRENT window below was cut in — the freshness guard counts
+#: only CORRECTNESS artifacts from EARLIER rounds, so the driver writing
+#: this round's artifact at round end doesn't retroactively fail the
+#: invariant.
+_WINDOW_ROUND = 10
 
 _SHOWCASE_50 = [
-    # --- round-9 rotation (VERDICT r8 task 1): 50/50 fresh (100% >= 80%
-    # policy; no loop internals changed hands unverified in r8, so no
-    # re-pins are owed). Head: the committed r9 shortlist in ledger order
-    # (COVERAGE.md r8 section), headed by char_entropy (displaced from
-    # the r8 tail); tail: the two VERDICT-r8-sanctioned additions (tasks
-    # 2/3), fresh by construction. ab_test_proportions and
-    # markov_stationary_profile move to the r10 plan head. Zero rows-only
-    # slots; cumulative driver coverage 268 -> 318 of 345 if green
-    # (345 = 343 + the two sanctioned queries).
-    "char_entropy",                     # per-doc character entropy
-    "daily_count_anomalies",            # daily-count z-score anomalies
-    "mad_outliers",                     # median-absolute-deviation gate
-    "degree_distribution",              # bipartite log2 degree histogram
-    "supplier_cooccurrence_similarity", # full wedge cosine ranking
-    "phrase_search",                    # positional-index phrase probe
-    "status_validity_intervals",        # status change SCD-2 intervals
-    "embedding_power_iteration",        # dominant eigenvector iterate
-    "session_funnel_rates",             # session-scoped funnel rates
-    "embedding_label_drift",            # per-class centroid drift
-    "watermark_lateness_audit",         # event-time lateness profile
-    "vocab_id_assignment",              # dense vocab ids + coverage
-    "referential_integrity_audit",      # orphan-FK anti-join counts
-    "last_touch_attribution",           # carry-forward attribution
-    "period_profile_diff",              # week-over-week profile delta
-    "max_concurrent_intervals",         # sweep-line concurrency max
-    "time_weighted_average",            # duration-weighted mean
-    "event_transition_matrix",          # next-event transition counts
-    "cumulative_distinct_users",        # first-seen running distinct
-    "group_linear_regression",          # per-group OLS fit
-    "winsorized_mean",                  # p5/p95 winsorized mean
-    "zipf_rank_slope",                  # token rank-frequency slope
-    "corpus_shard_manifest",            # deterministic shard manifest
-    "train_holdout_split",              # salted 98/1/1 hash split
-    "token_budget_pick",                # global-cumsum budget pick
-    "epoch_mixture_expand",             # weight-capped epoch upsample
-    "perplexity_tertiles",              # CCNet head/middle/tail
-    "length_bucket_padding",            # padding-waste economics
-    "bloom_prune_audit",                # bloom FPR/no-false-negative pin
-    "stream_bloom_screen",              # stateless streaming screen
-    "cluster_best_representative",      # per-cluster quality keeper
-    "url_canonicalize_dedup",           # URL canonicalization dedup
-    "ngram_novelty_score",              # first-seen 8-gram fraction
-    "code_detect_signals",              # code-vs-prose routing flag
-    "dedup_rate_by_source",             # cross-source dup matrix
-    "shard_balance_audit",              # shard token-balance bound
-    "split_leakage_audit",              # train/holdout leakage measure
-    "incremental_ingest_pipeline",      # day-2 ingest flagship
-    "segment_firstkeep_reconstruct",    # keep-first segment dedup
-    "graph_triangle_count",             # oriented triangle counting
-    "naive_bayes_language",             # train/score NB in one plan
-    "cms_heavy_hitters",                # count-min sketch audit
-    "k_anonymity_audit",                # QI equivalence-class audit
-    "cms_join_size_estimate",           # sketch join-size estimate
-    "jl_projection_distortion",         # JL projection guarantee audit
-    "hybrid_rrf_retrieval",             # lexical+semantic RRF fusion
-    "source_score_calibration",         # quantile-normalized scores
-    "chi_square_feature_terms",         # χ² discriminative vocabulary
-    # tail slots: the two VERDICT-r8-sanctioned r9 additions (tasks 2/3)
-    "bucketed_join_zero_exchange",      # zero-exchange co-bucketed join
-    "supplier_cooccurrence_prod",       # production capped-wedge top-200
+    # --- round-10 rotation (VERDICT r9 task 1): burn-down endgame.
+    # Head: all 25 remaining never-driver-checked queries in ledger order,
+    # + the one r10 VERDICT-scoped addition (26 fresh). Tail: 24 re-pins —
+    # 4 changed-in-r10, then the 20 least-recently-green (r1-r3 vintage).
+    "ab_test_proportions",              # two-proportion z-test
+    "markov_stationary_profile",        # event-chain stationary dist
+    "mixture_waterfill_alloc",          # water-filling token alloc
+    "classifier_eval_metrics",          # confusion-matrix metrics
+    "hll_merge_audit",                  # HLL mergeability audit
+    "retrieval_ndcg_audit",             # nDCG@10 retrieval audit
+    "stream_cms_cells",                 # streaming count-min cells
+    "consistent_hash_reshard_audit",    # ring reshard movement bound
+    "skew_salt_planner",                # hot-key salt-factor planner
+    "corpus_snapshot_diff",             # snapshot added/changed/removed
+    "pipeline_provenance_funnel",       # per-doc drop-stage provenance
+    "cdc_merge_apply",                  # CDC upsert/delete apply
+    "kcore_decomposition_profile",      # iterative k-core peeling
+    "gini_concentration",               # source-concentration Gini
+    "compaction_bin_plan",              # FFD small-file compaction
+    "decayed_heavy_hitters",            # time-decayed heavy hitters
+    "conformal_accept_audit",           # split-conformal acceptance
+    "banding_recall_audit",             # LSH S-curve recall audit
+    "horvitz_thompson_audit",           # unequal-prob HT estimator
+    "ansi_safe_arithmetic",             # try_* overflow semantics
+    "poisson_bootstrap_se",             # one-pass Poisson bootstrap
+    "event_trigram_paths",              # top event trigram paths
+    "clamped_running_balance",          # clamped cumulative balance
+    "position_based_attribution",       # 40/20/40 position credit
+    "next_event_majority_accuracy",     # majority next-event baseline
+    "lsh_mega_bucket_labels",           # capped-bucket cluster labels (r10 task 3)
+    # --- re-pins: changed in r10 ---
+    "supplier_cooccurrence_capped",     # +output-recall audit columns
+    "submodular_greedy_coverage",       # covered-set unpersist (task 4)
+    "dedup_minhash_pairs",              # minhash_lsh_pairs salt refactor
+    "dedup_pipeline_e2e",               # minhash_lsh_pairs salt refactor
+    # --- re-pins: least-recently-green (driver-hash vintage r1-r3) ---
+    "corr_covar",                       # r1
+    "date_arithmetic",                  # r1
+    "embedding_neardup",                # r1
+    "join_anti",                        # r1
+    "math_scalars",                     # r1
+    "max_by_order",                     # r1
+    "set_except",                       # r1
+    "set_intersect",                    # r1
+    "string_scalars",                   # r1
+    "text_fingerprint",                 # r1
+    "text_stats",                       # r1
+    "cube_sales",                       # r2
+    "grouping_sets",                    # r2
+    "histogram_values",                 # r2
+    "q10_returned_revenue",             # r2
+    "scalar_json",                      # r2
+    "time_window_sliding",              # r2
+    "window_lag_lead",                  # r2
+    "correlated_scalar_subquery",       # r3
+    "dedup_exact",                      # r3
 ]
 
 

@@ -89,9 +89,14 @@ def test_minhash_band_self_join_keeps_its_exchange(spark):
     NOT be pre-partitioned by bucket alone — HashPartitioning(bucket)
     satisfies the self-join's (band, bucket) clustering on both
     co-partitioned sides, which would drop the join exchange and with it
-    AQE's skew-join split (a mega-bucket's quadratic pair expansion would
-    serialize into one task at corpus scale). So: with broadcast disabled,
-    the pair join's plan must contain a shuffle exchange."""
+    AQE's partition-level rebalancing of input-size skew (many medium
+    buckets hashing into one fat partition). r10 correction to the r8
+    rationale: AQE does NOT split a single mega-bucket's s² OUTPUT
+    amplification (skew detection is input-bytes-based — measured in
+    tools/skewed_band_probe.py); that case needs bucket_cap or salt=.
+    The exchange is still required — both for the input-size rebalance and
+    because the salted path re-keys through it. So: with broadcast
+    disabled, the pair join's plan must contain a shuffle exchange."""
     from makinage_spark import dedup
 
     docs = spark.createDataFrame(
