@@ -162,6 +162,83 @@ def spark_probe(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _round_of(p: str) -> int:
+    import re as _re
+
+    return int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
+
+
+def baseline_candidates(here: str, env_prev: str | None = None) -> list[str]:
+    """Oldest-first list of BENCH artifacts eligible as cross-round
+    baselines (extracted r10 so the repeatedly-ADVICE-audited selection
+    rules are unit-testable without a Spark run).
+
+    ADVICE r8: the glob used to include the CURRENT round's own driver
+    artifact (written before a same-round re-run), so the bench compared
+    against itself and reported ratio ≈ 1.0 labeled "vs most recent
+    committed". The current round is 1 + the newest driver correctness
+    artifact (the driver writes CORRECTNESS_r{N} at round N's end, before
+    round N+1's bench runs); BENCH artifacts from that round or later are
+    this round's own output, not a baseline. ADVICE r9 / r10: with NO
+    driver history the current round is unknowable — any BENCH artifact
+    could be this round's own earlier output — so return nothing rather
+    than guess (the old 1+10**9 fallback re-admitted the self-comparison
+    bug exactly there). An explicit BENCH_PREV=<path> overrides the
+    inference entirely."""
+    import glob
+
+    if env_prev:
+        return [env_prev] if os.path.exists(env_prev) else []
+    driver_rounds = [
+        _round_of(p)
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    if not driver_rounds:
+        return []
+    cur_round = 1 + max(driver_rounds)
+    return sorted(
+        (
+            p
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if _round_of(p) < cur_round
+        ),
+        key=_round_of,
+    )
+
+
+def compare_prev(
+    prior: list[str],
+    timings: dict[str, float],
+    probe: float | None,
+    sf: str,
+) -> dict | None:
+    """Scan candidates newest-first and return the matched_prev comparison
+    dict, falling back past unusable baselines: driver artifacts are
+    tail-truncated (parsed=None, no queries dict) when the bench line
+    exceeds the driver's capture window — r8's was — and corrupt JSON
+    (ADVICE r9/r10) is skipped the same way instead of aborting the whole
+    advisory comparison."""
+    for cand in reversed(prior):
+        try:
+            prev = json.load(open(cand))
+        except Exception:
+            continue
+        if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+            # driver artifacts wrap the bench line: {n, rc, tail, parsed}
+            prev = prev["parsed"]
+        prev_q, prev_probe = prev.get("queries", {}), prev.get("spark_probe_sec")
+        matched = sorted(set(timings) & set(prev_q))
+        if matched and prev_probe and probe and prev.get("sf") == sf:
+            cur_n = sum(timings[q] for q in matched) / probe
+            prev_n = sum(prev_q[q] for q in matched) / prev_probe
+            return {
+                "artifact": os.path.basename(cand),
+                "n_matched": len(matched),
+                "ratio_normalized": round(cur_n / prev_n, 3),
+            }
+    return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_start = os.getloadavg()
@@ -252,73 +329,11 @@ def main():
         round(partial / probe, 3) if probe and not failed else None
     )
     try:
-        import glob
-        import re as _re
-
         here = os.path.dirname(os.path.abspath(__file__))
-
-        def _round_of(p):
-            return int(_re.search(r"r(\d+)", os.path.basename(p)).group(1))
-
-        # ADVICE r8: the glob used to include the CURRENT round's own driver
-        # artifact (written before a same-round re-run), so the bench
-        # compared against itself and reported ratio ≈ 1.0 labeled "vs most
-        # recent committed". The current round is 1 + the newest driver
-        # correctness artifact (the driver writes CORRECTNESS_r{N} at round
-        # N's end, before round N+1's bench runs); BENCH artifacts from that
-        # round or later are this round's own output, not a baseline. An
-        # explicit BENCH_PREV=<path> overrides the inference entirely.
-        env_prev = os.environ.get("BENCH_PREV")
-        if env_prev:
-            prior = [env_prev] if os.path.exists(env_prev) else []
-        else:
-            driver_rounds = [
-                _round_of(p)
-                for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-            ]
-            if not driver_rounds:
-                # (r10, ADVICE) no driver history means the current round is
-                # unknowable — any BENCH artifact on disk could be this
-                # round's own earlier output, and the old 1+10**9 fallback
-                # re-admitted exactly the self-comparison (ratio ≈ 1.0) bug
-                # the r9 fix removed. Skip rather than guess.
-                prior = []
-            else:
-                cur_round = 1 + max(driver_rounds)
-                prior = sorted(
-                    (
-                        p
-                        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-                        if _round_of(p) < cur_round
-                    ),
-                    key=_round_of,
-                )
-        # newest-first, falling back past unusable baselines: driver
-        # artifacts are tail-truncated (parsed=None, no queries dict) when
-        # the bench line exceeds the driver's capture window — r8's was —
-        # and a baseline you cannot read is not a baseline.
-        for cand in reversed(prior):
-            try:
-                prev = json.load(open(cand))
-            except Exception:
-                # (r10, ADVICE) a corrupt baseline must not abort the whole
-                # advisory comparison via the outer except — fall back to
-                # the next-older artifact like any other unusable baseline.
-                continue
-            if "queries" not in prev and isinstance(prev.get("parsed"), dict):
-                # driver artifacts wrap the bench line: {n, rc, tail, parsed}
-                prev = prev["parsed"]
-            prev_q, prev_probe = prev.get("queries", {}), prev.get("spark_probe_sec")
-            matched = sorted(set(timings) & set(prev_q))
-            if matched and prev_probe and probe and prev.get("sf") == out["sf"]:
-                cur_n = sum(timings[q] for q in matched) / probe
-                prev_n = sum(prev_q[q] for q in matched) / prev_probe
-                out["matched_prev"] = {
-                    "artifact": os.path.basename(cand),
-                    "n_matched": len(matched),
-                    "ratio_normalized": round(cur_n / prev_n, 3),
-                }
-                break
+        prior = baseline_candidates(here, os.environ.get("BENCH_PREV"))
+        mp = compare_prev(prior, timings, probe, out["sf"])
+        if mp is not None:
+            out["matched_prev"] = mp
     except Exception as e:  # comparison is advisory — never fail the bench
         print(f"bench: matched_prev comparison skipped: {e}", file=sys.stderr)
     # interpretability guard (VERDICT r6 task 7): a run that started on a
