@@ -418,7 +418,11 @@ def minhash_lsh_pairs(
 
 
 def lsh_mega_buckets(
-    band_table: DataFrame, bucket_cap: int, id_col: str = "doc_id"
+    band_table: DataFrame,
+    bucket_cap: int,
+    id_col: str = "doc_id",
+    band_col: str = "band",
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Membership of the (band, bucket) groups LARGER than ``bucket_cap`` —
     the exact complement of ``minhash_lsh_pairs(bucket_cap=...)``, so what
@@ -438,17 +442,24 @@ def lsh_mega_buckets(
     expansion anywhere. Input is the MATERIALIZED band table
     (:func:`minhash_band_table`), shared with the pair mine, so a
     production run gets pairs-for-organic-buckets + labels-for-templates
-    from one index build."""
+    from one index build.
+
+    ``band_col``/``bucket_col`` generalize the same complement to any
+    block-keyed self-join table with the same exposure — e.g. the simhash
+    pigeonhole table: ``lsh_mega_buckets(stacked, cap, band_col="blk",
+    bucket_col="val")`` labels what ``simhash_pairs(block_cap=...)``
+    drops."""
     from pyspark.sql import Window
 
+    keys = [band_col, bucket_col]
     sizes = (
-        band_table.groupBy("band", "bucket")
+        band_table.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("__bs"))
         .filter(F.col("__bs") > bucket_cap)
-        .select("band", "bucket")
+        .select(*keys)
     )
-    members = band_table.join(sizes, ["band", "bucket"], "left_semi")
-    w = Window.partitionBy("band", "bucket")
+    members = band_table.join(sizes, keys, "left_semi")
+    w = Window.partitionBy(*keys)
     return (
         members.withColumn("cluster", F.min(id_col).over(w))
         .select(id_col, "cluster")
@@ -806,7 +817,12 @@ def simhash_pairs(
     ``block_cap`` (off by default): drop (blk, val) groups larger than this
     before the self-join — the same mega-bucket guard as
     :func:`minhash_lsh_pairs` ``bucket_cap`` (a template block of s docs is
-    s² candidate pairs on one reducer key; see SCALING.md round-4).
+    s² candidate pairs on one reducer key; see SCALING.md round-4 — and the
+    round-10 hot-band probe: AQE's skew split cannot see that s² OUTPUT
+    amplification, so the cap is the only defense, not a belt-and-braces).
+    What the cap drops comes back as cluster labels via
+    ``lsh_mega_buckets(stacked, cap, band_col="blk", bucket_col="val")``
+    over the same block table.
 
     Scale sizing (measured, SCALING.md round-5): block-value cardinality is
     ``2^(bits/blocks)`` — with the 32-bit/4-block default that is only 256

@@ -74,3 +74,45 @@ def test_mega_buckets_label_what_the_cap_drops(spark):
     # union of (capped pairs ∪ labeled docs) covers the template cluster:
     # nothing silently vanished
     assert set(lab.keys()) >= set(range(40))
+
+
+def test_mega_bucket_labels_generalize_to_simhash_blocks(spark):
+    """The labels complement works on any block-keyed table with the same
+    s² exposure — here the simhash pigeonhole table (blk, val)."""
+    docs = _corpus(spark)
+    sh = dedup.simhash_df(docs)
+    blocks = 4
+    block_bits = 32 // blocks
+    stacked = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright(F.col("sh"), b * block_bits)
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    .alias("val"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.blk", "bb.val")
+    labels = dedup.lsh_mega_buckets(
+        stacked, bucket_cap=8, band_col="blk", bucket_col="val"
+    )
+    from collections import defaultdict
+
+    lab = defaultdict(set)
+    for r in labels.collect():
+        lab[r.doc_id].add(r.cluster)
+    # Unlike minhash bands, a simhash BLOCK can flip on a near-identical doc
+    # (one perturbed token flips any bit whose vote margin was ±1), so a
+    # template doc may carry extra labels from smaller mega-blocks. The
+    # guarantees under test: every template doc is labeled, and the shared
+    # template block puts (nearly) all of them in cluster 0 — a doc misses
+    # it only if its perturbation flipped a bit in EVERY one of the 4
+    # blocks, which the 40-doc fixture should make rare.
+    for d in range(40):
+        assert lab[d], f"template doc {d} unlabeled"
+    in_main = sum(1 for d in range(40) if 0 in lab[d])
+    assert in_main >= 36, in_main
