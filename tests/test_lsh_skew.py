@@ -116,3 +116,21 @@ def test_mega_bucket_labels_generalize_to_simhash_blocks(spark):
         assert lab[d], f"template doc {d} unlabeled"
     in_main = sum(1 for d in range(40) if 0 in lab[d])
     assert in_main >= 36, in_main
+
+
+def test_cap_and_salt_compose(spark):
+    """bucket_cap and salt together: the cap drops template buckets FIRST,
+    then salt thresholds what remains — output equals the capped unsalted
+    mine exactly (salt never resurrects capped-out buckets)."""
+    docs = _corpus(spark)
+    capped = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(docs, bucket_cap=8).collect()
+    }
+    both = {
+        (r.a, r.b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, bucket_cap=8, salt=4, salt_threshold=2
+        ).collect()
+    }
+    assert both == capped
