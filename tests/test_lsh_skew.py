@@ -134,3 +134,24 @@ def test_cap_and_salt_compose(spark):
         ).collect()
     }
     assert both == capped
+
+
+def test_salted_join_shuffles_on_block_key(spark):
+    """The salt's whole point is the physical plan: the big-bucket join must
+    hash-partition on (band, bucket, __bj) so a mega-bucket spreads over
+    ``salt`` reducer keys instead of landing on one. Pin it in the plan —
+    with broadcast disabled so the join is a real shuffle join."""
+    docs = _corpus(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.minhash_lsh_pairs(docs, salt=4, salt_threshold=8)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "__bj" in plan, plan
+        import re
+
+        exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+        assert any("__bj" in e for e in exchanges), exchanges
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
