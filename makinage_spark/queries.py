@@ -19765,6 +19765,18 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
 #: 8+ rounds). The freshness guard in tests/test_query_registry.py now
 #: enforces exactly this: all never-checked in-window once fewer than 40
 #: remain.
+#: r11 rotation plan (post-burn-down regime, first pure-re-pin window):
+#: with cumulative coverage complete, all 50 slots are re-pins — (1) any
+#: query whose internals change in r11 (or any never-checked query a
+#: sanctioned r11 addition creates, which must go in by the endgame
+#: invariant), then (2) least-recently-green in ledger order, continuing
+#: where the r10 tail stopped (after dedup_exact: the remaining r3
+#: vintage — dedup_jaccard_pairs, dedup_minhash_signature, dedup_simhash,
+#: distinct_event_types, full_outer_join, join_semi, left_join_count_dist,
+#: pandas_udaf_grouped, pandas_udf_scalar, pivot_status, … — then r4).
+#: Compute the vintage list at round start from the artifacts:
+#:   last_green[n] = max round with hash_match over CORRECTNESS_r*.json;
+#:   sort ascending, skip anything already slotted for reason (1).
 #: Round the CURRENT window below was cut in — the freshness guard counts
 #: only CORRECTNESS artifacts from EARLIER rounds, so the driver writing
 #: this round's artifact at round end doesn't retroactively fail the
