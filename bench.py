@@ -223,6 +223,11 @@ def compare_prev(
             prev = json.load(open(cand))
         except Exception:
             continue
+        if not isinstance(prev, dict):
+            # valid JSON but wrong shape (e.g. a bare list) — skip this
+            # candidate like corrupt JSON instead of AttributeError-ing out
+            # of the whole advisory comparison (ADVICE r10)
+            continue
         if "queries" not in prev and isinstance(prev.get("parsed"), dict):
             # driver artifacts wrap the bench line: {n, rc, tail, parsed}
             prev = prev["parsed"]

@@ -383,6 +383,14 @@ def minhash_lsh_pairs(
 
     if salt is None or salt <= 1:
         return self_join(stacked).distinct()
+    # Materialize the persisted band table before the salted path fans out
+    # into four consumers (size scan + anti/semi joins + plain self-join):
+    # otherwise whichever branch's first action wins the persist fill race
+    # recomputes the shingle→minhash pipeline once more than intended
+    # (ADVICE r10 — same materialize-before-reuse move as the covered set
+    # in submodular_greedy_coverage). Output is unaffected; the count is a
+    # tiny cached-side job.
+    stacked.count()
     big = (
         stacked.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__bs"))

@@ -1400,6 +1400,28 @@ def q_minhash_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
 
 
+@register("dedup_minhash_pairs_salted", _minhash_pairs_sql())
+def q_minhash_pairs_salted(spark, sf_dir):
+    """The r10 salted triangular block self-join, driver-hashed (VERDICT r10
+    task 1 — the sanctioned r11 addition). Same banding, same oracle as
+    ``dedup_minhash_pairs``: the salt= path is bit-identical BY DESIGN
+    (dedup.py — big buckets split into ``salt`` id-hash blocks, the (i,j)
+    triangular grid enumerates every unordered pair exactly once), so the
+    salt-agnostic SQL unroll is the exact oracle and a hash-green row
+    externally checks the bit-identity claim on every future re-pin.
+    salt_threshold=3 is calibrated to the sf-scale documents corpus (at
+    sf0.01 eight (band,bucket) groups exceed it — sizes 4, 5 and 8), so the
+    salted leg genuinely executes in the driver run rather than devolving
+    to the plain join; salt=4 spreads each such bucket over four reducer
+    keys exactly as it would spread a 10⁶-doc boilerplate bucket at corpus
+    scale (the case AQE's input-bytes skew detection cannot see —
+    tools/skewed_band_probe.py, SCALING.md r10)."""
+    docs = load_wide(spark, sf_dir, "documents", repartition=False)
+    return dedup.minhash_lsh_pairs(
+        docs, num_hashes=16, bands=4, salt=4, salt_threshold=3
+    )
+
+
 @register("lsh_mega_bucket_labels", _minhash_mega_sql(bucket_cap=3))
 def q_lsh_mega_bucket_labels(spark, sf_dir):
     """Cluster labels for LSH buckets larger than the cap (r10, VERDICT
@@ -15343,7 +15365,8 @@ def q_submodular_greedy_coverage(spark, sf_dir):
         covered.count()
         if prev is not None:
             prev.unpersist()
-    covered.unpersist()
+    if covered is not None:  # robust to the loop bound going to zero rounds
+        covered.unpersist()
     dt.unpersist()
     return spark.createDataFrame(
         rows, "round long, doc_id long, gain long, covered long"
@@ -19743,7 +19766,20 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
             ),
         )
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    qe = out._jdf.queryExecution()
+    # Execute BEFORE reading the plan (ADVICE r9 / VERDICT r10 task 2):
+    # before any action, executedPlan() on an adaptive query is the INITIAL
+    # plan (isFinalPlan=false) — AQE stage re-optimization could in
+    # principle add or remove exchanges afterwards, so a pin on the static
+    # string would cover a plan that never ran. Materializing the JVM-side
+    # row RDD finalizes the adaptive plan (a no-op pass-through when AQE
+    # skips an exchange-free query); the string read after it is what
+    # actually executed. Note the AdaptiveSparkPlan tree string includes an
+    # "== Initial Plan ==" section post-finalization — the no-Exchange pin
+    # is therefore conservative: it asserts neither the final NOR the
+    # initial plan contains one.
+    qe.executedPlan().execute().count()
+    plan = qe.executedPlan().toString()
     return out.withColumn("exchange_free", F.lit("Exchange" not in plan))
 
 
@@ -19765,81 +19801,86 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
 #: 8+ rounds). The freshness guard in tests/test_query_registry.py now
 #: enforces exactly this: all never-checked in-window once fewer than 40
 #: remain.
-#: r11 rotation plan (post-burn-down regime, first pure-re-pin window):
-#: with cumulative coverage complete, all 50 slots are re-pins — (1) any
-#: query whose internals change in r11 (or any never-checked query a
-#: sanctioned r11 addition creates, which must go in by the endgame
-#: invariant), then (2) least-recently-green in ledger order, continuing
-#: where the r10 tail stopped (after dedup_exact: the remaining r3
-#: vintage — dedup_jaccard_pairs, dedup_minhash_signature, dedup_simhash,
-#: distinct_event_types, full_outer_join, join_semi, left_join_count_dist,
-#: pandas_udaf_grouped, pandas_udf_scalar, pivot_status, … — then r4).
-#: Compute the vintage list at round start from the artifacts:
-#:   last_green[n] = max round with hash_match over CORRECTNESS_r*.json;
-#:   sort ascending, skip anything already slotted for reason (1).
+#: r11 rotation (post-burn-down regime, first pure-re-pin window): with
+#: cumulative driver coverage complete as of r10 (every hashable query
+#: hash-green at least once), all slots are re-pins except queries a
+#: sanctioned addition creates. Slotting, per the policy encoded in the
+#: freshness guard (tests/test_query_registry.py) and COVERAGE.md:
+#: (1) changed-in-r11 — dedup_minhash_pairs_salted (NEW, VERDICT r10
+#:     task 1: the r10 salted triangular self-join finally gets a driver
+#:     hash; never-checked, so the endgame invariant REQUIRES it in) and
+#:     bucketed_join_zero_exchange (task 2: the exchange_free pin now
+#:     reads the FINAL adaptive plan after executing, not the initial
+#:     one). The other two r11 code touches are output-invariant and by
+#:     the r9 precedent do not force a re-pin: submodular's unpersist
+#:     None-guard sits after the loop, and minhash_lsh_pairs' added
+#:     stacked.count() only pre-materializes the salt path's cache.
+#: (2) least-recently-green in ledger order, continuing where the r10
+#:     tail stopped: all 15 remaining r3-vintage queries, then the first
+#:     33 r4-vintage (alphabetical within round, the ledger's order);
+#:     take_topk..variance_stddev (the last 6 of r4) roll to r12.
+#: last_green[n] computed at round start from CORRECTNESS_r01..r10:
+#:   histogram {3:15, 4:39, 5:41, 6:48, 7:49, 8:48, 9:50, 10:50}.
 #: Round the CURRENT window below was cut in — the freshness guard counts
 #: only CORRECTNESS artifacts from EARLIER rounds, so the driver writing
 #: this round's artifact at round end doesn't retroactively fail the
 #: invariant.
-_WINDOW_ROUND = 10
+_WINDOW_ROUND = 11
 
 _SHOWCASE_50 = [
-    # --- round-10 rotation (VERDICT r9 task 1): burn-down endgame.
-    # Head: all 25 remaining never-driver-checked queries in ledger order,
-    # + the one r10 VERDICT-scoped addition (26 fresh). Tail: 24 re-pins —
-    # 4 changed-in-r10, then the 20 least-recently-green (r1-r3 vintage).
-    "ab_test_proportions",              # two-proportion z-test
-    "markov_stationary_profile",        # event-chain stationary dist
-    "mixture_waterfill_alloc",          # water-filling token alloc
-    "classifier_eval_metrics",          # confusion-matrix metrics
-    "hll_merge_audit",                  # HLL mergeability audit
-    "retrieval_ndcg_audit",             # nDCG@10 retrieval audit
-    "stream_cms_cells",                 # streaming count-min cells
-    "consistent_hash_reshard_audit",    # ring reshard movement bound
-    "skew_salt_planner",                # hot-key salt-factor planner
-    "corpus_snapshot_diff",             # snapshot added/changed/removed
-    "pipeline_provenance_funnel",       # per-doc drop-stage provenance
-    "cdc_merge_apply",                  # CDC upsert/delete apply
-    "kcore_decomposition_profile",      # iterative k-core peeling
-    "gini_concentration",               # source-concentration Gini
-    "compaction_bin_plan",              # FFD small-file compaction
-    "decayed_heavy_hitters",            # time-decayed heavy hitters
-    "conformal_accept_audit",           # split-conformal acceptance
-    "banding_recall_audit",             # LSH S-curve recall audit
-    "horvitz_thompson_audit",           # unequal-prob HT estimator
-    "ansi_safe_arithmetic",             # try_* overflow semantics
-    "poisson_bootstrap_se",             # one-pass Poisson bootstrap
-    "event_trigram_paths",              # top event trigram paths
-    "clamped_running_balance",          # clamped cumulative balance
-    "position_based_attribution",       # 40/20/40 position credit
-    "next_event_majority_accuracy",     # majority next-event baseline
-    "lsh_mega_bucket_labels",           # capped-bucket cluster labels (r10 task 3)
-    # --- re-pins: changed in r10 ---
-    "supplier_cooccurrence_capped",     # +output-recall audit columns
-    "submodular_greedy_coverage",       # covered-set unpersist (task 4)
-    "dedup_minhash_pairs",              # minhash_lsh_pairs salt refactor
-    "dedup_pipeline_e2e",               # minhash_lsh_pairs salt refactor
-    # --- re-pins: least-recently-green (driver-hash vintage r1-r3) ---
-    "corr_covar",                       # r1
-    "date_arithmetic",                  # r1
-    "embedding_neardup",                # r1
-    "join_anti",                        # r1
-    "math_scalars",                     # r1
-    "max_by_order",                     # r1
-    "set_except",                       # r1
-    "set_intersect",                    # r1
-    "string_scalars",                   # r1
-    "text_fingerprint",                 # r1
-    "text_stats",                       # r1
-    "cube_sales",                       # r2
-    "grouping_sets",                    # r2
-    "histogram_values",                 # r2
-    "q10_returned_revenue",             # r2
-    "scalar_json",                      # r2
-    "time_window_sliding",              # r2
-    "window_lag_lead",                  # r2
-    "correlated_scalar_subquery",       # r3
-    "dedup_exact",                      # r3
+    # --- changed in r11 ---
+    "dedup_minhash_pairs_salted",       # NEW: salted path driver hash (task 1)
+    "bucketed_join_zero_exchange",      # final-adaptive-plan pin (task 2)
+    # --- re-pins: least-recently-green, r3 vintage (all 15 remaining) ---
+    "dedup_jaccard_pairs",              # r3
+    "dedup_minhash_signature",          # r3
+    "dedup_simhash",                    # r3
+    "distinct_event_types",             # r3
+    "full_outer_join",                  # r3
+    "join_semi",                        # r3
+    "left_join_count_dist",             # r3
+    "pandas_udaf_grouped",              # r3
+    "pandas_udf_scalar",                # r3
+    "pivot_status",                     # r3
+    "q5_region_revenue",                # r3
+    "q6_forecast_revenue",              # r3
+    "rollup_sales",                     # r3
+    "scalar_string_date",               # r3
+    "window_rank_top3",                 # r3
+    # --- re-pins: least-recently-green, r4 vintage (first 33 of 39) ---
+    "asof_enrich",                      # r4
+    "asof_tolerance",                   # r4
+    "bpe_learn_merges",                 # r4
+    "chunk_documents",                  # r4
+    "cohort_retention",                 # r4
+    "conditional_agg",                  # r4
+    "embedding_topk",                   # r4
+    "error_channel_dead_letter",        # r4
+    "filter_predicate",                 # r4
+    "first_last_event",                 # r4
+    "flat_map_tokens",                  # r4
+    "funnel_conversion",                # r4
+    "graph_hits",                       # r4
+    "group_by_agg",                     # r4
+    "kmeans_lloyd_clusters",            # r4
+    "map_project",                      # r4
+    "merge_streams",                    # r4
+    "multimodal_real_decode",           # r4
+    "pack_sequences",                   # r4
+    "q3_shipping_priority",             # r4
+    "quantiles_exact",                  # r4
+    "repeated_ngram_spans",             # r4
+    "roll_count_windows",               # r4
+    "scan_running_sum",                 # r4
+    "sessionize",                       # r4
+    "split_on_change",                  # r4
+    "stream_debounce",                  # r4
+    "stream_dedup_keys",                # r4
+    "stream_ewma",                      # r4
+    "stream_funnel_conversion",         # r4
+    "stream_hourly_counts",             # r4
+    "stream_scan_running",              # r4
+    "stream_topk_state",                # r4
 ]
 
 

@@ -66,8 +66,11 @@ def test_corrupt_and_truncated_baselines_fall_back(tmp_path):
     )
     corrupt = _write(d, "BENCH_r08.json", "{corrupt json")
     truncated = _write(d, "BENCH_r09.json", {"parsed": None, "tail": "..."})
+    # valid JSON, wrong top-level shape (ADVICE r10): must be skipped
+    # per-candidate, not AttributeError out of the whole comparison
+    wrong_shape = _write(d, "BENCH_r10.json", ["not", "a", "dict"])
     mp = b.compare_prev(
-        [good, corrupt, truncated], {"q1": 4.0}, 0.2, "0.1"
+        [good, corrupt, truncated, wrong_shape], {"q1": 4.0}, 0.2, "0.1"
     )
     assert mp is not None
     assert mp["artifact"] == "BENCH_r07.json"

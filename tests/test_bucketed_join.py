@@ -9,6 +9,8 @@ the same data shuffles both sides (or broadcasts one).
 
 import uuid
 
+from conftest import broadcast_disabled
+
 
 def test_bucketed_join_has_no_shuffle(spark):
     li = spark.range(0, 10_000).selectExpr(
@@ -23,29 +25,26 @@ def test_bucketed_join_has_no_shuffle(spark):
     try:
         # disable auto-broadcast so the test exercises the shuffle-vs-bucket
         # choice a fact-fact join faces at scale
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table(n1).join(
-            spark.table(n2), spark.table(n1).l_orderkey == spark.table(n2).o_orderkey
-        )
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan, plan
-        assert joined.count() == 10_000
+        with broadcast_disabled(spark):
+            joined = spark.table(n1).join(
+                spark.table(n2),
+                spark.table(n1).l_orderkey == spark.table(n2).o_orderkey,
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert joined.count() == 10_000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {n1}")
         spark.sql(f"DROP TABLE IF EXISTS {n2}")
 
 
 def test_unbucketed_join_shuffles(spark):
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         li = spark.range(0, 10_000).selectExpr("id % 1000 AS l_orderkey")
         o = spark.range(0, 1000).selectExpr("id AS o_orderkey")
         joined = li.join(o, li.l_orderkey == o.o_orderkey)
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" in plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
 
 
 def test_write_bucketed_helper_exchange_free(spark, tmp_path):
@@ -68,18 +67,17 @@ def test_write_bucketed_helper_exchange_free(spark, tmp_path):
     write_bucketed(li, n1, "l_orderkey", buckets=8, path=str(tmp_path / n1))
     write_bucketed(o, n2, "o_orderkey", buckets=8, path=str(tmp_path / n2))
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        t1, t2 = spark.table(n1), spark.table(n2)
-        joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan, plan
-        assert joined.count() == 10_000
-        agg = t1.groupBy("l_orderkey").count()
-        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
-        assert agg.count() == 1000
+        with broadcast_disabled(spark):
+            t1, t2 = spark.table(n1), spark.table(n2)
+            joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert joined.count() == 10_000
+            agg = t1.groupBy("l_orderkey").count()
+            agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+            assert agg.count() == 1000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {n1}")
         spark.sql(f"DROP TABLE IF EXISTS {n2}")
 
@@ -103,13 +101,10 @@ def test_minhash_band_self_join_keeps_its_exchange(spark):
         [(i, f"the quick brown fox document number {i % 3} padded out") for i in range(24)],
         "doc_id long, text string",
     )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         pairs = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "Exchange hashpartitioning" in plan, plan
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
 
 
 def test_bucketed_query_flag_is_a_real_detector(spark, tmp_path):
@@ -164,22 +159,23 @@ def test_mismatched_bucket_counts_reintroduce_exchange(spark, tmp_path):
     write_bucketed(li, n1, "l_orderkey", buckets=8, path=str(tmp_path / n1))
     write_bucketed(o, n2, "o_orderkey", buckets=16, path=str(tmp_path / n2))
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        t1, t2 = spark.table(n1), spark.table(n2)
-        joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" in plan, plan
-        assert joined.count() == 10_000
-        spark.conf.set("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
-        t1c, t2c = spark.table(n1), spark.table(n2)
-        coalesced = t1c.join(t2c, t1c.l_orderkey == t2c.o_orderkey)
-        plan_c = coalesced._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan_c, plan_c
-        assert coalesced.count() == 10_000
+        with broadcast_disabled(spark):
+            t1, t2 = spark.table(n1), spark.table(n2)
+            joined = t1.join(t2, t1.l_orderkey == t2.o_orderkey)
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" in plan, plan
+            assert joined.count() == 10_000
+            spark.conf.set(
+                "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true"
+            )
+            t1c, t2c = spark.table(n1), spark.table(n2)
+            coalesced = t1c.join(t2c, t1c.l_orderkey == t2c.o_orderkey)
+            plan_c = coalesced._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan_c, plan_c
+            assert coalesced.count() == 10_000
     finally:
         spark.conf.set(
             "spark.sql.bucketing.coalesceBucketsInJoin.enabled", "false"
         )
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {n1}")
         spark.sql(f"DROP TABLE IF EXISTS {n2}")

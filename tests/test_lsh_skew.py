@@ -12,6 +12,7 @@ measured in tools/skewed_band_probe.py). These tests pin the two defenses:
   enumeration comes back as cluster labels over the same band table.
 """
 
+from conftest import broadcast_disabled
 from pyspark.sql import functions as F
 
 from makinage_spark import dedup
@@ -142,8 +143,7 @@ def test_salted_join_shuffles_on_block_key(spark):
     ``salt`` reducer keys instead of landing on one. Pin it in the plan —
     with broadcast disabled so the join is a real shuffle join."""
     docs = _corpus(spark)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
+    with broadcast_disabled(spark):
         pairs = dedup.minhash_lsh_pairs(docs, salt=4, salt_threshold=8)
         plan = pairs._jdf.queryExecution().executedPlan().toString()
         assert "__bj" in plan, plan
@@ -151,7 +151,3 @@ def test_salted_join_shuffles_on_block_key(spark):
 
         exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
         assert any("__bj" in e for e in exchanges), exchanges
-    finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
-        )
