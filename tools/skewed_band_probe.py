@@ -30,7 +30,19 @@ the organic near-dup pairs whose recall the cap must preserve.
 Usage:
   PYTHONPATH=/root/repo python tools/skewed_band_probe.py [--bg 16000 \
       --template 2000 --planted 200 --cap 64]
-"""
+
+r11 additions (VERDICT r10 task 4 — the same-scale defense rows): at
+template sizes where s² enumeration is infeasible-by-design, the probe can
+still time the defenses that ARE the answer there. ``--skip-uncapped``
+drops the raw self-join measurement (a 10⁶-doc template would attempt
+10¹² pairs from one reducer key — the point is that nobody should run it),
+``--skip-salt`` drops the salted enumeration (same reason, one tier later:
+salt bounds per-task work at s²/g but total output is still s²/2), and
+``--reps`` controls the min-of-N loop so the widest rows stay affordable.
+``--salt-g`` picks the block count. Template-pair lower bound
+s·(s-1)/2 ≤ pairs_salted is asserted in-row when salt runs without the
+uncapped reference (the full bit-identity claim is driver-hash-checked at
+sf0.01 by dedup_minhash_pairs_salted and oracle-checked in tests)."""
 
 from __future__ import annotations
 
@@ -102,6 +114,10 @@ def main() -> None:
     ap.add_argument("--template", type=int, default=2_000)
     ap.add_argument("--planted", type=int, default=200)
     ap.add_argument("--cap", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-uncapped", action="store_true")
+    ap.add_argument("--skip-salt", action="store_true")
+    ap.add_argument("--salt-g", type=int, default=16)
     args = ap.parse_args()
 
     spark = mk.get_spark(
@@ -135,7 +151,7 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         try:
             best, n = float("inf"), None
-            for _ in range(2):
+            for _ in range(args.reps):
                 t0 = time.monotonic()
                 n = dedup.minhash_lsh_pairs(docs, bucket_cap=bucket_cap).count()
                 best = min(best, time.monotonic() - t0)
@@ -146,12 +162,15 @@ def main() -> None:
     # 2. uncapped: AQE skew-split on vs off, then the salted triangular
     # block join (the actual mega-key parallelization — AQE can't see
     # output amplification)
-    t_unc_aqe, n_unc = timed_pairs(None, aqe=True)
-    t_unc_noaqe, _ = timed_pairs(None, aqe=False)
+    if args.skip_uncapped:
+        t_unc_aqe = t_unc_noaqe = n_unc = None
+    else:
+        t_unc_aqe, n_unc = timed_pairs(None, aqe=True)
+        t_unc_noaqe, _ = timed_pairs(None, aqe=False)
 
     def timed_salted(g: int):
         best, n = float("inf"), None
-        for _ in range(2):
+        for _ in range(args.reps):
             t0 = time.monotonic()
             n = dedup.minhash_lsh_pairs(
                 docs, salt=g, salt_threshold=args.cap * 4
@@ -159,20 +178,32 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         return round(best, 2), n
 
-    t_salted, n_salted = timed_salted(16)
+    if args.skip_salt:
+        t_salted = n_salted = None
+    else:
+        t_salted, n_salted = timed_salted(args.salt_g)
+        if n_unc is None:
+            # no uncapped reference at this scale — assert the analytic
+            # floor instead: the template alone contributes s·(s-1)/2
+            # distinct pairs, every one of which the salted grid must emit
+            floor = args.template * (args.template - 1) // 2
+            assert n_salted >= floor, (n_salted, floor)
 
     # 3. capped economics + planted recall
     t_cap, n_cap = timed_pairs(args.cap, aqe=True)
     capped = dedup.minhash_lsh_pairs(docs, bucket_cap=args.cap)
     n_planted_hit = planted.join(capped, ["a", "b"], "left_semi").count()
 
-    # 4. mega-bucket membership (the cluster-label path for what the cap drops)
+    # 4. mega-bucket membership (the cluster-label path for what the cap
+    # drops) — timed, so the labels defense has its own curvature row
+    t0 = time.monotonic()
     mega = dedup.lsh_mega_buckets(stacked, bucket_cap=args.cap)
     mega_prof = mega.agg(
         F.countDistinct("cluster").alias("n_clusters"),
         F.count(F.lit(1)).alias("n_members"),
         F.countDistinct("doc_id").alias("n_docs"),
     ).first()
+    t_labels = round(time.monotonic() - t0, 2)
 
     print(
         json.dumps(
@@ -191,14 +222,20 @@ def main() -> None:
                 "t_uncapped_aqe_sec": t_unc_aqe,
                 "t_uncapped_noaqe_sec": t_unc_noaqe,
                 "pairs_salted": n_salted,
-                "salted_matches_unsalted": n_salted == n_unc,
-                "t_salted16_sec": t_salted,
+                "salted_matches_unsalted": (
+                    None if n_unc is None or n_salted is None
+                    else n_salted == n_unc
+                ),
+                "salt_g": None if args.skip_salt else args.salt_g,
+                "t_salted_sec": t_salted,
+                "reps": args.reps,
                 "pairs_capped": n_cap,
                 "t_capped_sec": t_cap,
-                "pair_cut": round(1 - n_cap / n_unc, 4) if n_unc else 0.0,
+                "pair_cut": round(1 - n_cap / n_unc, 4) if n_unc else None,
                 "planted_recall_capped": round(
                     n_planted_hit / args.planted, 4
                 ),
+                "t_labels_sec": t_labels,
                 "mega_clusters": int(mega_prof.n_clusters),
                 "mega_members": int(mega_prof.n_members),
                 "mega_distinct_docs": int(mega_prof.n_docs),
