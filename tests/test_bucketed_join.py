@@ -136,6 +136,24 @@ def test_bucketed_query_flag_is_a_real_detector(spark, tmp_path):
     assert "Exchange" in plan, plan
 
 
+def test_final_plan_pin_mechanism(spark):
+    """The exchange_free pin's execute-then-read move (r11, ADVICE r9
+    item 5): on a query AQE actually adapts (it HAS an exchange), reading
+    executedPlan() before any action yields the INITIAL adaptive plan
+    (isFinalPlan=false); after materializing the plan's own row RDD — the
+    exact py4j call the registry query uses — the SAME QueryExecution
+    reports isFinalPlan=true. Pins the mechanism the oracle-hashed
+    exchange_free flag depends on, so a Spark upgrade that changes the
+    adaptive-plan string contract fails here, not silently in the gate."""
+    df = spark.range(0, 10_000).selectExpr("id % 7 AS k").groupBy("k").count()
+    qe = df._jdf.queryExecution()
+    before = qe.executedPlan().toString()
+    assert "isFinalPlan=false" in before, before
+    qe.executedPlan().execute().count()
+    after = qe.executedPlan().toString()
+    assert "isFinalPlan=true" in after, after
+
+
 def test_mismatched_bucket_counts_reintroduce_exchange(spark, tmp_path):
     """Negative control users actually hit (VERDICT r9 task 6): two tables
     bucketed on the right keys but with DIFFERENT bucket counts (8 vs 16)
