@@ -237,6 +237,7 @@ def minhash_band_table(
     bands: int = 4,
     ngram: int = 5,
     stateless: bool = False,
+    with_all_buckets: bool = False,
 ) -> DataFrame:
     """The shareable LSH index: one ``(id, band, bucket)`` row per document
     per band (bucket = md5 of the band's concatenated minima). This is the
@@ -245,6 +246,13 @@ def minhash_band_table(
     (:func:`minhash_lsh_pairs`) or stream-static-joined to screen newly
     arriving documents against the historical corpus without recomputing
     anything on the static side.
+
+    ``with_all_buckets=True`` additionally carries ``__bkts`` — the full
+    band-ordered bucket array — on every exploded row (+~(bands-1)×32
+    chars/row on a table that is tiny next to the corpus). This is what
+    lets :func:`minhash_lsh_pairs` emit each pair at its FIRST colliding
+    band and skip the global distinct entirely (r11; see its docstring for
+    the measured motivation).
 
     ``stateless=True`` computes the signature with the single-expression
     in-row fold (:func:`minhash_array`) instead of the explode→groupBy
@@ -271,18 +279,27 @@ def minhash_band_table(
         )
     else:
         sig = minhash_signature_df(df, text_col, id_col, num_hashes, ngram)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * rows_per_band + r}").cast("string")
-                      for r in range(rows_per_band)],
-                )
-            ).alias("bucket"),
+    band_buckets = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{b * rows_per_band + r}").cast("string")
+                  for r in range(rows_per_band)],
+            )
         )
         for b in range(bands)
+    ]
+    if with_all_buckets:
+        return sig.select(
+            F.col(id_col), F.array(*band_buckets).alias("__bkts")
+        ).select(
+            id_col,
+            F.posexplode("__bkts").alias("band", "bucket"),
+            "__bkts",
+        )
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), bkt.alias("bucket"))
+        for b, bkt in enumerate(band_buckets)
     ]
     return sig.select(
         id_col, F.explode(F.array(*band_structs)).alias("bb")
@@ -311,6 +328,26 @@ def minhash_lsh_pairs(
     concatenated minima (constant width regardless of r); one shuffle per the
     exploded (band, bucket) key; pairs form by equi-join *within* buckets only.
     Returns distinct ``(a, b)`` pairs with ``a < b``.
+
+    **Emit-once instead of distinct (r11).** A pair that collides in m
+    bands used to be emitted m times and collapsed by a global
+    ``distinct()`` — a full shuffle of the PAIR STREAM, the largest
+    dataset in the pipeline. Measured on the hot-band fixture
+    (SCALING.md r11): enumerating 465M pre-distinct rows took 16.6 s while
+    the plan WITH the distinct took 111.7 s — the dedup shuffle was ~85%
+    of the cost. Now each row carries the full band-ordered bucket array
+    (``__bkts``, via ``minhash_band_table(with_all_buckets=True)``) and
+    the join emits a pair only at its FIRST colliding band (for all
+    j < band: ``l.__bkts[j] != r.__bkts[j]``), so the union across bands
+    is duplicate-free BY CONSTRUCTION and the pair stream never shuffles
+    at all — it flows straight from the bucket joins to the consumer.
+    Same pair set, bit-identical to the old distinct (the SQL oracles pin
+    it). Under ``bucket_cap`` the first-hit test must not count an earlier
+    equal band whose bucket was DROPPED by the cap (the capped contract is
+    "pair surfaces iff equal in any KEPT band"), so each doc also carries
+    band-ordered ``__kept`` flags and the suppression term is
+    ``collided AND kept``; the flags are one extra groupBy+join on the
+    tiny band table, paid only when the cap is on.
 
     ``bucket_cap`` (off by default, so results are exactly the banding
     semantics): drop (band, bucket) groups holding more than this many docs
@@ -345,15 +382,43 @@ def minhash_lsh_pairs(
     threshold keep the plain self-join — the ~salt/2× left-side row
     expansion is paid only where it buys parallelism.
     """
-    stacked = minhash_band_table(df, text_col, id_col, num_hashes, bands, ngram)
-    if bucket_cap is not None:
-        small = (
+    stacked = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, ngram, with_all_buckets=True
+    )
+    capped = bucket_cap is not None
+    if capped:
+        # persist the raw band table: three consumers derive from it below
+        # (size scan, kept-flag build, the anti-join) and none should
+        # recompute the shingle→minhash pipeline
+        stacked = stacked.persist()
+        big_caps = (
             stacked.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") <= bucket_cap)
+            .filter(F.col("__bs") > bucket_cap)
             .select("band", "bucket")
         )
-        stacked = stacked.join(small, ["band", "bucket"], "left_semi")
+        # band-ordered kept flags per doc: the emit-once suppression below
+        # must count an earlier equal band as a collision ONLY if that
+        # band's bucket survived the cap — the capped contract is "pair
+        # surfaces iff equal in ANY kept band"
+        kept_arr = (
+            stacked.join(
+                big_caps.withColumn("__dropped", F.lit(True)),
+                ["band", "bucket"],
+                "left",
+            )
+            .select(id_col, "band", F.col("__dropped").isNull().alias("__k"))
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("band", "__k"))),
+                    lambda s: s["__k"],
+                ).alias("__kept")
+            )
+        )
+        stacked = stacked.join(big_caps, ["band", "bucket"], "left_anti").join(
+            kept_arr, id_col
+        )
     # Persist before the self-join: both join branches would otherwise
     # recompute the whole shingle→minhash pipeline (a broadcast join has no
     # shuffle exchange for Catalyst to reuse). Same move as materializing the
@@ -370,6 +435,27 @@ def minhash_lsh_pairs(
     # ``bucket_cap`` (drop + lsh_mega_buckets labels) or ``salt``.
     stacked = stacked.persist()
 
+    def first_hit() -> Column:
+        # emit-once: no EARLIER band already surfaced this pair — for every
+        # j < band, the band-j buckets differ (or, under a cap, band j was
+        # dropped). UNROLLED over the compile-time band count with literal
+        # array ordinals, NOT slice/zip_with/forall: higher-order-function
+        # lambdas are interpreted per evaluation, and this predicate runs
+        # once per JOIN CANDIDATE — on a hot-bucket fixture the HOF form
+        # measured 322 s where this unrolled form (plain GetArrayItem +
+        # string compares, fully inside whole-stage codegen) and the old
+        # distinct-based plan measured ~94 s and the shuffle saving can
+        # actually materialize.
+        cond = F.lit(True)
+        for j in range(bands - 1):
+            t = (F.col("l.band") <= F.lit(j)) | (
+                F.col("l.__bkts")[j] != F.col("r.__bkts")[j]
+            )
+            if capped:
+                t = t | ~F.col("l.__kept")[j]
+            cond = cond & t
+        return cond
+
     def self_join(part: DataFrame) -> DataFrame:
         left, right = part.alias("l"), part.alias("r")
         return left.join(
@@ -378,11 +464,12 @@ def minhash_lsh_pairs(
                 F.col("l.band") == F.col("r.band"),
                 F.col("l.bucket") == F.col("r.bucket"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                first_hit(),
             ],
         ).select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
 
     if salt is None or salt <= 1:
-        return self_join(stacked).distinct()
+        return self_join(stacked)
     # Materialize the persisted band table before the salted path fans out
     # into four consumers (size scan + anti/semi joins + plain self-join):
     # otherwise whichever branch's first action wins the persist fill race
@@ -415,6 +502,7 @@ def minhash_lsh_pairs(
                 F.col("l.__bj") == F.col("r.__bj"),
                 (F.col("l.__bi") != F.col("r.__bj"))
                 | (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+                first_hit(),
             ],
         )
         .select(
@@ -422,7 +510,12 @@ def minhash_lsh_pairs(
             F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("b"),
         )
     )
-    return plain.unionByName(salted).distinct()
+    # no distinct: plain and salted partition each band's buckets by size
+    # (disjoint), within a leg each unordered pair lands exactly once
+    # (a<b guard / triangular grid), and first_hit() suppresses every
+    # band after a pair's first kept collision — the union is
+    # duplicate-free by construction
+    return plain.unionByName(salted)
 
 
 def lsh_mega_buckets(

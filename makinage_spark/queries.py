@@ -19808,17 +19808,22 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
 #: freshness guard (tests/test_query_registry.py) and COVERAGE.md:
 #: (1) changed-in-r11 — dedup_minhash_pairs_salted (NEW, VERDICT r10
 #:     task 1: the r10 salted triangular self-join finally gets a driver
-#:     hash; never-checked, so the endgame invariant REQUIRES it in) and
+#:     hash; never-checked, so the endgame invariant REQUIRES it in);
 #:     bucketed_join_zero_exchange (task 2: the exchange_free pin now
 #:     reads the FINAL adaptive plan after executing, not the initial
-#:     one). The other two r11 code touches are output-invariant and by
-#:     the r9 precedent do not force a re-pin: submodular's unpersist
-#:     None-guard sits after the loop, and minhash_lsh_pairs' added
-#:     stacked.count() only pre-materializes the salt path's cache.
+#:     one); and the three other minhash_lsh_pairs callers —
+#:     dedup_minhash_pairs, dedup_pipeline_e2e, banding_recall_audit —
+#:     re-pinned for the r11 emit-once refactor (pairs surface at their
+#:     FIRST colliding band, global distinct eliminated; bit-identical
+#:     output, measured 85%-of-pipeline shuffle saved on hot corpora —
+#:     dedup.py docstring + SCALING.md r11). Output-invariant touches
+#:     that by the r9 precedent do NOT force re-pins: submodular's
+#:     unpersist None-guard and the salt path's cache materialization.
 #: (2) least-recently-green in ledger order, continuing where the r10
 #:     tail stopped: all 15 remaining r3-vintage queries, then the first
-#:     33 r4-vintage (alphabetical within round, the ledger's order);
-#:     take_topk..variance_stddev (the last 6 of r4) roll to r12.
+#:     30 r4-vintage (alphabetical within round, the ledger's order);
+#:     stream_hourly_counts..variance_stddev (the last 9 of r4) roll to
+#:     r12.
 #: last_green[n] computed at round start from CORRECTNESS_r01..r10:
 #:   histogram {3:15, 4:39, 5:41, 6:48, 7:49, 8:48, 9:50, 10:50}.
 #: Round the CURRENT window below was cut in — the freshness guard counts
@@ -19831,6 +19836,9 @@ _SHOWCASE_50 = [
     # --- changed in r11 ---
     "dedup_minhash_pairs_salted",       # NEW: salted path driver hash (task 1)
     "bucketed_join_zero_exchange",      # final-adaptive-plan pin (task 2)
+    "dedup_minhash_pairs",              # emit-once refactor (no distinct)
+    "dedup_pipeline_e2e",               # emit-once refactor (capped kept-flags)
+    "banding_recall_audit",             # emit-once refactor (uncapped caller)
     # --- re-pins: least-recently-green, r3 vintage (all 15 remaining) ---
     "dedup_jaccard_pairs",              # r3
     "dedup_minhash_signature",          # r3
@@ -19878,9 +19886,6 @@ _SHOWCASE_50 = [
     "stream_dedup_keys",                # r4
     "stream_ewma",                      # r4
     "stream_funnel_conversion",         # r4
-    "stream_hourly_counts",             # r4
-    "stream_scan_running",              # r4
-    "stream_topk_state",                # r4
 ]
 
 

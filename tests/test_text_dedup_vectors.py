@@ -645,6 +645,74 @@ def test_minhash_bucket_cap_drops_mega_bucket(spark):
     assert loose == uncapped
 
 
+def test_minhash_pairs_duplicate_free_without_distinct(spark):
+    """Emit-once (r11): the pair stream is duplicate-free BY CONSTRUCTION —
+    no global distinct in the plan. Two identical docs collide in all four
+    bands; the raw (un-set-ified) output must carry their pair exactly
+    once, and the plan must contain no Aggregate-based dedup of the pair
+    stream (the old distinct was an s²-row shuffle, measured at ~85% of the
+    hot-corpus pipeline — SCALING.md r11)."""
+    T = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+         "eiusmod tempor")
+    df = spark.createDataFrame(
+        [("y1", T), ("y2", T), ("z1", "a completely unrelated document "
+                                      "about zebras and quartz")],
+        "doc_id string, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(df)
+    rows = [(r.a, r.b) for r in pairs.collect()]
+    assert rows == [("y1", "y2")]  # once, not four times
+    # the signature build keeps its groupBy(doc_id) aggregate; what must be
+    # GONE is any aggregate keyed on the PAIR columns (the old distinct)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[a#" not in plan and "Deduplicate" not in plan, plan
+
+
+def test_minhash_cap_emits_pair_whose_first_equal_band_is_dropped(spark):
+    """The capped emit-once edge the __kept flags exist for: a pair whose
+    EARLIEST equal band sits in a capped-away mega bucket but which also
+    collides in a later, small (kept) band must still surface — the capped
+    contract is "equal in ANY kept band", so first-hit suppression must not
+    count dropped bands. Fixture (searched deterministically): 'ah ' + T
+    keeps the template's band-0/1/3 buckets (mega with 10 copies of T →
+    dropped at cap=8) but moves band 2 — so the identical pair (y1, y2) is
+    equal at bands 0,1,3 inside dropped buckets and at band 2 in its own
+    2-doc kept bucket. A naive emit-once (suppress on any earlier equality)
+    would silently lose the pair. The whole output is also re-derived from
+    the band table + cap semantics in-test as an independent reference."""
+    T = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+         "eiusmod tempor")
+    rows = [(f"t{i:02d}", T) for i in range(10)]
+    rows += [("y1", "ah " + T), ("y2", "ah " + T)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    cap = 8
+    # fixture sanity: y's band table agrees with the template's bucket at
+    # band 0 (its first equal band WILL be dropped) and differs somewhere
+    bt = {(r.doc_id, r.band): r.bucket
+          for r in dedup.minhash_band_table(df).collect()}
+    same = [b for b in range(4) if bt[("y1", b)] == bt[("t00", b)]]
+    assert 0 in same and len(same) < 4, same
+    # independent reference: pairs equal in any band whose bucket size <= cap
+    from collections import Counter
+
+    sizes = Counter((b, bt[(d, b)]) for d in {d for d, _ in bt} for b in range(4))
+    ids = sorted({d for d, _ in bt})
+    ref = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(
+            bt[(a, k)] == bt[(b, k)] and sizes[(k, bt[(a, k)])] <= cap
+            for k in range(4)
+        )
+    }
+    assert ("y1", "y2") in ref  # the fixture really contains the edge
+    out = [(r.a, r.b) for r in
+           dedup.minhash_lsh_pairs(df, bucket_cap=cap).collect()]
+    assert len(out) == len(set(out))  # still duplicate-free under the cap
+    assert set(out) == ref
+
+
 def test_simhash_block_cap_drops_mega_block(spark):
     rows = [(f"t{i:02d}", "lorem ipsum dolor sit amet consectetur adipiscing elit")
             for i in range(12)]
