@@ -915,6 +915,25 @@ def simhash_pairs(
     cross product). Verify stage computes the true Hamming distance via
     ``bit_count(xor)``.
 
+    **Emit-once instead of distinct (r12, carrying the r11 minhash result
+    over).** A pair within Hamming ≤ ``max_hamming`` typically agrees on
+    SEVERAL whole blocks, so it used to be emitted once per agreeing block
+    and collapsed by a global ``distinct()`` — a full shuffle of the pair
+    stream, the largest dataset in the mine (the r11 minhash measurement
+    put that dedup shuffle at ~85% of hot-corpus pair cost, SCALING.md
+    r11). Now the join emits a pair only at its FIRST agreeing block: both
+    sides already carry the full hash ``sh``, so "block j also agreed" is
+    plain bit arithmetic (``shiftright``/``bitwiseAND`` — no carried
+    arrays at all, cheaper than the minhash ``__bkts`` form), unrolled
+    over the compile-time block count so whole-stage codegen keeps it.
+    Under ``block_cap`` the suppression must not count an earlier agreeing
+    block whose (blk, val) group was DROPPED by the cap (the capped
+    contract is "pair surfaces iff it agrees in any KEPT block"), so each
+    doc carries block-ordered ``__kept`` flags — one extra groupBy+join on
+    the tiny block table, paid only when the cap is on. Output is
+    bit-identical to the old distinct-based plan; the pair stream never
+    shuffles.
+
     ``block_cap`` (off by default): drop (blk, val) groups larger than this
     before the self-join — the same mega-bucket guard as
     :func:`minhash_lsh_pairs` ``bucket_cap`` (a template block of s docs is
@@ -951,28 +970,84 @@ def simhash_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "sh", "bb.blk", "bb.val")
-    if block_cap is not None:
-        small = (
+    capped = block_cap is not None
+    if capped:
+        # persist the raw block table: three consumers derive from it below
+        # (size scan, kept-flag build, the anti-join) and none should
+        # recompute the token→simhash pipeline. Cache lifetime: see the
+        # CLEANUP CONTRACT note in prefix_filter_pairs — plan builders
+        # persist and never unpersist; repeated callers clearCache().
+        stacked = stacked.persist()
+        big = (
             stacked.groupBy("blk", "val")
             .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") <= block_cap)
+            .filter(F.col("__bs") > block_cap)
             .select("blk", "val")
         )
-        stacked = stacked.join(small, ["blk", "val"], "left_semi")
+        # block-ordered kept flags per doc — same construction (and same
+        # capped contract) as minhash_lsh_pairs' __kept: the emit-once
+        # suppression counts an earlier agreeing block as a collision ONLY
+        # if that block's group survived the cap
+        kept_arr = (
+            stacked.join(
+                big.withColumn("__dropped", F.lit(True)),
+                ["blk", "val"],
+                "left",
+            )
+            .select(id_col, "blk", F.col("__dropped").isNull().alias("__k"))
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("blk", "__k"))),
+                    lambda s: s["__k"],
+                ).alias("__kept")
+            )
+        )
+        stacked = stacked.join(big, ["blk", "val"], "left_anti").join(
+            kept_arr, id_col
+        )
     # persist before the self-join — same rationale as minhash_lsh_pairs: a
     # broadcast join would otherwise recompute the token→simhash pipeline on
     # both branches; the (id, sh, blk, val) table is tiny relative to the text
     stacked = stacked.persist()
+
+    def first_hit() -> Column:
+        # emit-once: no EARLIER block already surfaced this pair — for every
+        # j < blk, the block-j values differ (or, under a cap, block j was
+        # dropped). Block-j values come straight from the carried hash via
+        # shiftright/bitwiseAND (no arrays), UNROLLED over the compile-time
+        # block count so the predicate stays inside whole-stage codegen
+        # (r11 lesson: HOF lambdas in a JOIN CONDITION are interpreted per
+        # candidate and measured 3.4× worse than the shuffle they replace).
+        cond = F.lit(True)
+        for j in range(blocks - 1):
+            blkval_eq = (
+                F.shiftright(F.col("a.sh"), j * block_bits).bitwiseAND(
+                    F.lit((1 << block_bits) - 1)
+                )
+                == F.shiftright(F.col("b.sh"), j * block_bits).bitwiseAND(
+                    F.lit((1 << block_bits) - 1)
+                )
+            )
+            t = (F.col("a.blk") <= F.lit(j)) | ~blkval_eq
+            if capped:
+                t = t | ~F.col("a.__kept")[j]
+            cond = cond & t
+        return cond
+
     a, b = stacked.alias("a"), stacked.alias("b")
-    cand = (
-        a.join(b, on=[F.col("a.blk") == F.col("b.blk"), F.col("a.val") == F.col("b.val"),
-                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(
-            F.col(f"a.{id_col}").alias("a"),
-            F.col(f"b.{id_col}").alias("b"),
-            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.blk") == F.col("b.blk"),
+            F.col("a.val") == F.col("b.val"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            first_hit(),
+        ],
+    ).select(
+        F.col(f"a.{id_col}").alias("a"),
+        F.col(f"b.{id_col}").alias("b"),
+        F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
     )
     return cand.filter(F.col("hamming") <= max_hamming)
 

@@ -726,6 +726,77 @@ def test_simhash_block_cap_drops_mega_block(spark):
     assert loose == uncapped
 
 
+def test_simhash_pairs_duplicate_free_without_distinct(spark):
+    """Emit-once for the simhash mine (r12, carrying the r11 minhash result
+    over): a pair within the Hamming radius typically agrees on several
+    whole blocks; it must surface exactly once (at its first agreeing
+    block) with NO pair-keyed aggregate in the plan — the old global
+    distinct() was a full shuffle of the pair stream."""
+    T = "the quick brown fox jumps over the lazy dog tonight"
+    df = spark.createDataFrame(
+        [("y1", T), ("y2", T), ("z1", "completely unrelated zebra quartz")],
+        "doc_id string, text string",
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3)
+    rows = [(r.a, r.b) for r in pairs.collect()]
+    assert rows == [("y1", "y2")]  # once, not four times (one per block)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[a#" not in plan and "Deduplicate" not in plan, plan
+
+
+def test_simhash_cap_emits_pair_whose_first_agreeing_block_is_dropped(spark):
+    """The capped emit-once edge the simhash __kept flags exist for (same
+    contract as the minhash test above): a pair whose EARLIEST agreeing
+    block sits in a capped-away mega group but which also agrees in a
+    later, small (kept) block must still surface. Fixture searched
+    deterministically at bits=8/blocks=4 (2-bit blocks → only 4 values per
+    block, so mega groups form with a handful of docs): seed 0 puts the
+    identical pair (x1, x2) in dropped groups at blocks 0, 2, 3 (sizes
+    7/12/5 > cap 3) and in its own 2-doc kept group at block 1. A naive
+    emit-once (suppress on any earlier agreement) would silently lose the
+    pair. The whole output is re-derived from the hashes + cap semantics
+    in-test as an independent reference."""
+    import random
+    from collections import Counter
+
+    BITS, BLOCKS, CAP = 8, 4, 3
+    bb = BITS // BLOCKS
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi",
+             "rho", "sigma", "tau", "ups"]
+    random.seed(0)
+    rows = [("x1", " ".join(random.sample(vocab, 6)))]
+    rows.append(("x2", rows[0][1]))
+    for i in range(14):
+        rows.append((f"f{i:02d}", " ".join(random.sample(vocab, 6))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sh = {r.doc_id: r.sh for r in dedup.simhash_df(df, bits=BITS).collect()}
+
+    def val(d, j):
+        return (sh[d] >> (j * bb)) & ((1 << bb) - 1)
+
+    sizes = Counter((j, val(d, j)) for d in sh for j in range(BLOCKS))
+    x_kept = [sizes[(j, val("x1", j))] <= CAP for j in range(BLOCKS)]
+    # fixture sanity: first agreeing block dropped, a later one kept
+    assert not x_kept[0] and any(x_kept[1:]), x_kept
+    ids = sorted(sh)
+    ref = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if any(
+            val(a, k) == val(b, k) and sizes[(k, val(a, k))] <= CAP
+            for k in range(BLOCKS)
+        )
+    }
+    assert ("x1", "x2") in ref
+    out = [(r.a, r.b) for r in dedup.simhash_pairs(
+        df, bits=BITS, blocks=BLOCKS, max_hamming=BITS, block_cap=CAP
+    ).collect()]
+    assert len(out) == len(set(out))  # still duplicate-free under the cap
+    assert set(out) == ref
+
+
 def test_strip_repeated_spans_property_vs_python_oracle(spark):
     from hypothesis import given, settings
     from hypothesis import strategies as st
