@@ -653,14 +653,30 @@ def prefix_filter_pairs(
         # tables), never to pre-explosion inputs.
         .persist()
     )
-    # candidate ids stay NARROW through the skew-prone join + distinct (two
-    # longs per row): near-identical docs share ~every prefix token, so
-    # carrying the full arrays here would duplicate them once per shared
-    # prefix token; the arrays attach after dedup, once per surviving pair.
+    # Emit-once instead of distinct (r12, carrying the r11 minhash result
+    # over): a pair sharing m prefix tokens used to be emitted m times and
+    # collapsed by a global distinct() — a full shuffle of the PAIR stream,
+    # the largest dataset in the mine (the r11 minhash measurement put that
+    # dedup shuffle at ~85% of hot-corpus pair cost). Now each exploded
+    # prefix row also carries __pre — the tokens BEFORE its own position in
+    # the rarest-first prefix — and the join emits a pair only at its FIRST
+    # shared token: both prefixes are sorted by the same global (dfr, it)
+    # order, so "an earlier shared token exists" is exactly
+    # arrays_overlap(a.__pre, b.__pre), a native (non-lambda) expression
+    # that stays inside whole-stage codegen (the r11 HOF-in-join-condition
+    # lesson does not apply — no interpreted lambda anywhere). The carry is
+    # triangular (row at prefix position k carries k-1 tokens, ~|prefix|²/2
+    # per doc through the exchange) and buys the pair stream never
+    # shuffling at all; candidate ids otherwise stay narrow, and the full
+    # arrays still attach only once per surviving pair.
     # The PPJoin LENGTH filter rides the join condition: Jaccard ≥ t forces
     # min(|a|,|b|) ≥ t·max(|a|,|b|), so wildly different-sized sets never
     # become candidates at all (lossless).
-    pa = ordered.select("doc_id", "sz", F.explode("prefix").alias("ptok"))
+    pa = ordered.select(
+        "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
+    ).select(
+        "doc_id", "sz", "ptok", F.slice("prefix", 1, F.col("__pos")).alias("__pre")
+    )
     pairs = (
         pa.alias("a")
         .join(
@@ -670,10 +686,10 @@ def prefix_filter_pairs(
                 F.col("a.doc_id") < F.col("b.doc_id"),
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")),
+                ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
             ],
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
     )
     left = ordered.select(
         F.col("doc_id").alias("a"), F.col("oit").alias("ta"),
@@ -769,8 +785,27 @@ def containment_pairs(
         # tables), never to pre-explosion inputs.
         .persist()
     )
-    pa = ordered.select("doc_id", "sz", F.explode("prefix").alias("ptok"))
-    pb = ordered.select("doc_id", "sz", F.explode("oit").alias("ptok"))
+    # Emit-once instead of distinct (r12): same construction as
+    # prefix_filter_pairs — each exploded row carries __pre, the tokens
+    # before its own position in the shared global (dfr, it) order, and the
+    # join emits a pair only at its FIRST shared token
+    # (¬arrays_overlap(a.__pre, b.__pre); for t' < t, "t' ∈ b.oit anywhere"
+    # ⟺ "t' before t in b.oit", so the triangular slices on both sides
+    # capture exactly the earlier-shared-token test). The asymmetric cost:
+    # the index side explodes the FULL item set, so its triangular carry is
+    # ~|s|²/2 tokens per doc through the exchange (the probe side stays
+    # ~|prefix|²/2) — bought back by the pair stream never shuffling; see
+    # the r12 A/B in SCALING.md.
+    pa = ordered.select(
+        "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
+    ).select(
+        "doc_id", "sz", "ptok", F.slice("prefix", 1, F.col("__pos")).alias("__pre")
+    )
+    pb = ordered.select(
+        "doc_id", "sz", F.posexplode("oit").alias("__pos", "ptok"), "oit"
+    ).select(
+        "doc_id", "sz", "ptok", F.slice("oit", 1, F.col("__pos")).alias("__pre")
+    )
     pairs = (
         pa.alias("a")
         .join(
@@ -779,10 +814,10 @@ def containment_pairs(
                 F.col("a.ptok") == F.col("b.ptok"),
                 F.col("a.doc_id") != F.col("b.doc_id"),
                 F.col("b.sz") >= threshold * F.col("a.sz"),
+                ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
             ],
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
     )
     left = ordered.select(
         F.col("doc_id").alias("a"), F.col("oit").alias("ta"),

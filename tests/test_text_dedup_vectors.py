@@ -726,6 +726,32 @@ def test_simhash_block_cap_drops_mega_block(spark):
     assert loose == uncapped
 
 
+def test_prefix_filter_pairs_duplicate_free_without_distinct(spark):
+    """Emit-once for the PPJoin mines (r12): two identical sets share EVERY
+    prefix token, so the old plan emitted their pair once per shared token
+    and collapsed with a global distinct(); now the pair must surface
+    exactly once (at the canonically-first shared token, via the
+    triangular __pre carry + arrays_overlap suppression) with no
+    pair-keyed aggregate in the plan."""
+    items = [f"w{j}" for j in range(12)]
+    df = spark.createDataFrame(
+        [("y1", items), ("y2", items), ("z1", [f"v{j}" for j in range(9)])],
+        "doc_id string, items array<string>",
+    )
+    out = dedup.prefix_filter_pairs(df, "items", threshold=0.8)
+    rows = [(r.a, r.b) for r in out.collect()]
+    assert rows == [("y1", "y2")]  # once, not once per shared prefix token
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[a#" not in plan and "Deduplicate" not in plan, plan
+    # containment: the identical pair is mutually contained — BOTH directions
+    # appear, each exactly once (emitted at the first shared token)
+    cont = dedup.containment_pairs(df, "items", threshold=0.8)
+    crows = sorted((r.a, r.b) for r in cont.collect())
+    assert crows == [("y1", "y2"), ("y2", "y1")]
+    cplan = cont._jdf.queryExecution().executedPlan().toString()
+    assert "keys=[a#" not in cplan and "Deduplicate" not in cplan, cplan
+
+
 def test_simhash_pairs_duplicate_free_without_distinct(spark):
     """Emit-once for the simhash mine (r12, carrying the r11 minhash result
     over): a pair within the Hamming radius typically agrees on several
