@@ -184,7 +184,16 @@ def baseline_candidates(here: str, env_prev: str | None = None) -> list[str]:
     could be this round's own earlier output — so return nothing rather
     than guess (the old 1+10**9 fallback re-admitted the self-comparison
     bug exactly there). An explicit BENCH_PREV=<path> overrides the
-    inference entirely."""
+    inference entirely.
+
+    VERDICT r11 task 5: BENCH_r{8..11} driver artifacts were ALL
+    tail-truncated (parsed: null), so the cross-round anchor sat at r7 for
+    four rounds. Each bench run now also persists a parseable
+    BENCH_LOCAL_r{N}.json (write_local_artifact below); both kinds are
+    candidates here, ordered so the newest-first scan in compare_prev
+    tries a round's driver artifact first and falls back to that same
+    round's local artifact when the driver one is truncated — i.e. the
+    baseline is the newest PARSEABLE artifact of either kind."""
     import glob
 
     if env_prev:
@@ -200,10 +209,71 @@ def baseline_candidates(here: str, env_prev: str | None = None) -> list[str]:
         (
             p
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            + glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
             if _round_of(p) < cur_round
         ),
-        key=_round_of,
+        key=lambda p: (_round_of(p), "LOCAL" not in os.path.basename(p)),
     )
+
+
+def write_local_artifact(here: str, out: dict) -> str | None:
+    """Persist this run's bench line as BENCH_LOCAL_r{N}.json (VERDICT r11
+    task 5): the driver's capture window truncated every BENCH_r{8..11}
+    tail (parsed: null), pinning the cross-round anchor at r7 — a
+    parseable local artifact per round unsticks it. Same-round re-runs
+    MERGE per-query minima (the BASELINE.md min-of-N discipline: per-query
+    min is the only honest cross-round signal on a noisy box) and take the
+    min of the constant-work probes; `n_runs_merged` counts the series.
+    Returns the path, or None when the round is uninferable (no driver
+    CORRECTNESS history — same guard as baseline_candidates)."""
+    import glob
+
+    driver_rounds = [
+        _round_of(p)
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+    ]
+    if not driver_rounds:
+        return None
+    cur = 1 + max(driver_rounds)
+    path = os.path.join(here, f"BENCH_LOCAL_r{cur:02d}.json")
+    merged = dict(out)
+    merged.setdefault("n_runs_merged", 1)
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path))
+        except Exception:
+            prev = None
+        if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+            q = dict(prev["queries"])
+            for k, v in out.get("queries", {}).items():
+                q[k] = min(v, q[k]) if k in q else v
+            merged["queries"] = q
+            merged["n_runs_merged"] = prev.get("n_runs_merged", 1) + 1
+            for pk in ("cpu_probe_sec", "spark_probe_sec"):
+                if prev.get(pk) and out.get(pk):
+                    merged[pk] = min(prev[pk], out[pk])
+            # failed = failed in EVERY merged run (a query timed in any run
+            # has a minimum); value stays null while any query never ran
+            failed = sorted(
+                (set(prev.get("failed", [])) & set(out.get("failed", [])))
+                - set(q)
+            )
+            partial = round(sum(q.values()), 3)
+            if failed:
+                merged["failed"] = failed
+                merged["partial_total"] = partial
+                merged["value"] = None
+            else:
+                merged.pop("failed", None)
+                merged.pop("partial_total", None)
+                merged["value"] = partial
+            probe = merged.get("spark_probe_sec")
+            merged["value_normalized"] = (
+                round(partial / probe, 3) if probe and not failed else None
+            )
+    with open(path, "w") as f:
+        json.dump(merged, f)
+    return path
 
 
 def compare_prev(
@@ -341,6 +411,14 @@ def main():
             out["matched_prev"] = mp
     except Exception as e:  # comparison is advisory — never fail the bench
         print(f"bench: matched_prev comparison skipped: {e}", file=sys.stderr)
+    try:
+        lp = write_local_artifact(
+            os.path.dirname(os.path.abspath(__file__)), out
+        )
+        if lp:
+            out["local_artifact"] = os.path.basename(lp)
+    except Exception as e:  # persistence is advisory — never fail the bench
+        print(f"bench: local artifact write skipped: {e}", file=sys.stderr)
     # interpretability guard (VERDICT r6 task 7): a run that started on a
     # busy box is tagged so the artifact is readable standing alone — raw
     # totals from contended runs are NOT comparable (BASELINE.md documents

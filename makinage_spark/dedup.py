@@ -329,6 +329,20 @@ def minhash_lsh_pairs(
     exploded (band, bucket) key; pairs form by equi-join *within* buckets only.
     Returns distinct ``(a, b)`` pairs with ``a < b``.
 
+    PRECONDITION: ``id_col`` values must be unique (one row per document).
+    With the pair-stream ``distinct()`` gone (emit-once, below), output
+    uniqueness is BY CONSTRUCTION from unique ids — duplicate-id rows would
+    emit one ``(a, b)`` row per colliding row combination where the old
+    distinct silently collapsed them. CACHE LIFETIME: this builder persists
+    the band table (two tables when ``bucket_cap`` is on) and never
+    unpersists — the result is lazy, so unpersisting here would drop the
+    cache before consumption; callers invoking it repeatedly in one session
+    must ``spark.catalog.clearCache()`` between evaluations (bench.py
+    does). EAGERNESS: ``salt > 1`` materializes the band table at
+    DataFrame-construction time (one small cached-side count job) so the
+    four salted-path consumers don't race the persist fill — the returned
+    DataFrame is otherwise lazy as usual.
+
     **Emit-once instead of distinct (r11).** A pair that collides in m
     bands used to be emitted m times and collapsed by a global
     ``distinct()`` — a full shuffle of the PAIR STREAM, the largest
@@ -400,9 +414,19 @@ def minhash_lsh_pairs(
         # band-ordered kept flags per doc: the emit-once suppression below
         # must count an earlier equal band as a collision ONLY if that
         # band's bucket survived the cap — the capped contract is "pair
-        # surfaces iff equal in ANY kept band"
+        # surfaces iff equal in ANY kept band". Only docs that TOUCH a
+        # dropped bucket can carry a false flag (r12, VERDICT r11 task 2),
+        # so the per-doc groupBy runs over template members only — everyone
+        # else coalesces to the all-true literal below instead of paying a
+        # corpus-wide shuffle on the id.
+        touched = (
+            stacked.join(big_caps, ["band", "bucket"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
         kept_arr = (
-            stacked.join(
+            stacked.join(touched, id_col, "left_semi")
+            .join(
                 big_caps.withColumn("__dropped", F.lit(True)),
                 ["band", "bucket"],
                 "left",
@@ -416,8 +440,11 @@ def minhash_lsh_pairs(
                 ).alias("__kept")
             )
         )
-        stacked = stacked.join(big_caps, ["band", "bucket"], "left_anti").join(
-            kept_arr, id_col
+        all_true = F.array(*[F.lit(True) for _ in range(bands)])
+        stacked = (
+            stacked.join(big_caps, ["band", "bucket"], "left_anti")
+            .join(kept_arr, id_col, "left")
+            .withColumn("__kept", F.coalesce(F.col("__kept"), all_true))
         )
     # Persist before the self-join: both join branches would otherwise
     # recompute the whole shingle→minhash pipeline (a broadcast join has no

@@ -19855,7 +19855,7 @@ _SHOWCASE_50 = [
     "rollup_sales",                     # r3
     "scalar_string_date",               # r3
     "window_rank_top3",                 # r3
-    # --- re-pins: least-recently-green, r4 vintage (first 33 of 39) ---
+    # --- re-pins: least-recently-green, r4 vintage (first 30 of 39) ---
     "asof_enrich",                      # r4
     "asof_tolerance",                   # r4
     "bpe_learn_merges",                 # r4

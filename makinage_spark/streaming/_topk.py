@@ -34,11 +34,11 @@ def _merge_topk(vals: list, ids: list, k: int) -> tuple[list, list]:
 def has_transform_with_state() -> bool:
     """transformWithStateInPandas needs protobuf for its state-server RPC.
 
-    Availability re-probed 2026-08-16 (round 11, VERDICT r10 task 5 — the
+    Availability re-probed 2026-08-16 (round 12, VERDICT r11 task 6 — the
     full gate battery re-ran by importing each wheel directly:
     google.protobuf, mlflow, PIL, cv2, av, soundfile, kafka,
-    confluent_kafka ALL still absent; same result as the round-9 and
-    round-10 probes, all three on 2026-08-16 container time):
+    confluent_kafka ALL still absent; same result as the round-9 through
+    round-11 probes, all four on 2026-08-16 container time):
     ``import google.protobuf`` still raises in this
     container and installs are disallowed, so the TWS twins stay gated;
     the applyInPandasWithState implementations remain the registered,

@@ -99,6 +99,118 @@ def test_driver_wrapped_artifact_unwraps_parsed(tmp_path):
     assert mp["ratio_normalized"] == 1.0
 
 
+def test_local_artifacts_are_candidates_ordered_for_driver_first_scan(tmp_path):
+    """VERDICT r11 task 5: BENCH_LOCAL_r{N}.json joins the candidate pool;
+    within a round the oldest-first list puts LOCAL before the driver
+    artifact so compare_prev's newest-first scan tries the driver one
+    first and falls back to the same round's local artifact."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    _write(d, "BENCH_r10.json", {})
+    _write(d, "BENCH_LOCAL_r10.json", {})
+    _write(d, "BENCH_r11.json", {})
+    _write(d, "BENCH_LOCAL_r11.json", {})
+    _write(d, "BENCH_LOCAL_r12.json", {})  # current round's own output
+    names = [os.path.basename(p) for p in b.baseline_candidates(d)]
+    assert names == [
+        "BENCH_LOCAL_r10.json",
+        "BENCH_r10.json",
+        "BENCH_LOCAL_r11.json",
+        "BENCH_r11.json",
+    ]
+
+
+def test_truncated_driver_falls_back_to_same_round_local(tmp_path):
+    """The unstick scenario itself: the newest driver artifact is
+    tail-truncated (parsed: null, as BENCH_r{8..11} all were) — the
+    comparison must land on the same round's parseable local artifact, not
+    skip back an extra round."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    _write(
+        d,
+        "BENCH_r07.json",
+        {"queries": {"q1": 8.0}, "spark_probe_sec": 0.2, "sf": 0.1},
+    )
+    _write(d, "BENCH_r11.json", {"n": 1, "rc": 0, "parsed": None, "tail": "…"})
+    _write(
+        d,
+        "BENCH_LOCAL_r11.json",
+        {"queries": {"q1": 2.0}, "spark_probe_sec": 0.2, "sf": 0.1},
+    )
+    mp = b.compare_prev(b.baseline_candidates(d), {"q1": 2.0}, 0.2, 0.1)
+    assert mp is not None
+    assert mp["artifact"] == "BENCH_LOCAL_r11.json"
+    assert mp["ratio_normalized"] == 1.0
+
+
+def test_write_local_artifact_merges_same_round_minima(tmp_path):
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    run1 = {
+        "queries": {"q1": 2.0, "q2": 5.0},
+        "spark_probe_sec": 0.3,
+        "cpu_probe_sec": 0.1,
+        "sf": 0.1,
+        "value": 7.0,
+    }
+    p = b.write_local_artifact(d, run1)
+    assert os.path.basename(p) == "BENCH_LOCAL_r12.json"
+    run2 = {
+        "queries": {"q1": 3.0, "q2": 4.0, "q3": 1.0},
+        "spark_probe_sec": 0.2,
+        "cpu_probe_sec": 0.15,
+        "sf": 0.1,
+        "value": 8.0,
+    }
+    b.write_local_artifact(d, run2)
+    merged = json.load(open(p))
+    assert merged["queries"] == {"q1": 2.0, "q2": 4.0, "q3": 1.0}
+    assert merged["n_runs_merged"] == 2
+    assert merged["spark_probe_sec"] == 0.2
+    assert merged["cpu_probe_sec"] == 0.1
+    assert merged["value"] == 7.0  # recomputed from merged minima
+    assert merged["value_normalized"] == round(7.0 / 0.2, 3)
+
+
+def test_write_local_artifact_failed_query_rules(tmp_path):
+    """A query that failed in EVERY merged run keeps value null; one that
+    succeeded in any run contributes its minimum and clears the flag."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "failed": ["qq"], "value": None,
+            "partial_total": 2.0, "spark_probe_sec": 0.2, "sf": 0.1}
+    )
+    p = os.path.join(d, "BENCH_LOCAL_r12.json")
+    # run 2: qq still failing -> stays null
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.5}, "failed": ["qq"], "value": None,
+            "partial_total": 2.5, "spark_probe_sec": 0.2, "sf": 0.1}
+    )
+    m = json.load(open(p))
+    assert m["value"] is None and m["failed"] == ["qq"]
+    # run 3: qq recovered -> flag clears, totals recompute over minima
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.2, "qq": 9.0}, "value": 11.2,
+            "spark_probe_sec": 0.25, "sf": 0.1}
+    )
+    m = json.load(open(p))
+    assert "failed" not in m
+    assert m["value"] == 11.0 and m["n_runs_merged"] == 3
+
+
+def test_write_local_artifact_requires_driver_history(tmp_path):
+    b = _bench()
+    d = str(tmp_path)
+    assert b.write_local_artifact(d, {"queries": {"q": 1.0}}) is None
+    assert not os.listdir(d)
+
+
 def test_sf_mismatch_disqualifies_baseline(tmp_path):
     b = _bench()
     d = str(tmp_path)
