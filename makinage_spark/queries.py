@@ -19830,62 +19830,87 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
 #: only CORRECTNESS artifacts from EARLIER rounds, so the driver writing
 #: this round's artifact at round end doesn't retroactively fail the
 #: invariant.
-_WINDOW_ROUND = 11
+#: r12 rotation (post-burn-down regime): all slots are re-pins. Slotting,
+#: per the policy encoded in the freshness guard
+#: (tests/test_query_registry.py) and COVERAGE.md:
+#: (1) changed-in-r12 — the emit-once carry to the remaining pair mines
+#:     (VERDICT r11 task 1: pair-stream distinct eliminated; bit-identical
+#:     by construction, A/B-verified): the simhash mine
+#:     (dedup_simhash_pairs) and every prefix_filter_pairs /
+#:     containment_pairs caller (dedup_jaccard_pairs, dedup_clusters,
+#:     jaccard_prefix_filter_pairs, cluster_best_representative,
+#:     banding_recall_audit, containment_pairs); plus dedup_pipeline_e2e
+#:     for the capped kept-flag restriction (task 2: the __kept build now
+#:     runs over docs touching a dropped bucket only, everyone else
+#:     coalesces to all-true). dedup_simhash is NOT re-pinned: it calls
+#:     simhash_df, whose plan is untouched (r9 precedent — only
+#:     loop-internal plan changes force re-pins).
+#: (2) least-recently-green in ledger order: the last 9 r4-vintage
+#:     (stream_hourly_counts..variance_stddev), then the first 33
+#:     r5-vintage alphabetically (dedup_simhash_pairs already sits in the
+#:     changed head, so the fill skips it); stream_stream_join,
+#:     strip_repeated_spans, tdigest_error_audit, text_repetition_signals,
+#:     training_corpus_pipeline, unigram_logprob_score, zip_streams (the
+#:     last 7 of r5) roll to r13.
+#: last_green[n] computed at round start from CORRECTNESS_r01..r11:
+#:   histogram {4:9, 5:41, 6:48, 7:49, 8:48, 9:49, 10:47, 11:50}.
+_WINDOW_ROUND = 12
 
 _SHOWCASE_50 = [
-    # --- changed in r11 ---
-    "dedup_minhash_pairs_salted",       # NEW: salted path driver hash (task 1)
-    "bucketed_join_zero_exchange",      # final-adaptive-plan pin (task 2)
-    "dedup_minhash_pairs",              # emit-once refactor (no distinct)
-    "dedup_pipeline_e2e",               # emit-once refactor (capped kept-flags)
-    "banding_recall_audit",             # emit-once refactor (uncapped caller)
-    # --- re-pins: least-recently-green, r3 vintage (all 15 remaining) ---
-    "dedup_jaccard_pairs",              # r3
-    "dedup_minhash_signature",          # r3
-    "dedup_simhash",                    # r3
-    "distinct_event_types",             # r3
-    "full_outer_join",                  # r3
-    "join_semi",                        # r3
-    "left_join_count_dist",             # r3
-    "pandas_udaf_grouped",              # r3
-    "pandas_udf_scalar",                # r3
-    "pivot_status",                     # r3
-    "q5_region_revenue",                # r3
-    "q6_forecast_revenue",              # r3
-    "rollup_sales",                     # r3
-    "scalar_string_date",               # r3
-    "window_rank_top3",                 # r3
-    # --- re-pins: least-recently-green, r4 vintage (first 30 of 39) ---
-    "asof_enrich",                      # r4
-    "asof_tolerance",                   # r4
-    "bpe_learn_merges",                 # r4
-    "chunk_documents",                  # r4
-    "cohort_retention",                 # r4
-    "conditional_agg",                  # r4
-    "embedding_topk",                   # r4
-    "error_channel_dead_letter",        # r4
-    "filter_predicate",                 # r4
-    "first_last_event",                 # r4
-    "flat_map_tokens",                  # r4
-    "funnel_conversion",                # r4
-    "graph_hits",                       # r4
-    "group_by_agg",                     # r4
-    "kmeans_lloyd_clusters",            # r4
-    "map_project",                      # r4
-    "merge_streams",                    # r4
-    "multimodal_real_decode",           # r4
-    "pack_sequences",                   # r4
-    "q3_shipping_priority",             # r4
-    "quantiles_exact",                  # r4
-    "repeated_ngram_spans",             # r4
-    "roll_count_windows",               # r4
-    "scan_running_sum",                 # r4
-    "sessionize",                       # r4
-    "split_on_change",                  # r4
-    "stream_debounce",                  # r4
-    "stream_dedup_keys",                # r4
-    "stream_ewma",                      # r4
-    "stream_funnel_conversion",         # r4
+    # --- changed in r12 (emit-once carry + capped kept-flag restriction) ---
+    "dedup_simhash_pairs",              # simhash mine: emit-once (no distinct)
+    "dedup_jaccard_pairs",              # prefix-filter mine: emit-once
+    "dedup_clusters",                   # prefix-filter caller (0.98 pairs)
+    "jaccard_prefix_filter_pairs",      # prefix-filter caller
+    "cluster_best_representative",      # prefix-filter caller (0.98 pairs)
+    "containment_pairs",                # containment mine: emit-once
+    "banding_recall_audit",             # prefix-filter caller (0.75 verify)
+    "dedup_pipeline_e2e",               # capped kept-flag build restricted
+    # --- re-pins: least-recently-green, r4 vintage (last 9 of 39) ---
+    "stream_hourly_counts",             # r4
+    "stream_scan_running",              # r4
+    "stream_topk_state",                # r4
+    "take_topk",                        # r4
+    "text_language_id",                 # r4
+    "text_quality",                     # r4
+    "tfidf_top_terms",                  # r4
+    "time_window_hourly",               # r4
+    "variance_stddev",                  # r4
+    # --- re-pins: least-recently-green, r5 vintage (first 33 of 40 after
+    # --- dedup_simhash_pairs moved to the changed head) ---
+    "app_source_batch",                 # r5
+    "asof_forward_enrich",              # r5
+    "asof_nearest_enrich",              # r5
+    "bigram_logprob_score",             # r5
+    "embedding_neardup_lsh",            # r5
+    "embedding_quantize_sq8",           # r5
+    "graph_multiply_sample",            # r5
+    "graph_multiply_streaming",         # r5
+    "graph_pagerank_dangling",          # r5
+    "ivf_recall_audit",                 # r5
+    "ivf_topk_full_probe",              # r5
+    "kafka_emu_roundtrip",              # r5
+    "lsh_recall_audit",                 # r5
+    "multimodal_frame_sample_exact",    # r5
+    "multiplex_demux",                  # r5
+    "pii_redaction",                    # r5
+    "q1_pricing_summary",               # r5
+    "q21_waiting_suppliers",            # r5
+    "q2_min_cost_supplier",             # r5
+    "q7_nation_volume",                 # r5
+    "q9_product_profit",                # r5
+    "quality_ensemble",                 # r5
+    "repeated_span_coverage",           # r5
+    "salted_join_skew",                 # r5
+    "segment_dup_fraction",             # r5
+    "serve_batch_inference",            # r5
+    "sketch_error_audit",               # r5
+    "source_format_roundtrip",          # r5
+    "stream_dedup_watermarked",         # r5
+    "stream_pack_sequences",            # r5
+    "stream_roll_windows",              # r5
+    "stream_session_window",            # r5
+    "stream_sliding_window",            # r5
 ]
 
 
