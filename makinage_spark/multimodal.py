@@ -188,9 +188,12 @@ def decode_features(fake: bool = True, out_dim: int = 8):
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, widths, heights = [], [], []
-            for _, r in pdf.iterrows():
-                p = r["payload"]
-                meta = r["meta"]
+            # itertuples, not iterrows: per-row Python is semantically
+            # required for media parsing, but iterrows builds a pandas
+            # Series per row (a few× slower on wide frames)
+            for r in pdf.itertuples(index=False):
+                p = r.payload
+                meta = r.meta
                 if p is None:
                     feats.append(None)
                     widths.append(meta["width"] if meta is not None else None)
@@ -201,10 +204,10 @@ def decode_features(fake: bool = True, out_dim: int = 8):
                     widths.append(meta["width"] if meta is not None else None)
                     heights.append(meta["height"] if meta is not None else None)
                     continue
-                dec = _REAL_DECODERS.get(r["media_type"])
+                dec = _REAL_DECODERS.get(r.media_type)
                 if dec is None:
                     raise NotImplementedError(
-                        f"real decode of {r['media_type']!r} requires codec libs"
+                        f"real decode of {r.media_type!r} requires codec libs"
                         " not present in this container (PPM/WAV decode IS"
                         " implemented dependency-free)"
                     )
@@ -236,13 +239,13 @@ def sample_frames(every_n: int = 10, max_frames: int = 4, fake: bool = True):
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"asset_id": [], "frame_idx": [], "frame_payload": []}
-            for _, r in pdf.iterrows():
+            for r in pdf.itertuples(index=False):  # see _decode: iterrows is slower
                 if not fake:
                     raise NotImplementedError("real frame extraction needs ffmpeg")
-                payload = bytes(r["payload"] or b"")
+                payload = bytes(r.payload or b"")
                 n = min(max_frames, max(1, len(payload) // max(every_n, 1)))
                 for i in range(n):
-                    rows["asset_id"].append(r["asset_id"])
+                    rows["asset_id"].append(r.asset_id)
                     rows["frame_idx"].append(i)
                     rows["frame_payload"].append(payload[i * every_n : (i + 1) * every_n])
             yield pd.DataFrame(rows)
