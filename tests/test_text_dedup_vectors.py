@@ -461,6 +461,37 @@ def test_prefix_filter_pairs_is_lossless(spark, docs_sets, threshold):
     assert got == expect
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    docs_sets=st.lists(
+        st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=2,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8]),
+)
+def test_containment_pairs_is_lossless(spark, docs_sets, threshold):
+    """Asymmetric containment prefix filtering returns EXACTLY the
+    brute-force all-ordered-pairs answer at any threshold — the
+    containment form of the losslessness theorem, property-checked against
+    a plain-Python O(n²) reference (r12: the emit-once refactor made the
+    pair stream duplicate-free BY CONSTRUCTION, so this also pins that no
+    ordered pair is lost or doubled by the __pre suppression)."""
+    rows = [(i, sorted(s)) for i, s in enumerate(docs_sets)]
+    expect = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i != j:
+                inter = len(set(a) & set(b))
+                if inter / len(a) >= threshold:
+                    expect[(i, j)] = inter
+    df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+    out = dedup.containment_pairs(df, "items", "doc_id", threshold=threshold)
+    collected = [(r.a, r.b, r.inter) for r in out.collect()]
+    assert len(collected) == len({(a, b) for a, b, _ in collected})
+    assert {(a, b): i for a, b, i in collected} == expect
+
+
 def test_multimodal_real_ppm_decode(spark):
     """REAL image bytes through the real decoder: a hand-built 2x2 binary
     PPM (red, green, blue, white pixels) must yield exact channel means and
