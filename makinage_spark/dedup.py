@@ -699,11 +699,27 @@ def prefix_filter_pairs(
     # The PPJoin LENGTH filter rides the join condition: Jaccard ≥ t forces
     # min(|a|,|b|) ≥ t·max(|a|,|b|), so wildly different-sized sets never
     # become candidates at all (lossless).
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008, §3.2 — r12): a match at
+    # 0-based positions (i, j) of the canonically-sorted sets bounds the
+    # overlap by 1 + min(|a|-i-1, |b|-j-1) (one for the match, the shorter
+    # suffix for everything after; earlier shared tokens are impossible at
+    # the pair's FIRST match, which is the only row emit-once keeps).
+    # Jaccard ≥ t needs overlap ≥ t/(1+t)·(|a|+|b|), so rows whose bound
+    # falls short are pruned BEFORE the arrays_overlap suppression runs —
+    # on hot long-set corpora that test dominates per-candidate cost
+    # (SCALING.md r12). The 1e-9 slack makes float rounding strictly
+    # conservative (can only under-prune), preserving losslessness: a
+    # genuine pair's first-match row always satisfies the exact bound.
     pa = ordered.select(
         "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
     ).select(
-        "doc_id", "sz", "ptok", F.slice("prefix", 1, F.col("__pos")).alias("__pre")
+        "doc_id", "sz", "ptok", "__pos",
+        F.slice("prefix", 1, F.col("__pos")).alias("__pre"),
     )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.__pos") - 1, F.col("b.sz") - F.col("b.__pos") - 1
+    )
+    alpha = (threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
     pairs = (
         pa.alias("a")
         .join(
@@ -713,6 +729,7 @@ def prefix_filter_pairs(
                 F.col("a.doc_id") < F.col("b.doc_id"),
                 F.least(F.col("a.sz"), F.col("b.sz"))
                 >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")),
+                ubound >= alpha - 1e-9,
                 ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
             ],
         )
@@ -823,15 +840,27 @@ def containment_pairs(
     # ~|s|²/2 tokens per doc through the exchange (the probe side stays
     # ~|prefix|²/2) — bought back by the pair stream never shuffling; see
     # the r12 A/B in SCALING.md.
+    # POSITIONAL filter, containment form (r12; see prefix_filter_pairs):
+    # a match at 0-based positions (i, j) bounds the intersection by
+    # 1 + min(|a|-i-1, |b|-j-1); containment ≥ t needs inter ≥ t·|a|, so
+    # short-suffix rows are pruned before the arrays_overlap suppression —
+    # the dominant per-candidate cost on long sets, and doubly valuable
+    # here where the index side explodes the FULL set. 1e-9 slack keeps
+    # the float comparison strictly conservative (lossless).
     pa = ordered.select(
         "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
     ).select(
-        "doc_id", "sz", "ptok", F.slice("prefix", 1, F.col("__pos")).alias("__pre")
+        "doc_id", "sz", "ptok", "__pos",
+        F.slice("prefix", 1, F.col("__pos")).alias("__pre"),
     )
     pb = ordered.select(
         "doc_id", "sz", F.posexplode("oit").alias("__pos", "ptok"), "oit"
     ).select(
-        "doc_id", "sz", "ptok", F.slice("oit", 1, F.col("__pos")).alias("__pre")
+        "doc_id", "sz", "ptok", "__pos",
+        F.slice("oit", 1, F.col("__pos")).alias("__pre"),
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.__pos") - 1, F.col("b.sz") - F.col("b.__pos") - 1
     )
     pairs = (
         pa.alias("a")
@@ -841,6 +870,7 @@ def containment_pairs(
                 F.col("a.ptok") == F.col("b.ptok"),
                 F.col("a.doc_id") != F.col("b.doc_id"),
                 F.col("b.sz") >= threshold * F.col("a.sz"),
+                ubound >= threshold * F.col("a.sz") - 1e-9,
                 ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
             ],
         )
