@@ -279,6 +279,34 @@ def r11_minhash_lsh_pairs_kept_fullcorpus(df, bucket_cap=50, num_hashes=16, band
     ).select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
 
 
+def longsets(spark):
+    """The adversarial corner of the __pre carry: few-duplicate LONG-set
+    fixtures, where the arrays_overlap suppression per join candidate
+    (not the small pair stream) is the cost. Measured the shipping plan
+    (emit-once + the r12 positional filter) against the frozen distinct
+    arms; see SCALING.md r12 'long-set corner'."""
+    for name, cases, new_build, old_build in (
+        ("prefix", ((96, 1024), (192, 512)),
+         lambda d: dedup.prefix_filter_pairs(d, "items", threshold=0.8),
+         lambda d: old_prefix_filter_pairs(d, "items", threshold=0.8)),
+        ("containment", ((48, 2048), (96, 1024)),
+         lambda d: dedup.containment_pairs(d, "items", threshold=0.8),
+         lambda d: old_containment_pairs(d, "items", threshold=0.8)),
+    ):
+        for setlen, f in cases:
+            base = [f"w{j:03d}" for j in range(setlen)]
+            rows = [(f"t{i:06d}", base) for i in range(f)]
+            rows += [(f"z{i:04d}", [f"v{i}_{j}" for j in range(12)])
+                     for i in range(2000)]
+            df = spark.createDataFrame(
+                rows, "doc_id string, items array<string>").repartition(32)
+            _, n_new = timed(spark, f"{name}_long{setlen}_emit_once_pos",
+                             lambda: new_build(df), n_runs=2)
+            _, n_old = timed(spark, f"{name}_long{setlen}_distinct",
+                             lambda: old_build(df), n_runs=2)
+            assert n_new == n_old, (name, setlen, n_new, n_old)
+
+
 def e2e(spark, sf_dir: str, runs: int = 3):
     """VERDICT r11 task 2: settle dedup_pipeline_e2e's 2.88x driver reading
     — tight interleaved A/B of the FULL capped pipeline (pairs → CC →
@@ -328,6 +356,8 @@ if __name__ == "__main__":
     spark.sparkContext.setLogLevel("ERROR")
     if mode == "hot":
         hot(spark)
+    elif mode == "longsets":
+        longsets(spark)
     elif mode == "e2e":
         e2e(spark, sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1")
     else:
