@@ -243,7 +243,15 @@ def write_local_artifact(here: str, out: dict) -> str | None:
             prev = json.load(open(path))
         except Exception:
             prev = None
-        if isinstance(prev, dict) and isinstance(prev.get("queries"), dict):
+        # merging runs at DIFFERENT scale factors would corrupt the
+        # per-query minima (and compare_prev's sf guard would then admit a
+        # cross-sf baseline) — an sf change mid-round starts the artifact
+        # over with the new run instead
+        if (
+            isinstance(prev, dict)
+            and isinstance(prev.get("queries"), dict)
+            and prev.get("sf") == out.get("sf")
+        ):
             q = dict(prev["queries"])
             for k, v in out.get("queries", {}).items():
                 q[k] = min(v, q[k]) if k in q else v
@@ -252,12 +260,19 @@ def write_local_artifact(here: str, out: dict) -> str | None:
             for pk in ("cpu_probe_sec", "spark_probe_sec"):
                 if prev.get(pk) and out.get(pk):
                     merged[pk] = min(prev[pk], out[pk])
-            # failed = failed in EVERY merged run (a query timed in any run
-            # has a minimum); value stays null while any query never ran
+            # failed = failed in SOME run and timed in none (a query timed
+            # in any run has a minimum); union, not intersection — a query
+            # dropped from a later run's set must not have its only
+            # failure silently forgotten
             failed = sorted(
-                (set(prev.get("failed", [])) & set(out.get("failed", [])))
+                (set(prev.get("failed", [])) | set(out.get("failed", [])))
                 - set(q)
             )
+            # a contended run taints the merged series: the artifact's
+            # standing-alone interpretability tag must survive the merge
+            # even when the LATEST run was quiet
+            if prev.get("contended") or out.get("contended"):
+                merged["contended"] = True
             partial = round(sum(q.values()), 3)
             if failed:
                 merged["failed"] = failed
@@ -411,14 +426,6 @@ def main():
             out["matched_prev"] = mp
     except Exception as e:  # comparison is advisory — never fail the bench
         print(f"bench: matched_prev comparison skipped: {e}", file=sys.stderr)
-    try:
-        lp = write_local_artifact(
-            os.path.dirname(os.path.abspath(__file__)), out
-        )
-        if lp:
-            out["local_artifact"] = os.path.basename(lp)
-    except Exception as e:  # persistence is advisory — never fail the bench
-        print(f"bench: local artifact write skipped: {e}", file=sys.stderr)
     # interpretability guard (VERDICT r6 task 7): a run that started on a
     # busy box is tagged so the artifact is readable standing alone — raw
     # totals from contended runs are NOT comparable (BASELINE.md documents
@@ -432,6 +439,16 @@ def main():
             "compare via value/spark_probe_sec only",
             file=sys.stderr,
         )
+    # persist AFTER the contended tag so the standing-alone local artifact
+    # carries the interpretability evidence the printed line carries
+    try:
+        lp = write_local_artifact(
+            os.path.dirname(os.path.abspath(__file__)), out
+        )
+        if lp:
+            out["local_artifact"] = os.path.basename(lp)
+    except Exception as e:  # persistence is advisory — never fail the bench
+        print(f"bench: local artifact write skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -1079,9 +1079,18 @@ def simhash_pairs(
         # block-ordered kept flags per doc — same construction (and same
         # capped contract) as minhash_lsh_pairs' __kept: the emit-once
         # suppression counts an earlier agreeing block as a collision ONLY
-        # if that block's group survived the cap
+        # if that block's group survived the cap. As there, only docs that
+        # TOUCH a dropped group can carry a false flag, so the per-doc
+        # groupBy runs over template members only and everyone else
+        # coalesces to the all-true literal through a left join.
+        touched = (
+            stacked.join(big, ["blk", "val"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
         kept_arr = (
-            stacked.join(
+            stacked.join(touched, id_col, "left_semi")
+            .join(
                 big.withColumn("__dropped", F.lit(True)),
                 ["blk", "val"],
                 "left",
@@ -1095,8 +1104,11 @@ def simhash_pairs(
                 ).alias("__kept")
             )
         )
-        stacked = stacked.join(big, ["blk", "val"], "left_anti").join(
-            kept_arr, id_col
+        all_true = F.array(*[F.lit(True) for _ in range(blocks)])
+        stacked = (
+            stacked.join(big, ["blk", "val"], "left_anti")
+            .join(kept_arr, id_col, "left")
+            .withColumn("__kept", F.coalesce(F.col("__kept"), all_true))
         )
     # persist before the self-join — same rationale as minhash_lsh_pairs: a
     # broadcast join would otherwise recompute the token→simhash pipeline on

@@ -204,6 +204,62 @@ def test_write_local_artifact_failed_query_rules(tmp_path):
     assert m["value"] == 11.0 and m["n_runs_merged"] == 3
 
 
+def test_write_local_artifact_sf_change_restarts_instead_of_merging(tmp_path):
+    """Merging runs at different scale factors would corrupt the per-query
+    minima AND slip past compare_prev's sf guard next round — an sf change
+    mid-round must start the artifact over with the new run."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "spark_probe_sec": 0.2, "sf": 0.1,
+            "value": 2.0}
+    )
+    b.write_local_artifact(
+        d, {"queries": {"q1": 20.0}, "spark_probe_sec": 0.2, "sf": 1.0,
+            "value": 20.0}
+    )
+    m = json.load(open(os.path.join(d, "BENCH_LOCAL_r12.json")))
+    assert m["sf"] == 1.0
+    assert m["queries"] == {"q1": 20.0}  # NOT min(2.0, 20.0)
+    assert m["n_runs_merged"] == 1
+
+
+def test_write_local_artifact_failed_survives_query_removal(tmp_path):
+    """A query that failed in run 1 and was absent from run 2's set has
+    still never succeeded — the union rule keeps value null instead of the
+    old intersection silently forgetting the failure."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "failed": ["qq"], "value": None,
+            "partial_total": 2.0, "spark_probe_sec": 0.2, "sf": 0.1}
+    )
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.5}, "value": 2.5,
+            "spark_probe_sec": 0.2, "sf": 0.1}
+    )
+    m = json.load(open(os.path.join(d, "BENCH_LOCAL_r12.json")))
+    assert m["value"] is None and m["failed"] == ["qq"]
+
+
+def test_write_local_artifact_contended_taints_merged_series(tmp_path):
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "value": 2.0, "spark_probe_sec": 0.2,
+            "sf": 0.1, "contended": True}
+    )
+    b.write_local_artifact(
+        d, {"queries": {"q1": 1.8}, "value": 1.8, "spark_probe_sec": 0.2,
+            "sf": 0.1}
+    )
+    m = json.load(open(os.path.join(d, "BENCH_LOCAL_r12.json")))
+    assert m["contended"] is True  # the quiet run must not launder the tag
+
+
 def test_write_local_artifact_requires_driver_history(tmp_path):
     b = _bench()
     d = str(tmp_path)
