@@ -783,6 +783,65 @@ def test_prefix_filter_pairs_duplicate_free_without_distinct(spark):
     assert "keys=[a#" not in cplan and "Deduplicate" not in cplan, cplan
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "omega",
+                             "kappa", "sigma", "zeta"]),
+            min_size=1, max_size=8,
+        ),
+        min_size=2, max_size=8,
+    ),
+    bits=st.sampled_from([8, 32]),
+)
+def test_simhash_matches_pure_python_oracle(spark, docs_words, bits):
+    """Bit-level lock on the simhash contract against a fully independent
+    pure-Python implementation (md5 hex prefix → per-bit token majority,
+    MSB-first within the prefix value), plus the full pigeonhole pair mine
+    (emit-once, r12) against a python blocking+hamming reference."""
+    import hashlib
+
+    def py_simhash(text: str) -> int:
+        toks = sorted({w for w in text.lower().split() if w})
+        if not toks:
+            return 0
+        vals = [int(hashlib.md5(t.encode()).hexdigest()[: bits // 4], 16)
+                for t in toks]
+        sh = 0
+        for j in range(bits):
+            ones = sum((v >> (bits - 1 - j)) & 1 for v in vals)
+            if 2 * ones > len(vals):
+                sh |= 1 << j
+        return sh
+
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.sh for r in dedup.simhash_df(df, bits=bits).collect()}
+    exp = {d: py_simhash(t) for d, t in rows}
+    assert got == exp
+    # pair mine vs python blocking reference (agree on >=1 whole block AND
+    # hamming within radius), output duplicate-free
+    blocks, mh = 4, bits // 2
+    bb = bits // blocks
+    ids = sorted(exp)
+    ref = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(exp[a] ^ exp[b]).count("1") <= mh
+        and any(
+            (exp[a] >> (k * bb)) & ((1 << bb) - 1)
+            == (exp[b] >> (k * bb)) & ((1 << bb) - 1)
+            for k in range(blocks)
+        )
+    }
+    out = [(r.a, r.b) for r in dedup.simhash_pairs(
+        df, bits=bits, blocks=blocks, max_hamming=mh).collect()]
+    assert len(out) == len(set(out))
+    assert set(out) == ref
+
+
 def test_simhash_pairs_duplicate_free_without_distinct(spark):
     """Emit-once for the simhash mine (r12, carrying the r11 minhash result
     over): a pair within the Hamming radius typically agrees on several
