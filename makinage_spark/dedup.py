@@ -1271,7 +1271,7 @@ def connected_components(
     real dup clusters are star-heavy and converge in ≤5).
 
     Degenerate-diameter note (r9, from the r8 chain probe): at extreme
-    diameter the cost is driver-side ROUND latency (2 jobs/round × 18
+    diameter the cost is driver-side ROUND latency (1 job/round since r12 × 18
     rounds at a 250k-node path), not data volume. If a real corpus ever
     produces deep chains, the standard upgrade is the large-star/small-star
     alternation (Kiveris et al., "Connected Components in MapReduce and
@@ -1320,34 +1320,42 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr"))
         )
-        # materialize BEFORE the self-join: stepped feeds both sides of the
-        # pointer-jump, so an unmaterialized stepped re-evaluates its
-        # join+agg subtree twice per round (4x lineage growth) — the r5
-        # probe showed double-jumping only beats single-stepping when this
-        # intermediate is materialized. EAGER localCheckpoint, re-A/B'd in
-        # the r7 loop structure (graph-sized partitions + sum convergence):
-        # eager 5.3 s vs lazy-persist 7.5 s min-of-3 on the 30k-edge e2e
-        # graph — a lazy persist leaves stepped's join+agg subtree in the
-        # jumped job's single DAG (deeper stage graph, worse overlap), while
-        # the eager job is tiny at graph-sized partition counts.
-        stepped = _ckpt(
+        # ONE eager action per round (r12; guide §1/§2 — the CC loop is
+        # driver-round-latency bound, measured 0.23 s stepped + 0.09 s
+        # jumped + py4j overhead per round on the e2e pair graph). The
+        # pointer jump now dereferences the PREVIOUS round's labels
+        # (l2 = labels, a checkpoint-backed cached scan) instead of the
+        # fresh ``stepped``, so ``stepped`` no longer needs its own eager
+        # materialization: it is referenced exactly once (the r5 lesson
+        # about double-referencing an unmaterialized intermediate does not
+        # apply, and the old-labels references are all cache reads).
+        # Same fixpoint, bit-identical output: labels only decrease, and a
+        # state is stable iff every node's label ≤ all neighbours' labels
+        # (symmetric edges ⇒ labels constant per component = the min id —
+        # the same argument as before). Per-round reach still doubles
+        # (the two chained OLD pointers in l1.label→l2.label compose two
+        # radius-f(r-1) hops), so the O(log diameter) round bound stands —
+        # re-pinned by the 10k-chain test and the interleaved A/B
+        # (OPTIMIZATION_r12.md: 2 jobs/round → 1, e2e construction
+        # 7.1 s → measured-below, identical clusters).
+        stepped = (
             labels.join(nbr, labels.id == nbr.u, "left")
             .select(
                 labels.id.alias("id"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
             )
         )
-        # the convergence sum rides the SAME job that materializes the jump:
-        # df.observe metrics fire on the eager localCheckpoint (verified on
-        # Spark 4.1), so each round is exactly 2 jobs (stepped, jumped) —
-        # no separate convergence action at all. Exact decimal sum: ids up
+        # the convergence sum rides the SAME job that materializes the
+        # round: df.observe metrics fire on the eager localCheckpoint
+        # (verified on Spark 4.1), so each round is exactly ONE job — no
+        # separate convergence action at all. Exact decimal sum: ids up
         # to 2^63 × any realistic node count stay far under DECIMAL(38)'s
         # 1e38 headroom, and decimal addition is order-independent —
         # bit-identical across partitionings.
         obs = Observation()
         jumped = (
             stepped.alias("l1")
-            .join(stepped.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
             .select(
                 F.col("l1.id").alias("id"),
                 F.least(
