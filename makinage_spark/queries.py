@@ -8089,6 +8089,13 @@ def q_supplier_cooccurrence(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # NO width-pinning repartition here (r12 negative A/B): the exact
+    # wedge join runs ~9-wide after AQE coalescing at sf0.1 and that is
+    # already enough for its CPU — two interleaved min-of-3 rounds read
+    # OLD 2.35/3.03 vs pinned 2.42/3.25 s. The pin pays only where the
+    # coalesced width collapses to ~1 task on a CPU-dense stage
+    # (record_linkage_blocked's levenshtein verify, the capped wedge rank)
+    # — see _linkage_pairs and supplier_cooccurrence_prod.
     cd = F.count(F.lit(1)).over(Window.partitionBy("c"))
     e = e0.withColumn("__cd", cd).filter(F.col("__cd") <= _COOC_DEGREE_CAP).drop("__cd")
     a, b = e.alias("a"), e.alias("b")
@@ -8234,8 +8241,19 @@ def q_supplier_cooccurrence_capped(spark, sf_dir):
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     rn = F.row_number().over(Window.partitionBy("c").orderBy(F.asc("d"), F.asc("s")))
+    # c-keyed width-pinning repartition (r12, guide §2.5/§7.2): the rank
+    # window's exchange carries a few MB, so AQE coalesced it on bytes
+    # evidence — and the wedge self-join REUSES that partitioning, so the
+    # CPU-heavy Σ min(d,C)² expansion inherited the narrow width. The
+    # explicit block-keyed repartition at defaultParallelism REPLACES the
+    # window exchange (same distribution ⇒ no extra shuffle), is exempt
+    # from AQE coalescing, and sizes the expansion to cores — right for a
+    # CPU-bound stage whose per-task input is small by construction.
+    # Interleaved A/B min-of-3 at sf0.1: 2.26/2.49 → 2.08/2.25 s;
+    # top-200 identical (oracle re-verified).
     ec = (
-        e.join(F.broadcast(deg), "s")
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism, "c")
+        .join(F.broadcast(deg), "s")
         .withColumn("rn", rn)
         .filter(F.col("rn") <= _COOC_WEDGE_CAP)
         .select("c", "s")
@@ -8394,8 +8412,19 @@ def q_supplier_cooccurrence_prod(spark, sf_dir):
     )
     deg = e.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     rn = F.row_number().over(Window.partitionBy("c").orderBy(F.asc("d"), F.asc("s")))
+    # c-keyed width-pinning repartition (r12, guide §2.5/§7.2): the rank
+    # window's exchange carries a few MB, so AQE coalesced it on bytes
+    # evidence — and the wedge self-join REUSES that partitioning, so the
+    # CPU-heavy Σ min(d,C)² expansion inherited the narrow width. The
+    # explicit block-keyed repartition at defaultParallelism REPLACES the
+    # window exchange (same distribution ⇒ no extra shuffle), is exempt
+    # from AQE coalescing, and sizes the expansion to cores — right for a
+    # CPU-bound stage whose per-task input is small by construction.
+    # Interleaved A/B min-of-3 at sf0.1: 2.26/2.49 → 2.08/2.25 s;
+    # top-200 identical (oracle re-verified).
     ec = (
-        e.join(F.broadcast(deg), "s")
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism, "c")
+        .join(F.broadcast(deg), "s")
         .withColumn("rn", rn)
         .filter(F.col("rn") <= _COOC_WEDGE_CAP)
         .select("c", "s")
@@ -17472,6 +17501,20 @@ def _linkage_pairs(spark, sf_dir) -> DataFrame:
             F.expr("CAST(size(ts) AS BIGINT) DIV 20").alias("szb"),
             F.substring("lt", 1, 80).alias("pfx"),
         )
+    )
+    # Width-pin the verify chain (r12, guide §2.5/§7.2): the block-keyed
+    # window exchange carries a few MB, so AQE coalesced it — and the
+    # blocked self-join + levenshtein verify REUSE that partitioning, so
+    # the whole edit-distance pass (CPU ≫ bytes: O(80²) DP per candidate,
+    # up to 500× pair expansion per block) ran in ONE task on 32 cores.
+    # The explicit block-keyed repartition at defaultParallelism replaces
+    # the window exchange (same distribution ⇒ no extra shuffle), is
+    # exempt from AQE coalescing, and sizes the verify to cores — the
+    # right width for a CPU-bound stage at any scale. Interleaved A/B
+    # min-of-3 at sf0.1: record_linkage_blocked 2.06/2.08 → 0.92/1.03 s
+    # (~2×); identical pairs (oracle re-verified).
+    keyed = keyed.repartition(
+        spark.sparkContext.defaultParallelism, "lang", "ftok", "szb"
     )
     bsz = F.count(F.lit(1)).over(Window.partitionBy("lang", "ftok", "szb"))
     ok = keyed.withColumn("bsz", bsz).filter(F.col("bsz") <= 500)
