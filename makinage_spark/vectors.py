@@ -380,7 +380,15 @@ def _kmeans_lloyd_table(
     ).localCheckpoint(eager=True)
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        joined = vecs.crossJoin(cents_df).select(
+        # EXPLICIT broadcast of the centroid table (r12, guide §3.1): the
+        # planner was free to pick BuildLeft and broadcast the VECTORS,
+        # streaming the k-row checkpointed centroid RDD — which runs the
+        # whole n·k·d distance fold at the centroid RDD's (near-serial)
+        # parallelism (observed in the executed plan: BroadcastNestedLoopJoin
+        # BuildLeft with the vector scan inside the BroadcastExchange). The
+        # hint pins BuildRight: vectors stream at scan width, k·d travels —
+        # the only direction that scales (n ≫ k by construction).
+        joined = vecs.crossJoin(F.broadcast(cents_df)).select(
             "__vid",
             "__v",
             "cluster",
