@@ -9974,10 +9974,11 @@ def q_kmeans_table_assign(spark, sf_dir):
     driver-hashed against the same unrolled-Lloyd oracle shape as
     kmeans_lloyd_clusters but at k=64 and with assign="table" forced:
     centroids live in a DataFrame (never as plan literals), assignment is
-    vectors × centroid-table → min_by(cluster, struct(dist, cluster))
-    argmin (partial-aggregated map-side, so n — not n·k — rows reach the
-    shuffle), and the centroid update stays distributed with NO k·d driver
-    collect. This is the path the semantic-dedup pipeline's adaptive
+    map-only — the centroid table collapses to one broadcast array row and
+    each vector folds its argmin in-row (array_min over (dist, cluster)
+    structs = the min_by tie-break; r12 — zero shuffles or sorts in the
+    assignment pass), and the centroid update stays distributed with NO
+    k·d driver collect. This is the path the semantic-dedup pipeline's adaptive
     k = n/250 policy needs at 100 TB (millions of cells): a literal plan
     hits codegen/plan-size walls at k in the low thousands. Hash-equality
     with the relational oracle here proves the table path's decimal
@@ -9999,8 +10000,9 @@ def q_kmeans_table_assign(spark, sf_dir):
 )
 def q_kmeans_table_assign_prod(spark, sf_dir):
     """The PRODUCTION large-k assignment shape (VERDICT r6 task 4): same
-    table-path plan as kmeans_table_assign (centroid DataFrame, min_by
-    argmin, n — not n·k — rows to the shuffle) but with ``exact=False``
+    table-path plan as kmeans_table_assign (centroid DataFrame collapsed
+    to one broadcast row, map-only in-row argmin; r12) but with
+    ``exact=False``
     IEEE-double distance folds — the arithmetic users actually run (the
     DECIMAL(38,12) folds exist for engine-exact oracle replay and defeat
     whole-stage codegen; SCALING.md r6 `kmeansk` measured doubles 4.4 s vs
@@ -10010,9 +10012,11 @@ def q_kmeans_table_assign_prod(spark, sf_dir):
     cluster and the cluster-id set stays within k — double-vs-exact
     clustering agreement on separated data is pinned by
     tests/test_text_dedup_vectors.py's production-path tests. The oracle
-    counts DISTINCT vec_id (r8, ADVICE): the table-path kmeans groups by
-    vec_id, so a fixture with duplicate ids would otherwise silently
-    shrink n_assigned and make one_cluster_per_vec trivially true."""
+    counts DISTINCT vec_id (r8, ADVICE): ids are unique by contract and
+    this keeps the oracle row insensitive to whether the engine assigns
+    per distinct id (the pre-r12 groupBy) or per input row (the r12
+    map-only argmin) — on a duplicate-id fixture the one_cluster_per_vec
+    audit column flags the violation instead of silently passing."""
     emb = load_wide(spark, sf_dir, "embeddings")
     assigned = vectors.kmeans_lloyd(
         emb, k=64, iters=2, assign="table", exact=False

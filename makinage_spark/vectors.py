@@ -351,11 +351,14 @@ def _kmeans_lloyd_table(
     return_centroids: bool = False,
 ) -> DataFrame:
     """Large-k assignment path for :func:`kmeans_lloyd`: centroids live in a
-    DataFrame, never in the plan. Assignment is vectors × centroid-table
-    (planner picks BroadcastNestedLoopJoin while the k·d table fits an
-    executor, partitioned cartesian beyond) → per-vector argmin via
-    ``min_by(cluster, struct(dist, cluster))`` — partial-aggregated map-side,
-    so only n rows reach the shuffle, not n·k. The update is the same
+    DataFrame, never in the plan. Assignment is map-only (r12): the centroid
+    table collapses to ONE broadcast row — an array of (cluster, cvec)
+    structs — and each vector computes its argmin in-row via an
+    ``array_min`` over (dist, cluster) structs, so the assignment pass has
+    zero shuffles and zero sorts (the former crossJoin + ``min_by`` argmin
+    materialized n·k rows and planned as two SortAggregates — min_by's
+    struct buffer has no hash-agg path). The k·d payload per executor is
+    the same as the broadcast-table form. The update is the same
     (cluster, dim) partial-sum shuffle as the literal path but the new
     centroid table STAYS distributed (localCheckpoint per round) — no k·d
     driver collect, so adaptive-k policies (SemDeDup's n/250 cells) scale to
@@ -380,25 +383,38 @@ def _kmeans_lloyd_table(
     ).localCheckpoint(eager=True)
 
     def assign(cents_df: DataFrame) -> DataFrame:
-        # EXPLICIT broadcast of the centroid table (r12, guide §3.1): the
-        # planner was free to pick BuildLeft and broadcast the VECTORS,
-        # streaming the k-row checkpointed centroid RDD — which runs the
-        # whole n·k·d distance fold at the centroid RDD's (near-serial)
-        # parallelism (observed in the executed plan: BroadcastNestedLoopJoin
-        # BuildLeft with the vector scan inside the BroadcastExchange). The
-        # hint pins BuildRight: vectors stream at scan width, k·d travels —
-        # the only direction that scales (n ≫ k by construction).
-        joined = vecs.crossJoin(F.broadcast(cents_df)).select(
-            "__vid",
-            "__v",
-            "cluster",
-            _kmeans_dist(F.col("__v"), F.col("cvec"), exact).alias("__dist"),
+        # IN-ROW argmin over a single broadcast centroid-pack row (r12,
+        # guide §2.1/§3.1 — the same construction the two-level path's
+        # supercell probe already uses): the k (cluster, cvec) rows collapse
+        # into ONE array via collect_list, travel as one broadcast row
+        # (data, not plan literals — no codegen wall at large k), and each
+        # vector folds its distances inside a projection. This replaces the
+        # previous n·k-row BroadcastNestedLoopJoin output + min_by
+        # aggregation — the min_by(struct) buffer has no hash-agg path, so
+        # the argmin planned as TWO SortAggregates with full sorts of the
+        # n·k distance stream plus an n-row exchange; all of it is gone
+        # (assignment is now map-only: zero exchanges, zero sorts).
+        # Tie-break equivalence: array_min over (dist, cluster) structs is
+        # the lexicographic minimum — identical to
+        # min_by(cluster, struct(dist, cluster)), lowest cluster id on
+        # equal distances; collect_list order cannot matter because
+        # array_min is order-independent. Requires unique __vid only in the
+        # sense the old groupBy did (ids are unique by contract; with the
+        # groupBy gone, assignment is per input ROW).
+        cents_arr = cents_df.agg(
+            F.collect_list(F.struct("cluster", "cvec")).alias("__cents")
         )
-        return joined.groupBy("__vid").agg(
-            F.min_by("cluster", F.struct(F.col("__dist"), F.col("cluster"))).alias(
-                "cluster"
-            ),
-            F.any_value("__v").alias("__v"),
+        best = F.array_min(
+            F.transform(
+                "__cents",
+                lambda c: F.struct(
+                    _kmeans_dist(F.col("__v"), c["cvec"], exact).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return vecs.crossJoin(F.broadcast(cents_arr)).select(
+            "__vid", best["cluster"].alias("cluster"), "__v"
         )
 
     for _ in range(iters - 1):
@@ -601,8 +617,9 @@ def kmeans_lloyd(
 
     ``assign`` selects the assignment strategy: ``"literal"`` (the map-only
     broadcast-by-value pass above — best only at small k, where the
-    crossJoin exchange isn't worth it), ``"table"`` (centroid DataFrame +
-    cross join + ``min_by`` argmin, see :func:`_kmeans_lloyd_table` —
+    crossJoin exchange isn't worth it), ``"table"`` (centroid DataFrame
+    collapsed to one broadcast array row + in-row argmin, see
+    :func:`_kmeans_lloyd_table` —
     REQUIRED for large k: a literal plan with thousands of centroid structs
     hits codegen/plan-size walls, and the literal path's per-round k·d
     driver collect stops scaling long before SemDeDup-style adaptive k

@@ -1099,10 +1099,11 @@ def test_kmeans_fast_path_matches_exact_on_separated_data(spark):
 
 
 def test_kmeans_table_path_matches_literal(spark):
-    """The centroid-TABLE assignment path (large-k: crossJoin + min_by
-    argmin, centroids never in the plan) must produce assignments identical
-    to the literal path — same seeds, same arithmetic (shared _kmeans_dist),
-    same tie-break — in both exact and production arithmetic."""
+    """The centroid-TABLE assignment path (large-k: one broadcast
+    centroid-pack row + in-row array_min argmin, centroids never in the
+    plan) must produce assignments identical to the literal path — same
+    seeds, same arithmetic (shared _kmeans_dist), same tie-break — in both
+    exact and production arithmetic."""
     rows = [(i, [float((i * 7) % 5), float((i * 3) % 4), 1.0]) for i in range(40)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     for exact in (True, False):
@@ -1111,6 +1112,28 @@ def test_kmeans_table_path_matches_literal(spark):
         tbl = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
             df, k=5, iters=3, exact=exact, assign="table").collect()}
         assert lit == tbl
+
+
+def test_kmeans_table_path_argmin_tie_breaks_low_cluster(spark):
+    """Exact distance ties must assign to the LOWEST cluster id — the
+    min_by(cluster, struct(dist, cluster)) contract the r12 in-row
+    array_min argmin replaced (array_min over (dist, cluster) structs is
+    the same lexicographic minimum, independent of centroid-pack order).
+    Fixture: vectors on the perpendicular bisector of the two seed
+    vectors, so both arithmetics see bit-equal distances to clusters 0
+    and 1; iters=1 keeps the seeds as the assignment centroids."""
+    rows = [
+        (0, [0.0, 2.0]),   # seed → cluster 0
+        (1, [2.0, 0.0]),   # seed → cluster 1
+        (2, [0.0, 0.0]),   # equidistant to both seeds
+        (3, [1.0, 1.0]),   # equidistant to both seeds
+        (4, [2.0, 2.0]),   # equidistant to both seeds
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for exact in (True, False):
+        got = {r.vec_id: r.cluster for r in vectors.kmeans_lloyd(
+            df, k=2, iters=1, exact=exact, assign="table").collect()}
+        assert got == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0}
 
 
 def test_kmeans_two_level_exhaustive_equals_flat(spark):
