@@ -243,6 +243,23 @@ def write_local_artifact(here: str, out: dict) -> str | None:
             prev = json.load(open(path))
         except Exception:
             prev = None
+        # runs at a DIFFERENT core count (the driver's scaling leg, or a
+        # local local[8] probe) are NOT part of the round's comparable
+        # series: tiny queries can be FASTER at low width (less scheduling
+        # overhead), so min-merging them would plant cross-config minima
+        # (observed: a local[8] run set 13 false "minima" before this
+        # guard existed). Unlike the sf guard below, a core-count change
+        # must NOT restart the artifact either — that would destroy the
+        # round's min-of-N on a casual scaling run. Leave the file
+        # untouched; the run's own JSON line still carries its numbers.
+        # Legacy same-round artifacts without a "cpus" key merge as before.
+        if (
+            isinstance(prev, dict)
+            and isinstance(prev.get("queries"), dict)
+            and prev.get("sf") == out.get("sf")
+            and prev.get("cpus", out.get("cpus")) != out.get("cpus")
+        ):
+            return None
         # merging runs at DIFFERENT scale factors would corrupt the
         # per-query minima (and compare_prev's sf guard would then admit a
         # cross-sf baseline) — an sf change mid-round starts the artifact
@@ -387,6 +404,10 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # requested core count (the driver varies it to measure scaling):
+        # recorded so write_local_artifact never min-merges runs across
+        # core counts into one series
+        "cpus": int(cpus),
         "n_queries": len(HEADLINE),
         "n_timed": len(timings),
         # 1/5/15-min load BEFORE the run started and at the end: totals are

