@@ -262,8 +262,18 @@ def write_local_artifact(here: str, out: dict) -> str | None:
             return None
         # merging runs at DIFFERENT scale factors would corrupt the
         # per-query minima (and compare_prev's sf guard would then admit a
-        # cross-sf baseline) — an sf change mid-round starts the artifact
-        # over with the new run instead
+        # cross-sf baseline) — and, like a core-count change, an off-sf
+        # run must NOT restart the artifact either: a casual smoke run at
+        # sf0.001 once wiped a committed min-of-13 sf0.1 series (recovered
+        # from git). Leave the file untouched; the run's own JSON line
+        # still carries its numbers. Delete the artifact to start a new
+        # series at a different sf deliberately.
+        if (
+            isinstance(prev, dict)
+            and isinstance(prev.get("queries"), dict)
+            and prev.get("sf") != out.get("sf")
+        ):
+            return None
         if (
             isinstance(prev, dict)
             and isinstance(prev.get("queries"), dict)

@@ -204,24 +204,26 @@ def test_write_local_artifact_failed_query_rules(tmp_path):
     assert m["value"] == 11.0 and m["n_runs_merged"] == 3
 
 
-def test_write_local_artifact_sf_change_restarts_instead_of_merging(tmp_path):
+def test_write_local_artifact_sf_change_skips_instead_of_merging(tmp_path):
     """Merging runs at different scale factors would corrupt the per-query
-    minima AND slip past compare_prev's sf guard next round — an sf change
-    mid-round must start the artifact over with the new run."""
+    minima AND slip past compare_prev's sf guard next round — and an off-sf
+    run must not RESTART the artifact either (a casual sf0.001 smoke once
+    wiped a committed min-of-13 sf0.1 series): the file stays untouched
+    and the call returns None, same contract as the core-count guard."""
     b = _bench()
     d = str(tmp_path)
     _write(d, "CORRECTNESS_r11.json", {})
-    b.write_local_artifact(
+    p = b.write_local_artifact(
         d, {"queries": {"q1": 2.0}, "spark_probe_sec": 0.2, "sf": 0.1,
             "value": 2.0}
     )
-    b.write_local_artifact(
+    assert b.write_local_artifact(
         d, {"queries": {"q1": 20.0}, "spark_probe_sec": 0.2, "sf": 1.0,
             "value": 20.0}
-    )
-    m = json.load(open(os.path.join(d, "BENCH_LOCAL_r12.json")))
-    assert m["sf"] == 1.0
-    assert m["queries"] == {"q1": 20.0}  # NOT min(2.0, 20.0)
+    ) is None
+    m = json.load(open(p))
+    assert m["sf"] == 0.1
+    assert m["queries"] == {"q1": 2.0}  # untouched, NOT restarted
     assert m["n_runs_merged"] == 1
 
 
