@@ -252,12 +252,19 @@ def write_local_artifact(here: str, out: dict) -> str | None:
         # must NOT restart the artifact either — that would destroy the
         # round's min-of-N on a casual scaling run. Leave the file
         # untouched; the run's own JSON line still carries its numbers.
-        # Legacy same-round artifacts without a "cpus" key merge as before.
+        # A missing "cpus" key on EITHER side is compatible (ADVICE r12):
+        # legacy artifacts and external callers that build the out dict
+        # without stamping "cpus" must keep contributing minima — the guard
+        # fires only when both sides carry the key and they differ (the old
+        # asymmetric get() skipped the merge for 32 != None and silently
+        # returned None to a caller that had no way to see why).
         if (
             isinstance(prev, dict)
             and isinstance(prev.get("queries"), dict)
             and prev.get("sf") == out.get("sf")
-            and prev.get("cpus", out.get("cpus")) != out.get("cpus")
+            and "cpus" in prev
+            and "cpus" in out
+            and prev["cpus"] != out["cpus"]
         ):
             return None
         # merging runs at DIFFERENT scale factors would corrupt the
@@ -284,6 +291,10 @@ def write_local_artifact(here: str, out: dict) -> str | None:
                 q[k] = min(v, q[k]) if k in q else v
             merged["queries"] = q
             merged["n_runs_merged"] = prev.get("n_runs_merged", 1) + 1
+            if "cpus" not in merged and "cpus" in prev:
+                # an unkeyed run merging into a keyed series must not strip
+                # the artifact's core-count stamp (merged starts from out)
+                merged["cpus"] = prev["cpus"]
             for pk in ("cpu_probe_sec", "spark_probe_sec"):
                 if prev.get(pk) and out.get(pk):
                     merged[pk] = min(prev[pk], out[pk])

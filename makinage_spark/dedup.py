@@ -1286,7 +1286,8 @@ def connected_components(
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint == "reliable":
             # requires spark.sparkContext.setCheckpointDir(...); eager like
-            # the local path so the round's 2-job structure is unchanged
+            # the local path so the round's one-job structure (r12) is
+            # unchanged
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 

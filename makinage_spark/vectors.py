@@ -367,6 +367,17 @@ def _kmeans_lloyd_table(
     k·d collect. Same seeds, same arithmetic, same tie-break as the literal
     path: for equal inputs the two paths return identical assignments
     (tested), so callers may switch on k freely.
+
+    Practical k ceiling of the ONE-ROW centroid pack (ADVICE r12): the
+    in-row argmin packs all k (cluster, cvec) structs into a single
+    broadcast row, so that row is ~k·d·8 bytes — ~3 GB at k=4M·d=100,
+    pressing single-row and broadcast-relation limits the old
+    row-per-centroid broadcast TABLE did not have. The update side and the
+    distributed centroid table scale past that unchanged; if k·d·8
+    approaches executor/broadcast memory (rule of thumb: k·d ≳ 10⁸), chunk
+    the pack into bounded-size array rows (array of ≤10⁷-element packs,
+    argmin per chunk then across chunks) or fall back to the two-level
+    path, whose per-probe candidate set is √k-bounded by construction.
     """
     from pyspark.sql import Window
 

@@ -298,6 +298,17 @@ def test_write_local_artifact_core_count_guard(tmp_path):
     assert m["queries"] == {"q1": 1.5}
     assert m["n_runs_merged"] == 2
     assert m["cpus"] == 32
+    # the OTHER missing-key direction (ADVICE r12): prev keyed, out built by
+    # an external caller without "cpus" — must merge, not silently skip
+    # (the old asymmetric get() evaluated 32 != None and returned None)
+    b.write_local_artifact(
+        d, {"queries": {"q1": 1.2}, "value": 1.2, "spark_probe_sec": 0.2,
+            "sf": 0.1}
+    )
+    m = json.load(open(p))
+    assert m["queries"] == {"q1": 1.2}
+    assert m["n_runs_merged"] == 3
+    assert m["cpus"] == 32  # the unkeyed run must not strip the stamp
 
 
 def test_write_local_artifact_requires_driver_history(tmp_path):

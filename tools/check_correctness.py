@@ -61,9 +61,12 @@ def main():
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        # driver fixtures are single parquet FILES; Spark-synthesized scale
+        # fixtures (tools/scaling_probe.py make) are parquet DIRECTORIES —
+        # glob the part files in that case so the same gate runs on both
+        p = f"{SF_DIR}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = mk.get_spark(
         app_name="check_correctness",
