@@ -1314,61 +1314,60 @@ def connected_components(
     standard policy (Lee et al., "Deduplicating Training Data Makes Language
     Models Better") is keep-one-per-*cluster* of the pair graph.
 
-    Algorithm: min-label propagation with pointer jumping (hash-to-min).
-    Each round does (1) label := min(label, neighbours' labels) — one shuffle
-    join on the symmetric edge list — then (2) label := label(label) — a
-    self-join that halves remaining path lengths, giving O(log diameter)
-    rounds instead of O(diameter). This is the same round structure GraphX /
-    GraphFrames use for CC. Each round is checkpointed to cut lineage:
-    ``checkpoint="local"`` (default) uses executor-local storage — fastest,
-    but a lost executor forces recompute from source lineage; on a real
-    cluster pass ``checkpoint="reliable"`` after
+    Algorithm (r13): the **large-star/small-star alternation** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14). State is
+    the canonical edge list (big > small); each alternation applies
+
+    - large-star: for every node u, point every LARGER neighbor v at
+      m = min(Γ(u) ∪ {u}) → edges (v, m); then
+    - small-star: for every big endpoint u, point u and every smaller
+      neighbor at m = min(Γ⁻(u) ∪ {u}) → edges (small, m) ∪ (u, m).
+
+    Both steps preserve connectivity; the fixpoint is a star forest
+    centered at the component minima, so labels read directly off the final
+    edges. This replaced the r7–r12 hash-to-min pointer-jumping loop after
+    the VERDICT r12 task-2 A/B (tools/cc_twophase_r13.py, interleaved
+    min-of-3, bit-identical clusters asserted first): the real dup-pair
+    graphs converge in HALF the rounds — the sf0.1 minhash e2e graph takes
+    10 hash-to-min rounds but 5 alternations, dedup_pipeline_e2e
+    8.545 → 5.925 s (1.44×), CC-only on that graph 7.15 → 4.63 s;
+    entity_resolution_e2e at parity (2.812 vs 2.781 s). The alternation
+    also needs no persisted loop-invariant edge relation (state shrinks and
+    is re-checkpointed each round), so the old sized-persist setup passes
+    disappear with it.
+
+    Trade-off, measured and accepted: on a DEGENERATE-diameter synthetic
+    (250k-node path) the alternation converges in a similar round count
+    (19 vs 18) but each alternation chains two star passes, measuring
+    28.4 s vs 14.7 — path graphs are the adversarial corner, not a dup
+    graph (every measured dup-pair graph is star-heavy). Alternation count
+    on paths tracks ~ceil(log2 n)+2 (64→7, 1k→11, 10k→15, 250k→19), so
+    ``max_iter=25`` keeps headroom for a ~2^22-node path component.
+
+    Each alternation is ONE eager job: the large∘small composition chains
+    lazily into a single checkpoint, and the convergence signature (edge
+    count + exact DECIMAL(38,0) endpoint sums) rides that job as
+    ``observe`` metrics. When the signature repeats, convergence is PROVEN
+    (never assumed) by one star-forest check — no ``small`` endpoint also
+    appears as a ``big`` endpoint — before the loop exits. Lineage is cut
+    per round: ``checkpoint="local"`` (default) uses executor-local
+    storage — fastest, but a lost executor forces recompute from source
+    lineage; on a real cluster pass ``checkpoint="reliable"`` after
     ``spark.sparkContext.setCheckpointDir(hdfs_path)`` so each round's
-    labels land on fault-tolerant storage and a mid-job loss resumes from
+    edges land on fault-tolerant storage and a mid-job loss resumes from
     the last round instead of hour-one. Reliable mode writes one snapshot
-    for the init plus two per round and Spark only deletes superseded ones
-    when ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
-    false) — set it, or a long run accumulates O(rounds·|V|) label
-    snapshots on the checkpoint store (~2·rounds·|V| rows; at 10⁹ nodes ×
-    18 rounds ≈ 36 snapshots × ~16 GB ≈ 0.6 TB of dead state).
-
-    Two loop-cost policies (r7, both A/B-measured at sf0.1 — 10.7 s → 5.9 s
-    combined on the e2e pipeline's 30k-edge graph):
-
-    - **The iteration is sized to the PAIR GRAPH, not the corpus.** The
-      symmetric edge list is persisted and counted once (the count doubles
-      as the materialization barrier the self-joins need anyway), then
-      repartitioned to ``~250k edges/partition`` (floor 4) — a dup-pair
-      graph is orders of magnitude smaller than the corpus that produced
-      it, and inheriting the corpus's partitioning makes every round's map
-      stages schedule corpus-width task waves over near-empty blocks. AQE
-      already right-sizes the reducer side; this right-sizes the map side.
-    - **Convergence is a monotone label-sum, not a join.** Labels only ever
-      decrease and the node set is fixed, so ``sum(label)`` is strictly
-      decreasing until the fixpoint — comparing one exact DECIMAL(38,0)
-      scalar per round replaces the old jumped⨝labels changed-row join job
-      (one cached-scan agg vs a third shuffle join per round). The scalar is
-      the only driver-side value in the loop.
+    for the init plus one per alternation and Spark only deletes
+    superseded ones when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+    false) — set it, or a long run accumulates O(rounds·|E|) edge
+    snapshots on the checkpoint store.
 
     ``stats`` (optional out-param) receives ``{"rounds": r, "converged":
-    bool}`` — the number of executed propagate+jump rounds including the
-    fixpoint-confirming one, and whether the label sum actually reached a
-    fixpoint (``converged=False`` ⇒ the loop hit ``max_iter`` and a
-    warning was emitted; ``rounds == max_iter`` alone is ambiguous between
-    the two). Diagnostic only: the r8 chain probe pins the O(log diameter)
-    claim (a 10k-node path converges in 13 rounds, not ~10k) and the
-    ``max_iter=25`` headroom (enough for a path graph of ~2^24 nodes;
-    real dup clusters are star-heavy and converge in ≤5).
-
-    Degenerate-diameter note (r9, from the r8 chain probe): at extreme
-    diameter the cost is driver-side ROUND latency (1 job/round since r12 × 18
-    rounds at a 250k-node path), not data volume. If a real corpus ever
-    produces deep chains, the standard upgrade is the large-star/small-star
-    alternation (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14) — same O(log d) round bound with provably smaller
-    per-round messages; not shipped because every measured dup-pair graph
-    here is star-heavy (≤5 rounds) and the hash-to-min structure keeps each
-    round at exactly one join + one self-join.
+    bool}`` — the number of executed alternations including the
+    fixpoint-confirming one, and whether the star-forest fixpoint was
+    actually reached (``converged=False`` ⇒ the loop hit ``max_iter`` and
+    a warning was emitted; ``rounds == max_iter`` alone is ambiguous
+    between the two).
     """
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be local|reliable, got {checkpoint!r}")
@@ -1376,94 +1375,93 @@ def connected_components(
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint == "reliable":
             # requires spark.sparkContext.setCheckpointDir(...); eager like
-            # the local path so the round's one-job structure (r12) is
-            # unchanged
+            # the local path so the round's one-job structure is unchanged
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    from makinage_spark.graphs import _sized_persist
+    # ONE materialization of the (possibly expensive) pair mine: canonical
+    # big>small edges, deduplicated. Self-pairs (a == b) cannot join the
+    # alternation (a star edge needs two distinct endpoints) but their
+    # nodes are part of the "every node that appears in pairs" contract —
+    # they re-enter as singleton clusters from the same checkpoint below.
+    # Their COUNT rides the checkpoint job as an observe metric so the
+    # (usual) zero-self-pair case — every pair mine emits a < b strictly —
+    # skips the singleton branch entirely and the output plan stays the
+    # bare star-forest read (the branch measured ~0.5 s of plan overhead
+    # per evaluation on the sf0.1 e2e graph when built unconditionally).
+    obs0 = Observation()
+    e0 = _ckpt(
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("big"),
+            F.least(F.col(src), F.col(dst)).alias("small"),
+        )
+        .distinct()
+        .observe(
+            obs0,
+            F.sum((F.col("big") == F.col("small")).cast("long")).alias("nself"),
+        )
+    )
+    n_self = obs0.get["nself"] or 0
+    e = e0.filter(F.col("big") != F.col("small")) if n_self else e0
 
-    # one shared sizing policy (r8 — previously duplicated inline and
-    # capped at the session shuffle-partitions config; see _sized_persist)
-    edges = _sized_persist(
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-            pairs.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-        ),
-        key="v",
-    )
-    # label init = min(id, min neighbor), not id: the node set comes out of
-    # the same |E|→|V| shuffle a distinct-on-u would cost, but the min-agg
-    # starts every node one propagation step ahead — measured one full
-    # round saved (10 → 9 on the sf0.1 minhash pair graph, identical
-    # clusters; A/B r8) at zero extra build cost.
-    labels = _ckpt(
-        edges.groupBy("u")
-        .agg(F.min("v").alias("mv"))
-        .select(F.col("u").alias("id"), F.least("u", "mv").alias("label"))
-    )
-    prev_sum = None
+    def large_star(edges: DataFrame) -> DataFrame:
+        sym = edges.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).union(edges.select(F.col("small").alias("u"), F.col("big").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        mm = m.select("u", F.least("u", "mn").alias("m"))
+        return (
+            sym.join(mm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .distinct()
+        )
+
+    def small_star(edges: DataFrame) -> DataFrame:
+        m = edges.groupBy("big").agg(F.min("small").alias("m"))
+        repointed = (
+            edges.join(m, "big")
+            .where(F.col("small") != F.col("m"))
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+        )
+        return m.select("big", F.col("m").alias("small")).union(repointed).distinct()
+
+    prev = None
     rounds = 0
     converged = False
     for _ in range(max_iter):
         rounds += 1
-        nbr = (
-            edges.join(labels, edges.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr"))
-        )
-        # ONE eager action per round (r12; guide §1/§2 — the CC loop is
-        # driver-round-latency bound, measured 0.23 s stepped + 0.09 s
-        # jumped + py4j overhead per round on the e2e pair graph). The
-        # pointer jump now dereferences the PREVIOUS round's labels
-        # (l2 = labels, a checkpoint-backed cached scan) instead of the
-        # fresh ``stepped``, so ``stepped`` no longer needs its own eager
-        # materialization: it is referenced exactly once (the r5 lesson
-        # about double-referencing an unmaterialized intermediate does not
-        # apply, and the old-labels references are all cache reads).
-        # Same fixpoint, bit-identical output: labels only decrease, and a
-        # state is stable iff every node's label ≤ all neighbours' labels
-        # (symmetric edges ⇒ labels constant per component = the min id —
-        # the same argument as before). Per-round reach still doubles
-        # (the two chained OLD pointers in l1.label→l2.label compose two
-        # radius-f(r-1) hops), so the O(log diameter) round bound stands —
-        # re-pinned by the 10k-chain test and the interleaved A/B
-        # (OPTIMIZATION_r12.md: 2 jobs/round → 1, e2e construction
-        # 7.1 s → measured-below, identical clusters).
-        stepped = (
-            labels.join(nbr, labels.id == nbr.u, "left")
-            .select(
-                labels.id.alias("id"),
-                F.least(F.col("label"), F.coalesce(F.col("nbr"), F.col("label"))).alias("label"),
-            )
-        )
-        # the convergence sum rides the SAME job that materializes the
-        # round: df.observe metrics fire on the eager localCheckpoint
-        # (verified on Spark 4.1), so each round is exactly ONE job — no
-        # separate convergence action at all. Exact decimal sum: ids up
-        # to 2^63 × any realistic node count stay far under DECIMAL(38)'s
-        # 1e38 headroom, and decimal addition is order-independent —
-        # bit-identical across partitionings.
+        # ONE eager job per alternation: large∘small chains lazily into a
+        # single checkpoint, and the convergence signature rides it as
+        # observe metrics (fire on the eager checkpoint, verified on
+        # Spark 4.1). Exact decimal endpoint sums: order-independent, so
+        # the signature is bit-identical across partitionings.
         obs = Observation()
-        jumped = (
-            stepped.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.id"), "left")
-            .select(
-                F.col("l1.id").alias("id"),
-                F.least(
-                    F.col("l1.label"),
-                    F.coalesce(F.col("l2.label"), F.col("l1.label")),
-                ).alias("label"),
-            )
-            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+        nxt = small_star(large_star(e)).observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("big").cast("decimal(38,0)")).alias("sb"),
+            F.sum(F.col("small").cast("decimal(38,0)")).alias("ss"),
         )
-        jumped = _ckpt(jumped)
-        label_sum = obs.get["s"]
-        labels = jumped
-        if label_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = label_sum
-    edges.unpersist()
+        nxt = _ckpt(nxt)
+        sig = (obs.get["n"], obs.get["sb"], obs.get["ss"])
+        e = nxt
+        if sig == prev:
+            # candidate fixpoint — PROVE it before exiting: a star forest
+            # has no ``small`` endpoint that also appears as a ``big``
+            # endpoint (signature equality alone could collide). One
+            # cheap job on the checkpointed edges, run only at the
+            # candidate round, never per round.
+            nonstar = (
+                e.alias("x")
+                .join(e.alias("y"), F.col("x.small") == F.col("y.big"), "left_semi")
+                .limit(1)
+                .count()
+            )
+            if nonstar == 0:
+                converged = True
+                break
+        prev = sig
     if not converged:
         # ADVICE r8: rounds == max_iter alone cannot distinguish "converged
         # exactly on the last allowed round" from "hit the cap unconverged" —
@@ -1471,14 +1469,30 @@ def connected_components(
         import warnings
 
         warnings.warn(
-            f"connected_components hit max_iter={max_iter} without the label "
-            "sum reaching a fixpoint — clusters may be under-merged; raise "
-            "max_iter (each round doubles effective propagation distance)",
+            f"connected_components hit max_iter={max_iter} without the "
+            "star-forest fixpoint being reached — clusters may be "
+            "under-merged; raise max_iter (alternations track "
+            "~log2(component diameter))",
             stacklevel=2,
         )
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+    # labels read off the final star forest: members point at their
+    # component minimum; centers label themselves; self-pair-only nodes
+    # (absent from the alternation) are singleton clusters — that branch
+    # exists only when the observe above actually saw self-pairs.
+    roots = e.select(F.col("small").alias("id")).distinct()
+    members = e.select(F.col("big").alias("id"), F.col("small").alias("label"))
+    labels = members.union(roots.select("id", F.col("id").alias("label")))
+    if n_self:
+        selfies = e0.filter(F.col("big") == F.col("small")).select(
+            F.col("big").alias("id")
+        )
+        only_self = selfies.join(labels.select("id"), "id", "left_anti").select(
+            "id", F.col("id").alias("label")
+        )
+        labels = labels.union(only_self)
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

@@ -1283,6 +1283,27 @@ def test_connected_components_empty_pairs(spark):
     assert out.count() == 0
 
 
+def test_connected_components_self_pairs_are_singletons(spark):
+    """r13 alternation pin: the "one row per node that appears in pairs"
+    contract covers SELF-pairs (a == b). They cannot enter the
+    large-star/small-star loop (a star edge needs two distinct endpoints),
+    so the implementation re-unions them from the input checkpoint as
+    singleton clusters — and a node with BOTH a self-pair and a real edge
+    must appear exactly once, labeled by its real component."""
+    from makinage_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 2)], "a long, b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {7: 7, 1: 1, 2: 1}
+    out = connected_components(pairs)
+    assert out.count() == 3  # no duplicate row for node 2
+
+
 def test_sized_persist_policy(spark):
     """The graph-sizing rule (r8, un-clamped per VERDICT r7 task 2): small
     derived relations land at the floor of 4 partitions; the partition
@@ -1331,14 +1352,14 @@ def test_sized_persist_policy(spark):
 
 
 def test_connected_components_deep_chain_logarithmic_rounds(spark):
-    """Deep-diameter convergence pin (VERDICT r7 task 6): the e2e dup graphs
-    CC was tuned on are star-heavy and shallow (<= 5 rounds), so they never
-    exercised the pointer-jumping claim. A 10k-node path graph (diameter
-    9 999) must converge to ONE cluster in O(log diameter) rounds — the
-    hash-to-min + path-halving structure, not O(diameter) — leaving
-    max_iter=25 enough headroom for a ~2^24-node path. Measured: 13 rounds
-    with the min-neighbor label init (14 with identity init;
-    log2(10 000) = 13.3), bound ceil(log2 n) + 3."""
+    """Deep-diameter convergence pin (VERDICT r7 task 6; re-pinned r13 for
+    the large-star/small-star alternation): the e2e dup graphs CC is tuned
+    on are star-heavy and shallow (~5 rounds), so they never exercise the
+    logarithmic-round claim. A 10k-node path graph (diameter 9 999) must
+    converge to ONE cluster in O(log n) alternations, not O(diameter) —
+    leaving max_iter=25 enough headroom for a ~2^22-node path. Measured:
+    15 alternations (64→7, 1k→11, 250k→19 in the r13 A/B — ~ceil(log2 n)+2;
+    the retired hash-to-min loop measured 13 here), bound ceil(log2 n) + 3."""
     import math
 
     from pyspark.sql import functions as F
