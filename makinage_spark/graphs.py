@@ -138,10 +138,20 @@ def pagerank(
         # guarantee uniqueness (assume_distinct=True) skip this E-sized shuffle
         e = e.distinct()
     e = _sized_persist(e, key="src")
+    # persisted (r13): nodes is referenced TWICE — the n_df 1-row count that
+    # broadcasts into base, and base itself — and without the persist the
+    # |V| union-distinct over the edge cache computed twice per evaluation
+    # (two back-to-back full-width jobs in the sf1 event-log breakdown).
+    # |V| rows is tiny next to the edge cache this function already holds;
+    # same clearCache-between-evaluations contract as e/ew/base. Measured
+    # interleaved min-of-3, ranks asserted bit-identical
+    # (tools/pagerank_nodes_ab_r13.py): sf0.1 3.635 → 3.513 s, sf1 (10×
+    # fixture) 8.251 → 7.729 s.
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     # outdeg is consumed once to build ew; only the redistribute path re-reads
     # it (per-iteration dangling anti-join), so only that path caches it —

@@ -19920,65 +19920,89 @@ def q_bucketed_join_zero_exchange(spark, sf_dir):
 #:     strip_repeated_spans, tdigest_error_audit, text_repetition_signals,
 #:     training_corpus_pipeline, unigram_logprob_score, zip_streams (the
 #:     last 7 of r5) roll to r13.
-#: last_green[n] computed at round start from CORRECTNESS_r01..r11:
+#: r12 last_green[n] (CORRECTNESS_r01..r11):
 #:   histogram {4:9, 5:41, 6:48, 7:49, 8:48, 9:49, 10:47, 11:50}.
-_WINDOW_ROUND = 12
+#: r13 rotation (post-burn-down regime): all slots are re-pins. Slotting,
+#: per the policy encoded in the freshness guard
+#: (tests/test_query_registry.py) and COVERAGE.md:
+#: (1) changed-in-r13 — the PPJoin emit-once carry bound (_PRE_CARRY_CAP
+#:     + short/long doc arms, VERDICT r12 "What's wrong" #3): every
+#:     prefix_filter_pairs / containment_pairs caller (dedup_jaccard_pairs,
+#:     dedup_clusters, jaccard_prefix_filter_pairs,
+#:     cluster_best_representative, containment_pairs,
+#:     banding_recall_audit); plus the connected_components algorithm swap
+#:     to the large-star/small-star alternation (VERDICT r12 task 2,
+#:     bit-identical clusters): its two remaining oracle consumers
+#:     dedup_pipeline_e2e and entity_resolution_e2e (dedup_clusters and
+#:     cluster_best_representative already sit in the carry head).
+#:     Output-invariant touches that by the r9/r11 precedent do NOT force
+#:     re-pins: the pagerank nodes-persist (cache materialization only,
+#:     ranks asserted bit-identical).
+#: (2) least-recently-green in ledger order: the last 7 r5-vintage
+#:     (stream_stream_join … zip_streams, rolled from r12), then the first
+#:     35 r6-vintage alphabetically; session_window_native … zip_by_index
+#:     (the last 10 of r6) roll to r14.
+#: last_green[n] computed at round start from CORRECTNESS_r01..r12:
+#:   histogram {5:7(oracle-paired; +2 rows-only), 6:45(+1), 7:49, 8:47,
+#:   9:48, 10:47, 11:47, 12:50} — rows-only paths (embedding_lsh_topk,
+#:   ivf_topk_search, sketch_cardinality, tdigest_quantiles) never occupy
+#:   hash slots by policy.
+_WINDOW_ROUND = 13
 
 _SHOWCASE_50 = [
-    # --- changed in r12 (emit-once carry + capped kept-flag restriction) ---
-    "dedup_simhash_pairs",              # simhash mine: emit-once (no distinct)
-    "dedup_jaccard_pairs",              # prefix-filter mine: emit-once
-    "dedup_clusters",                   # prefix-filter caller (0.98 pairs)
+    # --- changed in r13 (carry bound on the PPJoin mines + two-phase CC) ---
+    "dedup_jaccard_pairs",              # prefix-filter mine: capped carry
+    "dedup_clusters",                   # prefix mine caller + two-phase CC
     "jaccard_prefix_filter_pairs",      # prefix-filter caller
-    "cluster_best_representative",      # prefix-filter caller (0.98 pairs)
-    "containment_pairs",                # containment mine: emit-once
+    "cluster_best_representative",      # prefix mine caller + two-phase CC
+    "containment_pairs",                # containment mine: capped carry
     "banding_recall_audit",             # prefix-filter caller (0.75 verify)
-    "dedup_pipeline_e2e",               # capped kept-flag build restricted
-    # --- re-pins: least-recently-green, r4 vintage (last 9 of 39) ---
-    "stream_hourly_counts",             # r4
-    "stream_scan_running",              # r4
-    "stream_topk_state",                # r4
-    "take_topk",                        # r4
-    "text_language_id",                 # r4
-    "text_quality",                     # r4
-    "tfidf_top_terms",                  # r4
-    "time_window_hourly",               # r4
-    "variance_stddev",                  # r4
-    # --- re-pins: least-recently-green, r5 vintage (first 33 of 40 after
-    # --- dedup_simhash_pairs moved to the changed head) ---
-    "app_source_batch",                 # r5
-    "asof_forward_enrich",              # r5
-    "asof_nearest_enrich",              # r5
-    "bigram_logprob_score",             # r5
-    "embedding_neardup_lsh",            # r5
-    "embedding_quantize_sq8",           # r5
-    "graph_multiply_sample",            # r5
-    "graph_multiply_streaming",         # r5
-    "graph_pagerank_dangling",          # r5
-    "ivf_recall_audit",                 # r5
-    "ivf_topk_full_probe",              # r5
-    "kafka_emu_roundtrip",              # r5
-    "lsh_recall_audit",                 # r5
-    "multimodal_frame_sample_exact",    # r5
-    "multiplex_demux",                  # r5
-    "pii_redaction",                    # r5
-    "q1_pricing_summary",               # r5
-    "q21_waiting_suppliers",            # r5
-    "q2_min_cost_supplier",             # r5
-    "q7_nation_volume",                 # r5
-    "q9_product_profit",                # r5
-    "quality_ensemble",                 # r5
-    "repeated_span_coverage",           # r5
-    "salted_join_skew",                 # r5
-    "segment_dup_fraction",             # r5
-    "serve_batch_inference",            # r5
-    "sketch_error_audit",               # r5
-    "source_format_roundtrip",          # r5
-    "stream_dedup_watermarked",         # r5
-    "stream_pack_sequences",            # r5
-    "stream_roll_windows",              # r5
-    "stream_session_window",            # r5
-    "stream_sliding_window",            # r5
+    "dedup_pipeline_e2e",               # two-phase CC consumer
+    "entity_resolution_e2e",            # two-phase CC consumer
+    # --- re-pins: least-recently-green, r5 vintage (last 7 of 40) ---
+    "stream_stream_join",               # r5
+    "strip_repeated_spans",             # r5
+    "tdigest_error_audit",              # r5
+    "text_repetition_signals",          # r5
+    "training_corpus_pipeline",         # r5
+    "unigram_logprob_score",            # r5
+    "zip_streams",                      # r5
+    # --- re-pins: least-recently-green, r6 vintage (first 35 of 45) ---
+    "bm25_retrieval_topk",              # r6
+    "buffer_time_window",               # r6
+    "buffer_with_count_hopping",        # r6
+    "cdc_chunk_dedup",                  # r6
+    "embedding_centroids",              # r6
+    "forward_fill",                     # r6
+    "group_apply_pipeline",             # r6
+    "interval_overlap_join",            # r6
+    "ivf_indexed_full_probe",           # r6
+    "kmeans_table_assign",              # r6
+    "kmeans_twolevel_agreement",        # r6
+    "kmv_overlap_estimate",             # r6
+    "kneser_ney_bigram_score",          # r6
+    "last_or_default_events",           # r6
+    "ngram_decontaminate",              # r6
+    "ordered_string_agg",               # r6
+    "pmi_collocations",                 # r6
+    "pq_encode_distortion",             # r6
+    "q11_important_parts",              # r6
+    "q12_late_shipping",                # r6
+    "q13_customer_distribution",        # r6
+    "q14_promo_share",                  # r6
+    "q15_top_supplier",                 # r6
+    "q16_supplier_counts",              # r6
+    "q17_small_quantity_revenue",       # r6
+    "q18_large_volume_customers",       # r6
+    "q19_bracket_revenue",              # r6
+    "q20_excess_suppliers",             # r6
+    "q22_idle_balances",                # r6
+    "q4_order_priority",                # r6
+    "q8_market_share",                  # r6
+    "quantiles_sketch",                 # r6
+    "range_interval_frame",             # r6
+    "record_linkage_blocked",           # r6
+    "semantic_dedup_pipeline",          # r6
 ]
 
 
