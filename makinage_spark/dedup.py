@@ -1380,23 +1380,26 @@ def connected_components(
         return df.localCheckpoint(eager=True)
 
     # ONE materialization of the (possibly expensive) pair mine: canonical
-    # big>small edges, deduplicated. Self-pairs (a == b) cannot join the
-    # alternation (a star edge needs two distinct endpoints) but their
-    # nodes are part of the "every node that appears in pairs" contract —
-    # they re-enter as singleton clusters from the same checkpoint below.
-    # Their COUNT rides the checkpoint job as an observe metric so the
-    # (usual) zero-self-pair case — every pair mine emits a < b strictly —
-    # skips the singleton branch entirely and the output plan stays the
-    # bare star-forest read (the branch measured ~0.5 s of plan overhead
-    # per evaluation on the sf0.1 e2e graph when built unconditionally).
+    # big>small edges — NO distinct, so the checkpoint is a narrow map
+    # write (the emit-once mines and the blocked linkage both produce
+    # unique pairs BY CONSTRUCTION; a dedup here would re-introduce
+    # exactly the pair-stream shuffle emit-once removed). Duplicate input
+    # pairs are harmless: each star step ends in a groupBy/distinct of
+    # its own, so round 1 absorbs them. Self-pairs (a == b) cannot join
+    # the alternation (a star edge needs two distinct endpoints) but
+    # their nodes are part of the "every node that appears in pairs"
+    # contract — they re-enter as singleton clusters from the same
+    # checkpoint below. Their COUNT rides the checkpoint job as an
+    # observe metric so the (usual) zero-self-pair case skips both the
+    # pre-filter and the singleton branch entirely and the output plan
+    # stays the bare star-forest read (the unconditional branch measured
+    # ~0.5 s of plan overhead per evaluation on the sf0.1 e2e graph).
     obs0 = Observation()
     e0 = _ckpt(
         pairs.select(
             F.greatest(F.col(src), F.col(dst)).alias("big"),
             F.least(F.col(src), F.col(dst)).alias("small"),
-        )
-        .distinct()
-        .observe(
+        ).observe(
             obs0,
             F.sum((F.col("big") == F.col("small")).cast("long")).alias("nself"),
         )
@@ -1486,8 +1489,12 @@ def connected_components(
     members = e.select(F.col("big").alias("id"), F.col("small").alias("label"))
     labels = members.union(roots.select("id", F.col("id").alias("label")))
     if n_self:
-        selfies = e0.filter(F.col("big") == F.col("small")).select(
-            F.col("big").alias("id")
+        # distinct here, not on the whole edge list: a self-pair-only node
+        # listed twice must still emit ONE singleton row
+        selfies = (
+            e0.filter(F.col("big") == F.col("small"))
+            .select(F.col("big").alias("id"))
+            .distinct()
         )
         only_self = selfies.join(labels.select("id"), "id", "left_anti").select(
             "id", F.col("id").alias("label")
